@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Dev-only oracle pre-validation (mimics the driver's t2 compare).
+
+Usage: python3 dev/check_oracles.py <sfDir> <verifyOutDir>
+
+Reads each query's Spark parquet output from <verifyOutDir>/<name>/ and
+runs the corresponding SQL from oracle_sql.json in DuckDB over views on
+<sfDir>/*.parquet, then compares: columns sorted by name, rows sorted by
+all columns, values compared exactly (floats to 1e-9).
+This script is NOT part of the library; it exists so oracle mismatches
+are caught before the driver runs.
+"""
+import sys, json, math, glob
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    if isinstance(v, bool):
+        return bool(v)
+    return v
+
+def norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return [cols[i] for i in order], out
+
+def main():
+    sf_dir, vout = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{vout}/oracle_sql.json"))
+    failures = 0
+    for name in sorted(oracle):
+        files = glob.glob(f"{vout}/{name}/*.parquet")
+        if not files:
+            print(f"{name}: MISSING spark output")
+            failures += 1
+            continue
+        try:
+            got_cols = [d[0] for d in con.execute(
+                f"SELECT * FROM '{vout}/{name}/*.parquet' LIMIT 0"
+            ).description]
+            got = con.execute(
+                f"SELECT * FROM '{vout}/{name}/*.parquet'").fetchall()
+            want_rel = con.execute(oracle[name])
+            want_cols = [d[0] for d in want_rel.description]
+            want = want_rel.fetchall()
+        except Exception as e:
+            print(f"{name}: ERROR {str(e)[:200]}")
+            failures += 1
+            continue
+        gc, g = norm_rows(got_cols, got)
+        wc, w = norm_rows(want_cols, want)
+        if gc != wc:
+            print(f"{name}: COLS spark={gc} oracle={wc}")
+            failures += 1
+            continue
+        if len(g) != len(w):
+            print(f"{name}: ROWCOUNT spark={len(g)} oracle={len(w)}")
+            failures += 1
+            continue
+        bad = [(a, b) for a, b in zip(g, w) if a != b]
+        if bad:
+            print(f"{name}: {len(bad)} MISMATCHED rows of {len(g)}; "
+                  f"first: spark={bad[0][0]} oracle={bad[0][1]} cols={gc}")
+            failures += 1
+        else:
+            print(f"{name}: OK ({len(g)} rows)")
+    sys.exit(1 if failures else 0)
+
+if __name__ == "__main__":
+    main()

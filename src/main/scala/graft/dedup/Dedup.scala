@@ -1,0 +1,149 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.text.TextAnalysis
+
+/** Deduplication operators for large-scale document pipelines
+  * (capability extension — BASELINE.json north star).
+  *
+  * Scale design: every variant avoids the O(n²) all-pairs comparison.
+  * Exact dedup is a hash-shuffle on the fingerprint; MinHash/LSH only
+  * compares documents that collide in a band bucket (the candidate set
+  * is the join output, not the cross product); SimHash reduces a
+  * document to 64 bits compared bucket-locally. All hashing is md5
+  * (deterministic across engines — the DuckDB oracle reproduces
+  * signatures bit-for-bit; no reliance on engine-private hash functions).
+  */
+object Dedup {
+
+  /** Exact dedup by content fingerprint: one row per distinct
+    * fingerprint, keeping the lowest id (deterministic survivor), with
+    * the duplicate count. A single groupBy shuffle on the fingerprint.
+    */
+  def exact(docs: DataFrame, idCol: String = "doc_id",
+            textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("fingerprint", TextAnalysis.fingerprint(col(textCol)))
+      .groupBy(col("fingerprint"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** MinHash signature as an array of k hex-string minima over word
+    * shingles: `sig_i = min over shingles of md5(i || ':' || shingle)`.
+    * Lexicographic min of fixed-length hex == numeric min of the hash —
+    * portable across engines without integer hash functions.
+    */
+  def minhashSignature(text: Column, k: Int = 16, shingleSize: Int = 3)
+      : Column = {
+    val sh = array_distinct(TextAnalysis.shingles(text, shingleSize))
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(sh,
+        s => md5(concat(i.cast("string"), lit(":"), s)))))
+  }
+
+  /** docs → (id, sig array, band columns). Bands hash r consecutive
+    * signature components; two docs sharing any band hash are candidate
+    * near-duplicates (standard MinHash-LSH banding).
+    */
+  def withMinhash(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text", k: Int = 16,
+                  bands: Int = 4, shingleSize: Int = 3): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val r = k / bands
+    docs
+      .select(col(idCol), col(textCol))
+      .withColumn("sig", minhashSignature(col(textCol), k, shingleSize))
+      .withColumn("band",
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band_idx"),
+            md5(concat_ws("|", slice(col("sig"), b * r + 1, lit(r))))
+              .as("band_hash")))))
+      .select(col(idCol), col("sig"),
+        col("band.band_idx"), col("band.band_hash"))
+  }
+
+  /** MinHash-LSH candidate pairs with estimated Jaccard = fraction of
+    * equal signature components. The join key is (band_idx, band_hash)
+    * — at scale this shuffles each doc `bands` times instead of
+    * comparing all pairs; bucket skew is bounded because identical
+    * bands imply near-identical docs.
+    */
+  def minhashPairs(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", k: Int = 16,
+                   bands: Int = 4, shingleSize: Int = 3,
+                   threshold: Double = 0.5): DataFrame = {
+    val sigs = withMinhash(docs, idCol, textCol, k, bands, shingleSize)
+    val a = sigs.select(col(idCol).as("id_a"), col("sig").as("sig_a"),
+      col("band_idx"), col("band_hash"))
+    val b = sigs.select(col(idCol).as("id_b"), col("sig").as("sig_b"),
+      col("band_idx"), col("band_hash"))
+    a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => x === y), p => p)).cast("double") / k)
+          .as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash as a 16-hex-char string. Per token: 64 bits from
+    * the first 16 hex chars of md5(token); each bit votes +1/-1; final
+    * bit = vote > 0. Duplicate tokens vote multiple times (standard
+    * SimHash weighting by term frequency).
+    */
+  def simhash(text: Column): Column = {
+    val hashes = transform(TextAnalysis.tokens(text),
+      t => substring(md5(t), 1, 16))
+    val hexDigits = "0123456789abcdef"
+    // bit j of a 16-hex-char hash h
+    def bitOf(h: Column, j: Int): Column = {
+      val nibble = instr(lit(hexDigits),
+        substring(h, j / 4 + 1, 1)) - 1
+      shiftright(nibble, 3 - j % 4) % 2
+    }
+    val nibbleChars = (0 until 16).map { n =>
+      val bits = (0 until 4).map { b =>
+        val j = n * 4 + b
+        val vote = aggregate(hashes, lit(0),
+          (acc, h) => acc + (bitOf(h, j) * 2 - 1))
+        when(vote > 0, lit(1 << (3 - b))).otherwise(lit(0))
+      }
+      substring(lit(hexDigits), bits.reduce(_ + _) + 1, lit(1))
+    }
+    concat(nibbleChars: _*)
+  }
+
+  /** Exact word n-gram Jaccard similarity between two shingle-set
+    * columns: |A∩B| / |A∪B| over distinct shingles.
+    */
+  def jaccard(shinglesA: Column, shinglesB: Column): Column = {
+    val a = array_distinct(shinglesA)
+    val b = array_distinct(shinglesB)
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b))
+    when(uni > 0, inter / uni).otherwise(lit(0.0))
+  }
+
+  /** Verified near-dup pairs: LSH candidates re-scored with exact
+    * n-gram Jaccard (the LSH estimate prunes, the exact score decides).
+    */
+  def nearDuplicates(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text", k: Int = 16,
+                     bands: Int = 4, shingleSize: Int = 3,
+                     estThreshold: Double = 0.35,
+                     exactThreshold: Double = 0.7): DataFrame = {
+    val cands = minhashPairs(docs, idCol, textCol, k, bands, shingleSize,
+      estThreshold)
+    val sh = docs.select(col(idCol),
+      array_distinct(TextAnalysis.shingles(col(textCol), shingleSize))
+        .as("sh"))
+    cands
+      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= exactThreshold)
+  }
+}

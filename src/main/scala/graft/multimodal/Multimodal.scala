@@ -1,0 +1,114 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column plumbing (capability
+  * extension — BASELINE.json north star).
+  *
+  * Media payloads are opaque `binary` columns with typed metadata
+  * (`graft.model.Schemas.mediaSchema`). The Spark-side plumbing —
+  * schema, partition-parallel batch iteration via `mapPartitions`,
+  * feature column shapes — is real and tested; the codec step itself
+  * is a STUB: `fakeDecode` derives deterministic pseudo-features from
+  * the bytes (image/audio codecs are not available in this
+  * environment). Swapping in a real decoder changes only the body of
+  * [[MediaCodec.decodeFeatures]].
+  *
+  * Scale design: decode is per-row CPU-bound work with no shuffle —
+  * `mapPartitions` keeps it embarrassingly parallel and lets a real
+  * codec amortize per-batch initialization (model load, JNI context)
+  * across each partition, the same shape `mapInPandas` gives PySpark.
+  */
+object Multimodal {
+
+  case class MediaFeature(
+      asset_id: Long,
+      media_type: String,
+      n_bytes: Long,
+      content_hash: String,
+      feature: Array[Float])
+
+  /** STUB codec: deterministic bytes → fixed-width feature vector.
+    * Stands in for image decode / audio spectrogram / video
+    * frame-sample; real implementations replace this body only.
+    */
+  object MediaCodec {
+    val featureDim = 8
+    def decodeFeatures(payload: Array[Byte]): Array[Float] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val d = md.digest(if (payload == null) Array.emptyByteArray else payload)
+      (0 until featureDim).map(i => (d(i) & 0xff) / 255.0f).toArray
+    }
+    def contentHash(payload: Array[Byte]): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(if (payload == null) Array.emptyByteArray else payload)
+        .map("%02x".format(_)).mkString
+    }
+  }
+
+  /** Decode + feature-extract every asset: partition-parallel, one
+    * codec instance per partition (the `mapPartitions` seam a real
+    * codec needs for init amortization).
+    */
+  def extractFeatures(assets: DataFrame): Dataset[MediaFeature] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets
+      .select(col("asset_id").cast("long"), col("media_type"),
+        col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition codec init would happen here
+        rows.map { case (id, mtype, payload) =>
+          MediaFeature(id, mtype,
+            if (payload == null) 0L else payload.length.toLong,
+            MediaCodec.contentHash(payload),
+            MediaCodec.decodeFeatures(payload))
+        }
+      }
+  }
+
+  /** Frame sampling for video payloads: every `stride`-th fixed-size
+    * chunk as a frame (stub chunking standing in for container
+    * demux). Output: one row per sampled frame.
+    */
+  def sampleFrames(assets: DataFrame, frameBytes: Int = 64,
+                   stride: Int = 4): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets
+      .select(col("asset_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        val bytes = if (payload == null) Array.emptyByteArray else payload
+        bytes.grouped(frameBytes).zipWithIndex
+          .filter(_._2 % stride == 0)
+          .map { case (chunk, idx) => (id, idx, chunk) }
+      }
+      .toDF("asset_id", "frame_idx", "frame_payload")
+  }
+
+  /** Exact payload dedup across assets (binary content hash →
+    * groupBy shuffle on the hash only — payloads never shuffle).
+    */
+  def dedupByContent(assets: DataFrame): DataFrame =
+    assets
+      .withColumn("content_hash", md5(col("payload")))
+      .groupBy(col("content_hash"))
+      .agg(min(col("asset_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Deterministic synthetic media table for tests (no codecs in this
+    * environment): payload bytes derived from the asset id.
+    */
+  def syntheticAssets(spark: SparkSession, n: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(n.toLong).map { i =>
+      val payload = Array.tabulate(128 + (i % 64).toInt)(j =>
+        ((i * 31 + j * 7) % 256).toByte)
+      val mtype = Seq("image", "audio", "video")((i % 3).toInt)
+      (i, mtype, payload, 64, 64, 1000L, "fake")
+    }.toDF("asset_id", "media_type", "payload", "width", "height",
+      "duration_ms", "codec")
+  }
+}

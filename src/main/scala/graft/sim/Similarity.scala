@@ -1,0 +1,127 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector similarity search over an embedding column (Array[Float])
+  * (capability extension — BASELINE.json north star).
+  *
+  * Dot products are higher-order-function folds (`aggregate` over
+  * `zip_with`) — sequential left-to-right accumulation in double, so
+  * results are deterministic and reproducible by the DuckDB oracle.
+  * No UDFs.
+  *
+  * Scale design: brute-force top-k broadcasts the (small) query set so
+  * the corpus never shuffles — each corpus partition scores locally and
+  * only k rows per query survive the final top-k. The LSH variant
+  * bucket-joins on sign-random-projection signatures so candidate
+  * generation is a hash join, not a cross product.
+  */
+object Similarity {
+
+  /** Elementwise dot product in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b,
+      (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm in double precision. */
+  def l2Norm(v: Column): Column =
+    sqrt(aggregate(transform(v, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+
+  /** Cosine similarity (null when either vector has zero norm). */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = l2Norm(a) * l2Norm(b)
+    when(denom > 0, dot(a, b) / denom)
+  }
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest
+    * corpus vectors (excluding self-matches by id). Queries are
+    * broadcast — the corpus side stays partition-local until the
+    * per-query top-k window.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qvec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cvec"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qvec"), col("__cvec")).as("cosine_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component for
+    * sign-random-projection LSH: a value in [-1, 1) derived from
+    * md5(plane || ':' || dim) — engine-independent, no RNG state.
+    */
+  private def planeComponent(plane: Int, dim: Column): Column =
+    (conv(substring(md5(concat(lit(plane.toString), lit(":"),
+      dim.cast("string"))), 1, 8), 16, 10).cast("long")
+      .cast("double") / lit(2147483648.0)) - 1.0
+
+  /** Sign-random-projection signature: one bit per hyperplane —
+    * bit_p = (Σ_d v[d] * plane(p, d)) >= 0. Vectors with equal
+    * signatures land in the same bucket.
+    */
+  def srpSignature(vec: Column, planes: Int = 8): Column = {
+    val bits = (0 until planes).map { p =>
+      val s = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast("double") * planeComponent(p, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(s >= 0, lit("1")).otherwise(lit("0"))
+    }
+    concat(bits: _*)
+  }
+
+  /** LSH-bucketed ANN: candidates = pairs sharing an SRP bucket,
+    * re-scored with exact cosine, top-k per query. Trades recall for
+    * a hash join instead of a cross product — the 100 TB path.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              planes: Int = 8, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cvec"),
+      srpSignature(col(vecCol), planes).as("bucket"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qvec"),
+      srpSignature(col(vecCol), planes).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qvec"), col("__cvec")).as("cosine_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Embedding near-duplicate pairs above a cosine threshold, bucketed
+    * by SRP signature to avoid the all-pairs cross product.
+    */
+  def nearDuplicates(vectors: DataFrame, threshold: Double = 0.95,
+                     planes: Int = 8, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val v = vectors.select(col(idCol), col(vecCol),
+      srpSignature(col(vecCol), planes).as("bucket"))
+    val a = v.select(col(idCol).as("id_a"), col(vecCol).as("__va"),
+      col("bucket"))
+    val b = v.select(col(idCol).as("id_b"), col(vecCol).as("__vb"),
+      col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosine(col("__va"), col("__vb")).as("cosine_sim"))
+      .filter(col("cosine_sim") >= threshold)
+      .distinct()
+  }
+}

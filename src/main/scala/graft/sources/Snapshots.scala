@@ -1,0 +1,55 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Snapshot / canonical-history storage (S4-S6, S9;
+  * `src/ingestion.py:121-142`, `widgets_ui.py:107-121`).
+  *
+  * The reference writes timestamped CSV snapshots and maintains an
+  * append-only canonical CSV via read-concat-rewrite. At scale the
+  * rewrite is O(history) per batch — the engine's canonical table is
+  * instead parquet `mode("append")` (O(batch)), which preserves the
+  * reference's append-only event-log semantics (`docs/README.md:40`)
+  * while staying safe under concurrent readers.
+  */
+object Snapshots {
+
+  /** S4: timestamped snapshot directory (parquet; `format="csv"` for
+    * byte-parity with the reference's files).
+    */
+  def writeSnapshot(df: DataFrame, baseDir: String, market: String,
+                    batchTs: String, format: String = "parquet"): String = {
+    val path = s"$baseDir/odds_${market}_$batchTs"
+    val w = df.write.mode("overwrite")
+    (if (format == "csv") w.option("header", "true") else w)
+      .format(format).save(path)
+    path
+  }
+
+  /** S5/U1: append a batch to the canonical history table. */
+  def appendCanonical(df: DataFrame, canonicalPath: String): Unit =
+    df.write.mode("append").parquet(canonicalPath)
+
+  /** S6: read the canonical history. */
+  def readCanonical(spark: SparkSession, canonicalPath: String): DataFrame =
+    spark.read.parquet(canonicalPath)
+
+  /** Latest snapshot per key from the canonical history (the upsert
+    * view over the append-only log): keeps the row with the max
+    * `tsCol` per key, ties broken arbitrarily-but-deterministically by
+    * the remaining sort.
+    */
+  def latest(history: DataFrame, keyCols: Seq[String],
+             tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol).desc)
+    history.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** S9: CSV export of an enriched table (`widgets_ui.py:119-121`). */
+  def exportCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+}

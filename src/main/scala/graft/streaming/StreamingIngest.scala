@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+import graft.model.Schemas
+
+/** Structured-Streaming ingestion (capability parity + upgrade for the
+  * reference's poll-and-append loop, SURVEY §2.11).
+  *
+  * The reference polls the odds API and appends CSV snapshots
+  * (`src/ingestion.py:144-148`); the streaming-native form is a file
+  * source over a landing directory feeding an append sink on the
+  * canonical table — same event-log semantics, incremental execution,
+  * exactly-once via checkpointing.
+  */
+object StreamingIngest {
+
+  /** Landing-directory JSON stream of nested odds-API games. */
+  def readOddsStream(spark: SparkSession, landingDir: String): DataFrame =
+    spark.readStream
+      .schema(Schemas.oddsSchema)
+      .option("maxFilesPerTrigger", 8)
+      .json(landingDir)
+
+  /** Canonical append sink with checkpointing. */
+  def toCanonical(df: DataFrame, canonicalPath: String,
+                  checkpoint: String): DataStreamWriter[Row] =
+    df.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", canonicalPath)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+
+  /** Event-time tumbling/sliding window aggregate with watermark over
+    * an event stream (`ts`, `event_type`, `value`) — the engine
+    * capability the reference approximates with its 30-min TTL batch
+    * cadence. Late data beyond the watermark is dropped.
+    */
+  def windowedCounts(events: DataFrame, watermark: String = "10 minutes",
+                     window_ : String = "5 minutes",
+                     slide: Option[String] = None): DataFrame = {
+    val win = slide match {
+      case Some(s) => window(col("ts"), window_, s)
+      case None    => window(col("ts"), window_)
+    }
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(win, col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n"), col("total_value"))
+  }
+
+  /** Session windows (gap-based) per user — event-time sessionization
+    * with watermark, the streaming twin of the batch gaps-and-islands
+    * sessionize in SparkEntry.
+    */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+                    watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("total_value"))
+
+  /** Run a streaming query to completion over whatever is currently in
+    * the source (test/ingest-batch helper).
+    */
+  def runAvailable(writer: DataStreamWriter[Row]): Unit = {
+    val q = writer.start()
+    q.awaitTermination()
+  }
+}

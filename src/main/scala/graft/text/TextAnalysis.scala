@@ -1,0 +1,112 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale document pipelines
+  * (capability extension beyond the reference — SURVEY §7.3 /
+  * BASELINE.json north star): token stats, quality scoring, language
+  * ID, and document fingerprinting over the `documents` table.
+  *
+  * All functions are native column expressions (split / transform /
+  * aggregate higher-order functions) — codegen-friendly, no UDFs, and
+  * embarrassingly parallel: per-document work with no shuffle until an
+  * explicit aggregation.
+  */
+object TextAnalysis {
+
+  /** Non-empty whitespace tokens. `split` can emit empty strings for
+    * leading separators, so filter them — this matches "words" rather
+    * than separator arithmetic.
+    */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Mean token length = total token chars / token count (null on
+    * empty documents rather than a divide-by-zero).
+    */
+  def avgTokenLength(text: Column): Column = {
+    val toks = tokens(text)
+    val total = aggregate(toks, lit(0),
+      (acc, t) => acc + length(t)).cast("double")
+    when(size(toks) > 0, total / size(toks))
+  }
+
+  val defaultStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  /** Fraction of tokens that are stopwords (lowercased exact match). */
+  def stopwordRatio(text: Column,
+                    stopwords: Seq[String] = defaultStopwords): Column = {
+    val toks = tokens(text)
+    val stops = array(stopwords.map(lit): _*)
+    val nStop = size(filter(toks, t => array_contains(stops, lower(t))))
+    when(size(toks) > 0, nStop.cast("double") / size(toks))
+  }
+
+  /** Fraction of characters that are ASCII punctuation. */
+  def punctRatio(text: Column): Column =
+    when(length(text) > 0,
+      length(regexp_replace(text, "[^\\p{Punct}]", "")).cast("double")
+        / length(text))
+
+  /** Heuristic quality score in [0,1]: rewards reasonable length and a
+    * natural (non-degenerate) stopword rate:
+    * `0.5*min(n_tokens/100, 1) + 0.3*(1 - |stop_ratio - 0.4|) +
+    *  0.2*(1 - punct_ratio)`.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / 100.0, lit(1.0))
+    val stopScore = lit(1.0) - abs(coalesce(stopwordRatio(text), lit(0.0))
+      - 0.4)
+    val punctScore = lit(1.0) - coalesce(punctRatio(text), lit(0.0))
+    lit(0.5) * lenScore + lit(0.3) * stopScore + lit(0.2) * punctScore
+  }
+
+  /** N-gram-free marker-word language ID: counts occurrences of a few
+    * high-frequency marker words per language in the lowercased text
+    * and returns the argmax language, `und` when no marker hits.
+    * Counting is `(len(text) - len(replace(text, marker))) / len(marker)`
+    * — pure string ops, no regex scan per marker.
+    */
+  val defaultMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " of "),
+    "es" -> Seq(" el ", " la ", " que "),
+    "fr" -> Seq(" le ", " la ", " et "),
+    "de" -> Seq(" der ", " und ", " die "))
+
+  def langId(text: Column,
+             markers: Seq[(String, Seq[String])] = defaultMarkers): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    def markerCount(m: String): Column =
+      (length(padded) - length(regexp_replace(padded,
+        java.util.regex.Pattern.quote(m), ""))) / m.length
+    val scores = markers.map { case (lang, ms) =>
+      lang -> ms.map(markerCount).reduce(_ + _)
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldLeft(when(best <= 0, lit("und"))) {
+      case (acc, (lang, score)) => acc.when(score === best, lit(lang))
+    }.otherwise(lit("und"))
+  }
+
+  /** Document fingerprint: md5 of the whitespace-normalized, lowercased
+    * text. Identical content ⇒ identical fingerprint regardless of
+    * spacing/case — the key for exact dedup.
+    */
+  def fingerprint(text: Column): Column =
+    md5(lower(trim(regexp_replace(text, "\\s+", " "))))
+
+  /** Word n-gram shingles (default 3) as an array column — input to
+    * MinHash / Jaccard dedup.
+    */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array(concat_ws(" ", toks)))
+  }
+}
