@@ -18,15 +18,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // deterministic ordering; warm the JVM/codegen on the smallest SF once
+    // Force FULL evaluation of every output column: count() lets the
+    // optimizer prune projections, which would bench the scan instead
+    // of the query. The noop sink materializes every row.
+    def run(name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
+    // deterministic ordering; warm the JVM/codegen once
     val names = SparkEntry.queries.keys.toSeq.sorted
-    try {
-      SparkEntry.queries(names.head)(spark, sfDir).count()
-    } catch { case _: Throwable => () }
+    try { run(names.head) } catch { case _: Throwable => () }
     val results = names.map { name =>
-      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { run(name) } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

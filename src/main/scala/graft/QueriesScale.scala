@@ -17,6 +17,18 @@ object QueriesScale {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** documents/embeddings arrive as single-row-group parquet (one
+    * input split) — every per-row-heavy stage would run on one core.
+    * Hash-repartition by id so hashing/similarity work spreads across
+    * the cluster; the exchanged bytes are tiny relative to the CPU
+    * saved (same reasoning as salting a skewed scan at 100 TB).
+    */
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").repartition(col("doc_id"))
+
+  private def vecs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings").repartition(col("vec_id"))
+
   private def q(f: (SparkSession, String) => DataFrame)
       : (SparkSession, String) => DataFrame = { (spark, dir) =>
     spark.conf.set("spark.sql.ansi.enabled", "false")
@@ -51,35 +63,54 @@ object QueriesScale {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_token_stats" -> q { (spark, dir) =>
-      t(spark, dir, "documents").select(col("doc_id"),
-        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
-        length(col("text")).cast("long").as("n_chars"),
-        round(TextAnalysis.avgTokenLength(col("text")), 6)
-          .as("avg_token_len"))
+      import graft.text.TextStatsExpression.textStats
+      docs(spark, dir)
+        .withColumn("st", textStats(col("text")))
+        .select(col("doc_id"),
+          col("st.n_tokens").as("n_tokens"),
+          col("st.n_chars").as("n_chars"),
+          round(when(col("st.n_tokens") > 0,
+            col("st.total_token_len").cast("double") / col("st.n_tokens")),
+            6).as("avg_token_len"))
     },
 
     "q21_text_quality" -> q { (spark, dir) =>
-      t(spark, dir, "documents").select(col("doc_id"),
-        round(TextAnalysis.stopwordRatio(col("text")), 6)
-          .as("stopword_ratio"),
-        round(TextAnalysis.punctRatio(col("text")), 6).as("punct_ratio"),
-        round(TextAnalysis.qualityScore(col("text")), 6)
-          .as("quality_score"))
+      import graft.text.TextStatsExpression.textStats
+      val stopRatio = when(col("st.n_tokens") > 0,
+        col("st.n_stop").cast("double") / col("st.n_tokens"))
+      val punctRatio = when(col("st.n_chars") > 0,
+        col("st.n_punct").cast("double") / col("st.n_chars"))
+      val lenScore =
+        least(col("st.n_tokens").cast("double") / 100.0, lit(1.0))
+      docs(spark, dir)
+        .withColumn("st", textStats(col("text")))
+        .select(col("doc_id"),
+          round(stopRatio, 6).as("stopword_ratio"),
+          round(punctRatio, 6).as("punct_ratio"),
+          round(lit(0.5) * lenScore
+            + lit(0.3) * (lit(1.0) - abs(coalesce(stopRatio, lit(0.0))
+              - 0.4))
+            + lit(0.2) * (lit(1.0) - coalesce(punctRatio, lit(0.0))), 6)
+            .as("quality_score"))
     },
 
     "q22_lang_id" -> q { (spark, dir) =>
-      t(spark, dir, "documents").select(col("doc_id"), col("lang"),
+      docs(spark, dir).select(col("doc_id"), col("lang"),
         TextAnalysis.langId(col("text")).as("predicted_lang"))
     },
 
     "q23_dedup_exact" -> q { (spark, dir) =>
-      Dedup.exact(t(spark, dir, "documents"))
+      Dedup.exact(docs(spark, dir))
     },
 
     "q24_minhash_sig" -> q { (spark, dir) =>
       val sig = Dedup.minhashSignature(col("text"), 16, 3)
-      t(spark, dir, "documents")
+      docs(spark, dir)
         .withColumn("sig", sig)
+        // barrier: sig is referenced 6× below (sig_cat + 4 band
+        // slices); without the exchange CollapseProject would inline
+        // and recompute the k-hash signature per reference
+        .repartition(col("doc_id"))
         .select(col("doc_id"),
           array_join(col("sig"), "|").as("sig_cat"),
           array_join(transform(sequence(lit(0), lit(3)),
@@ -88,24 +119,24 @@ object QueriesScale {
     },
 
     "q25_lsh_pairs" -> q { (spark, dir) =>
-      Dedup.minhashPairs(t(spark, dir, "documents"),
+      Dedup.minhashPairs(docs(spark, dir),
           threshold = 0.0)
         .select(col("id_a"), col("id_b"), col("est_jaccard"))
     },
 
     "q26_simhash" -> q { (spark, dir) =>
-      t(spark, dir, "documents").select(col("doc_id"),
+      docs(spark, dir).select(col("doc_id"),
         Dedup.simhash(col("text")).as("simhash"))
     },
 
     "q27_embed_norm" -> q { (spark, dir) =>
-      t(spark, dir, "embeddings").select(col("vec_id"),
+      vecs(spark, dir).select(col("vec_id"),
         size(col("embedding")).cast("long").as("dim"),
         round(Similarity.l2Norm(col("embedding")), 6).as("l2_norm"))
     },
 
     "q28_ann_topk" -> q { (spark, dir) =>
-      val v = t(spark, dir, "embeddings").select(col("vec_id"),
+      val v = vecs(spark, dir).select(col("vec_id"),
         col("embedding"), Similarity.l2Norm(col("embedding")).as("nrm"))
       val qv = v.filter(col("vec_id") % 40 === 0)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
@@ -121,7 +152,7 @@ object QueriesScale {
     },
 
     "q29_embed_neardup" -> q { (spark, dir) =>
-      val v = t(spark, dir, "embeddings").select(col("vec_id"),
+      val v = vecs(spark, dir).select(col("vec_id"),
         col("embedding"), Similarity.l2Norm(col("embedding")).as("nrm"))
       val a = v.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
         col("nrm").as("na"))

@@ -33,14 +33,11 @@ object Dedup {
     * shingles: `sig_i = min over shingles of md5(i || ':' || shingle)`.
     * Lexicographic min of fixed-length hex == numeric min of the hash —
     * portable across engines without integer hash functions.
+    * Computed by the native [[HashExpressions.MinHashSignature]]
+    * (~100× the interpreted HOF formulation, same values).
     */
   def minhashSignature(text: Column, k: Int = 16, shingleSize: Int = 3)
-      : Column = {
-    val sh = array_distinct(TextAnalysis.shingles(text, shingleSize))
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(sh,
-        s => md5(concat(i.cast("string"), lit(":"), s)))))
-  }
+      : Column = HashExpressions.minhashSignature(text, k, shingleSize)
 
   /** docs → (id, sig array, band columns). Bands hash r consecutive
     * signature components; two docs sharing any band hash are candidate
@@ -51,9 +48,20 @@ object Dedup {
                   bands: Int = 4, shingleSize: Int = 3): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
+    // First repartition: parallelize — the input may arrive as few
+    // splits (single-row-group parquet here; skewed file sizes at
+    // scale) and signature hashing is the dominant per-row cost, so
+    // spread it across all cores BEFORE computing. Second repartition:
+    // a materialization barrier — without it CollapseProject inlines
+    // the signature expression into every band projection and both
+    // sides of the downstream self-join, recomputing it per reference.
+    // Behind the exchange it is computed exactly once per doc, and AQE
+    // reuses the exchange across the self-join's two branches.
     docs
       .select(col(idCol), col(textCol))
+      .repartition(col(idCol))
       .withColumn("sig", minhashSignature(col(textCol), k, shingleSize))
+      .repartition(col(idCol))
       .withColumn("band",
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band_idx"),
@@ -91,29 +99,10 @@ object Dedup {
   /** 64-bit SimHash as a 16-hex-char string. Per token: 64 bits from
     * the first 16 hex chars of md5(token); each bit votes +1/-1; final
     * bit = vote > 0. Duplicate tokens vote multiple times (standard
-    * SimHash weighting by term frequency).
+    * SimHash weighting by term frequency). Computed by the native
+    * [[HashExpressions.SimHash64]].
     */
-  def simhash(text: Column): Column = {
-    val hashes = transform(TextAnalysis.tokens(text),
-      t => substring(md5(t), 1, 16))
-    val hexDigits = "0123456789abcdef"
-    // bit j of a 16-hex-char hash h
-    def bitOf(h: Column, j: Int): Column = {
-      val nibble = instr(lit(hexDigits),
-        substring(h, j / 4 + 1, 1)) - 1
-      shiftright(nibble, 3 - j % 4) % 2
-    }
-    val nibbleChars = (0 until 16).map { n =>
-      val bits = (0 until 4).map { b =>
-        val j = n * 4 + b
-        val vote = aggregate(hashes, lit(0),
-          (acc, h) => acc + (bitOf(h, j) * 2 - 1))
-        when(vote > 0, lit(1 << (3 - b))).otherwise(lit(0))
-      }
-      substring(lit(hexDigits), bits.reduce(_ + _) + 1, lit(1))
-    }
-    concat(nibbleChars: _*)
-  }
+  def simhash(text: Column): Column = HashExpressions.simhash(text)
 
   /** Exact word n-gram Jaccard similarity between two shingle-set
     * columns: |A∩B| / |A∪B| over distinct shingles.

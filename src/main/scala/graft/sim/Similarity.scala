@@ -20,16 +20,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Elementwise dot product in double precision. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b,
-      (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Elementwise dot product in double precision — a codegen'd native
+    * expression ([[VectorExpressions.DotProduct]]); same sequential
+    * fold semantics as `aggregate(zip_with(...))` but ~10-100× faster
+    * in pair loops.
+    */
+  def dot(a: Column, b: Column): Column = VectorExpressions.dotProduct(a, b)
 
-  /** L2 norm in double precision. */
-  def l2Norm(v: Column): Column =
-    sqrt(aggregate(transform(v, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x))
+  /** L2 norm in double precision (codegen'd native expression). */
+  def l2Norm(v: Column): Column = VectorExpressions.l2Norm(v)
 
   /** Cosine similarity (null when either vector has zero norm). */
   def cosine(a: Column, b: Column): Column = {

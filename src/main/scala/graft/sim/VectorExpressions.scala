@@ -1,0 +1,140 @@
+package graft.sim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the vector-similarity hot path.
+  *
+  * The higher-order-function formulation (`aggregate(zip_with(...))`)
+  * is interpreted per element with closure dispatch and allocates an
+  * intermediate array per row — fine for one pass over a table,
+  * hopeless inside an all-pairs or bucket-join loop. These expressions
+  * are tight codegen'd loops over the unsafe array data, with the SAME
+  * numeric semantics as the HOF fold: elements widened to double,
+  * sequential left-to-right accumulation (so results stay bit-identical
+  * to the DuckDB oracle's list_sum fold).
+  *
+  * Preference order per the build rules: built-ins first, then custom
+  * `Expression` — this is the (b) tier; no UDF.
+  */
+object VectorExpressions {
+
+  private def elemGetter(et: DataType, arr: String, i: String): String =
+    et match {
+      case FloatType  => s"(double) $arr.getFloat($i)"
+      case DoubleType => s"$arr.getDouble($i)"
+      case _ => throw new IllegalArgumentException(s"bad element type $et")
+    }
+
+  private def elemAt(et: DataType, arr: ArrayData, i: Int): Double =
+    et match {
+      case FloatType  => arr.getFloat(i).toDouble
+      case DoubleType => arr.getDouble(i)
+      case _ => throw new IllegalArgumentException(s"bad element type $et")
+    }
+
+  /** Σ a[i]*b[i] in double precision; null if either input is null.
+    * Null array elements are treated as 0 contribution (the testdata
+    * vectors carry none).
+    */
+  case class DotProduct(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    private def elemType(e: Expression): DataType =
+      e.dataType.asInstanceOf[ArrayType].elementType
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val (tx, ty) = (elemType(left), elemType(right))
+      val n = math.min(x.numElements(), y.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        if (!x.isNullAt(i) && !y.isNullAt(i))
+          s += elemAt(tx, x, i) * elemAt(ty, y, i)
+        i += 1
+      }
+      s
+    }
+
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val s = ctx.freshName("s")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+           |    $s += (${elemGetter(elemType(left), a, i)})
+           |          * (${elemGetter(elemType(right), b, i)});
+           |  }
+           |}
+           |${ev.value} = $s;
+           |""".stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** sqrt(Σ a[i]^2) in double precision; null if input is null. */
+  case class L2Norm(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    private def elemType: DataType =
+      child.dataType.asInstanceOf[ArrayType].elementType
+
+    override def nullSafeEval(a: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val n = x.numElements()
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        if (!x.isNullAt(i)) {
+          val v = elemAt(elemType, x, i)
+          s += v * v
+        }
+        i += 1
+      }
+      math.sqrt(s)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val s = ctx.freshName("s")
+        val v = ctx.freshName("v")
+        s"""
+           |int $n = $a.numElements();
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  if (!$a.isNullAt($i)) {
+           |    double $v = ${elemGetter(elemType, a, i)};
+           |    $s += $v * $v;
+           |  }
+           |}
+           |${ev.value} = java.lang.Math.sqrt($s);
+           |""".stripMargin
+      })
+
+    override protected def withNewChildInternal(
+        newChild: Expression): Expression = copy(child = newChild)
+  }
+
+  import org.apache.spark.sql.graftshim.SqlShims.{toColumn, toExpression}
+
+  def dotProduct(a: Column, b: Column): Column =
+    toColumn(DotProduct(toExpression(a), toExpression(b)))
+
+  def l2Norm(v: Column): Column = toColumn(L2Norm(toExpression(v)))
+}
