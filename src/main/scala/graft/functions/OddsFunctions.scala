@@ -19,8 +19,11 @@ import org.apache.spark.sql.functions._
 object OddsFunctions {
 
   /** American → decimal odds. `odds > 0 → odds/100 + 1`; `odds <= 0 →
-    * 100/(-odds) + 1`. Note `0` takes the negative branch → +Infinity,
-    * matching the reference (`src/processing.py:17-18`). Null-safe.
+    * 100/(-odds) + 1`. DOCUMENTED DIVERGENCE: the reference's numpy
+    * sends `0` through the negative branch to -Infinity
+    * (`src/processing.py:17-18`); Spark's Divide yields null on a zero
+    * divisor, so `0` maps to null here — the saner sentinel for an
+    * impossible price (pinned in OddsFunctionsSpec). Null-safe.
     */
   def americanToDecimal(odds: Column): Column =
     when(odds > 0, odds / 100.0 + 1.0)

@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.sim.Similarity
+import graft.text.TextAnalysis
+
+/** Scale-operator semantics: fingerprint/exact dedup, MinHash-LSH,
+  * SimHash, n-gram Jaccard, cosine similarity + ANN.
+  */
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again"),
+    (3L, "The  quick   brown fox jumps over the lazy dog again and AGAIN"),
+    (4L, "a completely different document about spark query engines"),
+    (5L, "the quick brown fox jumps over the lazy cat again and again")
+  ).toDF("doc_id", "text")
+
+  test("fingerprint is whitespace- and case-insensitive") {
+    val fps = docs.select($"doc_id",
+      TextAnalysis.fingerprint($"text").as("fp")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) == fps(3L)) // normalized whitespace + lowercase
+    assert(fps(1L) != fps(4L))
+  }
+
+  test("exact dedup keeps the lowest id per fingerprint") {
+    val kept = Dedup.exact(docs).collect()
+      .map(r => r.getAs[Long]("keep_id") -> r.getAs[Long]("n_dups")).toMap
+    assert(kept(1L) == 3) // docs 1,2,3 collapse
+    assert(kept(4L) == 1 && kept(5L) == 1)
+  }
+
+  test("identical docs share minhash signatures; near-dups collide") {
+    val sigs = docs.select($"doc_id",
+      Dedup.minhashSignature($"text").as("sig")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(4L))
+    // doc 5 differs by one word: most signature components agree
+    val agree = sigs(1L).zip(sigs(5L)).count { case (a, b) => a == b }
+    assert(agree >= 8)
+  }
+
+  test("minhashPairs surfaces the duplicate cluster, not the outlier") {
+    val pairs = Dedup.minhashPairs(docs, threshold = 0.5).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("nearDuplicates verifies candidates with exact jaccard") {
+    val nd = Dedup.nearDuplicates(docs, estThreshold = 0.3,
+      exactThreshold = 0.9).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(nd.contains((1L, 2L)))
+  }
+
+  test("simhash: equal texts equal, near texts close in hamming") {
+    val sh = docs.select($"doc_id", Dedup.simhash($"text").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sh(1L) == sh(2L))
+    assert(sh.values.forall(_.length == 16))
+    def hamming(a: String, b: String): Int =
+      a.zip(b).map { case (x, y) =>
+        Integer.bitCount(Integer.parseInt(x.toString, 16) ^
+          Integer.parseInt(y.toString, 16))
+      }.sum
+    assert(hamming(sh(1L), sh(5L)) < hamming(sh(1L), sh(4L)))
+  }
+
+  test("jaccard of shingle sets") {
+    val j = docs.filter($"doc_id".isin(1L, 5L))
+      .agg(collect_list(struct($"doc_id", $"text"))).collect()
+    val df = Seq((
+      "a b c d", "a b c e"
+    )).toDF("t1", "t2").select(
+      Dedup.jaccard(TextAnalysis.shingles($"t1", 2),
+        TextAnalysis.shingles($"t2", 2)).as("j"))
+    // shingles(2): {a b, b c, c d} vs {a b, b c, c e}: 2/4
+    assert(approx(df.collect().head.getDouble(0), 0.5))
+  }
+
+  test("cosine and l2Norm match hand computation") {
+    val df = Seq((Array(3.0f, 4.0f), Array(4.0f, 3.0f)))
+      .toDF("a", "b")
+      .select(Similarity.l2Norm($"a").as("na"),
+        Similarity.dot($"a", $"b").as("d"),
+        Similarity.cosine($"a", $"b").as("c"))
+    val r = df.collect().head
+    assert(approx(r.getAs[Double]("na"), 5.0))
+    assert(approx(r.getAs[Double]("d"), 24.0))
+    assert(approx(r.getAs[Double]("c"), 24.0 / 25.0))
+  }
+
+  test("bruteForceTopK ranks the nearest neighbor first") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)),
+      (4L, Array(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 1L),
+      k = 2).orderBy("rank").collect()
+    assert(top(0).getAs[Long]("neighbor_id") == 2L)
+    assert(top.length == 2)
+  }
+
+  test("SRP-LSH buckets identical vectors together (self-consistency)") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.5f)),
+      (2L, Array(1.0f, 0.0f, 0.5f)),
+      (3L, Array(-1.0f, 0.2f, -0.5f))
+    ).toDF("vec_id", "embedding")
+    val dups = Similarity.nearDuplicates(vecs, threshold = 0.999)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(dups.toSet == Set((1L, 2L)))
+  }
+}

@@ -1,0 +1,135 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
+import graft.sources.Snapshots
+import graft.streaming.StreamingIngest
+
+/** Storage (S4-S6/S9), Structured Streaming ingestion + event-time
+  * windows, and multimodal plumbing.
+  */
+class StorageStreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_test").toString
+
+  test("snapshot write + canonical append + latest view") {
+    val base = tmp()
+    val batch1 = Seq((1L, "a", 10.0, "t1"), (2L, "b", 20.0, "t1"))
+      .toDF("id", "k", "v", "batch_ts")
+    val batch2 = Seq((1L, "a", 11.0, "t2"))
+      .toDF("id", "k", "v", "batch_ts")
+    Snapshots.writeSnapshot(batch1, base, "h2h", "20250101_000000")
+    Snapshots.appendCanonical(batch1, s"$base/canonical")
+    Snapshots.appendCanonical(batch2, s"$base/canonical")
+    val hist = Snapshots.readCanonical(spark, s"$base/canonical")
+    assert(hist.count() == 3) // append-only event log
+    val latest = Snapshots.latest(hist, Seq("id"), "batch_ts")
+    assert(latest.count() == 2)
+    assert(latest.filter($"id" === 1L).collect().head
+      .getAs[Double]("v") == 11.0)
+  }
+
+  test("streaming file source appends to the canonical table") {
+    val base = tmp()
+    val landing = s"$base/landing"
+    new java.io.File(landing).mkdirs()
+    // land the fixture as one JSON file
+    val src = getClass.getResource("/sample_odds.json").getPath
+    Files.copy(java.nio.file.Paths.get(src),
+      java.nio.file.Paths.get(s"$landing/batch1.json"))
+    val stream = StreamingIngest.readOddsStream(spark, landing)
+    assert(stream.isStreaming)
+    StreamingIngest.runAvailable(StreamingIngest.toCanonical(
+      stream.select($"id", $"home_team", $"away_team"),
+      s"$base/canonical", s"$base/ckpt"))
+    val canonical = spark.read.parquet(s"$base/canonical")
+    assert(canonical.count() == 2)
+  }
+
+  test("event-time tumbling window aggregate with watermark") {
+    val base = tmp()
+    val landing = s"$base/events"
+    Seq(
+      ("2025-01-01 00:01:00", "click", 1.0),
+      ("2025-01-01 00:02:00", "click", 2.0),
+      ("2025-01-01 00:07:00", "click", 4.0),
+      ("2025-01-01 00:01:30", "view", 8.0)
+    ).toDF("ts_s", "event_type", "value")
+      .select(to_timestamp($"ts_s").as("ts"), $"event_type", $"value")
+      .write.mode("overwrite").parquet(landing)
+    val stream = spark.readStream
+      .schema("ts timestamp, event_type string, value double")
+      .parquet(landing)
+    val agg = StreamingIngest.windowedCounts(stream,
+      watermark = "10 minutes", window_ = "5 minutes")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("win_out").start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("win_out")
+      .filter($"event_type" === "click").orderBy("window_start").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("n") == 2 &&
+      out(0).getAs[Double]("total_value") == 3.0)
+    assert(out(1).getAs[Long]("n") == 1)
+  }
+
+  test("streaming session windows group by gap") {
+    val base = tmp()
+    Seq(
+      ("2025-01-01 00:00:00", 1L, 1.0),
+      ("2025-01-01 00:10:00", 1L, 2.0),  // same session (gap 10m < 30m)
+      ("2025-01-01 02:00:00", 1L, 4.0)   // new session
+    ).toDF("ts_s", "user_id", "value")
+      .select(to_timestamp($"ts_s").as("ts"), $"user_id", $"value")
+      .write.mode("overwrite").parquet(s"$base/ev")
+    val stream = spark.readStream
+      .schema("ts timestamp, user_id bigint, value double")
+      .parquet(s"$base/ev")
+    val agg = StreamingIngest.sessionCounts(stream, gap = "30 minutes")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("sess_out").start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("sess_out").orderBy("session_start").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("n_events") == 2)
+    assert(out(1).getAs[Long]("n_events") == 1)
+  }
+
+  test("multimodal: feature extraction is deterministic and typed") {
+    val assets = Multimodal.syntheticAssets(spark, 30)
+    val f1 = Multimodal.extractFeatures(assets).collect()
+      .map(m => m.asset_id -> m).toMap
+    val f2 = Multimodal.extractFeatures(assets).collect()
+      .map(m => m.asset_id -> m).toMap
+    assert(f1.keySet.size == 30)
+    f1.foreach { case (id, m) =>
+      assert(m.feature.length == Multimodal.MediaCodec.featureDim)
+      assert(m.feature.toSeq == f2(id).feature.toSeq) // deterministic
+      assert(m.content_hash.length == 32)
+    }
+  }
+
+  test("multimodal: frame sampling strides over payload chunks") {
+    val assets = Multimodal.syntheticAssets(spark, 5)
+    val frames = Multimodal.sampleFrames(assets, frameBytes = 32,
+      stride = 2)
+    val counts = frames.groupBy("asset_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // payload length 128..191 -> 4..6 chunks of 32 -> 2..3 sampled
+    counts.values.foreach(c => assert(c >= 2 && c <= 3))
+    assert(frames.columns.toSeq ==
+      Seq("asset_id", "frame_idx", "frame_payload"))
+  }
+
+  test("multimodal: content dedup collapses identical payloads") {
+    val a = Multimodal.syntheticAssets(spark, 10)
+    val doubled = a.unionByName(a.withColumn("asset_id",
+      col("asset_id") + 100))
+    val d = Multimodal.dedupByContent(doubled)
+    assert(d.count() == 10)
+    d.collect().foreach(r => assert(r.getAs[Long]("n_dups") == 2))
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.forecast.Models
+import graft.text.TextAnalysis
+import graft.text.TextStatsExpression.textStats
+
+/** Text-analysis operators and the MLlib forecasting surface. */
+class TextForecastSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token stats: HOF and native single-pass agree") {
+    val df = Seq("the quick  brown fox", "", "  a  b ", "one")
+      .toDF("text")
+    val withSt = df.withColumn("st", textStats($"text")).select(
+      TextAnalysis.tokenCount($"text").cast("long").as("hof_n"),
+      col("st.n_tokens").as("nat_n"),
+      TextAnalysis.avgTokenLength($"text").as("hof_avg"),
+      when(col("st.n_tokens") > 0,
+        col("st.total_token_len").cast("double") / col("st.n_tokens"))
+        .as("nat_avg"))
+    withSt.collect().foreach { r =>
+      assert(r.getAs[Long]("hof_n") == r.getAs[Long]("nat_n"))
+      val h = Option(r.getAs[java.lang.Double]("hof_avg"))
+      val n = Option(r.getAs[java.lang.Double]("nat_avg"))
+      assert(h.isEmpty == n.isEmpty)
+      h.zip(n).foreach { case (a, b) => assert(approx(a, b)) }
+    }
+  }
+
+  test("stopword ratio and quality score agree between paths") {
+    val df = Seq("the cat and the dog in a house").toDF("text")
+      .withColumn("st", textStats($"text"))
+    val r = df.select(
+      TextAnalysis.stopwordRatio($"text").as("hof"),
+      (col("st.n_stop").cast("double") / col("st.n_tokens")).as("nat"))
+      .collect().head
+    assert(approx(r.getAs[Double]("hof"), r.getAs[Double]("nat")))
+    // 8 tokens: the, and, the, in, a are stopwords -> 5/8
+    assert(approx(r.getAs[Double]("nat"), 5.0 / 8.0))
+  }
+
+  test("langId votes by marker words with first-wins ties") {
+    val df = Seq(
+      "the cat and the dog of the house",
+      "le chat et la maison",
+      "der hund und die katze",
+      "xyz qqq www"
+    ).toDF("text").select(TextAnalysis.langId($"text").as("l"))
+    assert(df.collect().map(_.getString(0)).toSeq ==
+      Seq("en", "fr", "de", "und"))
+  }
+
+  test("shingles produce n-grams or the whole doc when short") {
+    val df = Seq("a b c d", "a b").toDF("text")
+      .select(TextAnalysis.shingles($"text", 3).as("s"))
+    val got = df.collect().map(_.getSeq[String](0).toSeq).toSeq
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1) == Seq("a b"))
+  }
+
+  test("linear model recovers a linear relationship") {
+    val data = (1 to 200).map { i =>
+      val x1 = i % 17.0; val x2 = i % 7.0; val x3 = i % 3.0
+      ("p", x1, x2, x3, 2.0 * x1 + 0.5 * x2 - x3 + 1.0)
+    }.toDF("player", "points_rolling_avg", "rebounds_rolling_avg",
+      "assists_rolling_avg", "target_points")
+    val model = Models.train(data, "linear")
+    val pred = Models.predict(model, data)
+      .select(abs(col("prediction") - col("target_points")).as("err"))
+      .agg(max("err")).collect().head.getDouble(0)
+    assert(pred < 1e-6)
+  }
+
+  test("random forest trains deterministically with seed 42") {
+    val data = (1 to 100).map { i =>
+      ("p", i % 13.0, i % 5.0, i % 3.0, (i % 13) * 2.0)
+    }.toDF("player", "points_rolling_avg", "rebounds_rolling_avg",
+      "assists_rolling_avg", "target_points")
+    val p1 = Models.predict(Models.train(data, "random_forest"), data)
+      .select(sum("prediction")).collect().head.getDouble(0)
+    val p2 = Models.predict(Models.train(data, "random_forest"), data)
+      .select(sum("prediction")).collect().head.getDouble(0)
+    assert(p1 == p2)
+  }
+
+  test("invalid model type throws") {
+    val data = Seq(("p", 1.0, 1.0, 1.0, 1.0))
+      .toDF("player", "points_rolling_avg", "rebounds_rolling_avg",
+        "assists_rolling_avg", "target_points")
+    assertThrows[IllegalArgumentException](Models.train(data, "xgboost"))
+  }
+}
