@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // 30+ whole-stage-codegen'd queries in one JVM overflow the default
+  // 240m code cache, after which the JIT silently disables and random
+  // queries run 8-10x slower (observed in graft.Bench)
+  "-XX:ReservedCodeCacheSize=512m",
 )

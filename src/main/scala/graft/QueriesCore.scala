@@ -36,12 +36,25 @@ object QueriesCore {
     // math in integer micros (exact, and engine-portable: the DuckDB
     // oracle uses epoch_us on its native TIMESTAMP_NS).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // keep post-shuffle parallelism: the default 64MB AQE advisory
+    // size coalesces these ~30MB shuffles to one partition
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
     f(spark, dir)
   }
 
   // ---- synthetic odds view over lineitem (deterministic) ----
 
+  /** lineitem arrives as one row-group (one input split); repartition
+    * by game so the odds arithmetic runs on all cores AND the window
+    * shuffles downstream are pre-satisfied (HashPartitioning(game_id)
+    * clusters every (game_id, outcome) window partition too — no
+    * second exchange).
+    */
   private def oddsBase(spark: SparkSession, dir: String): DataFrame =
+    oddsBaseNoShuffle(spark, dir).repartition(col("game_id"))
+
+  private def oddsBaseNoShuffle(spark: SparkSession, dir: String)
+      : DataFrame =
     t(spark, dir, "lineitem").select(
       col("l_orderkey").as("game_id"),
       (col("l_linenumber") % 2).as("outcome"),

@@ -33,6 +33,7 @@ object QueriesScale {
       : (SparkSession, String) => DataFrame = { (spark, dir) =>
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
     f(spark, dir)
   }
 
