@@ -360,6 +360,52 @@ object QueriesCore {
         (col("event_id") % 2).as("outcome"))
       Backtest.accuracy(ev)
         .select(round(col("accuracy"), 6).as("accuracy"))
+    },
+
+    // F-family shape over testdata: nest rows into array<struct> per
+    // key, then explode back through a market-key-style filter — the
+    // reference's games→bookmakers→outcomes traversal as a
+    // collect/explode round trip (semantically a filtered projection,
+    // which is exactly what the oracle asserts).
+    "q31_nested_flatten" -> q { (spark, dir) =>
+      val nested = t(spark, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sort_array(collect_list(struct(col("o_orderkey"),
+          col("o_totalprice"), col("o_orderpriority")))).as("orders"))
+      nested
+        .select(col("o_custkey"), explode(col("orders")).as("o"))
+        .filter(col("o.o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"), col("o.o_orderkey").as("o_orderkey"),
+          round(col("o.o_totalprice"), 4).as("o_totalprice"))
+    },
+
+    // A10 grouped first-value: earliest order per customer.
+    "q32_group_first" -> q { (spark, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      t(spark, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"),
+          col("o_orderpriority").as("first_priority"),
+          round(col("o_totalprice"), 4).as("first_totalprice"))
+    },
+
+    // O2/O5 global top-k: sort + limit plans as TakeOrderedAndProject
+    // (no global sort materialization).
+    "q33_global_topk" -> q { (spark, dir) =>
+      t(spark, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 4).as("o_totalprice"))
+    },
+
+    // A11 distinct values.
+    "q34_distinct_values" -> q { (spark, dir) =>
+      t(spark, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderstatus"))
+        .distinct()
     }
   )
 
@@ -619,6 +665,30 @@ object QueriesCore {
       """SELECT round(AVG(CASE WHEN
         |         (CAST((event_id % 97) + 1 AS DOUBLE) / 100.0 >= 0.5)
         |         = (event_id % 2 = 1) THEN 1 ELSE 0 END), 6) AS accuracy
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+
+    "q31_nested_flatten" ->
+      """SELECT o_custkey, o_orderkey,
+        |       round(o_totalprice, 4) AS o_totalprice
+        |FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin,
+
+    "q32_group_first" ->
+      """SELECT o_custkey, o_orderpriority AS first_priority,
+        |       round(o_totalprice, 4) AS first_totalprice
+        |FROM orders
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY o_custkey
+        |  ORDER BY o_orderdate ASC, o_orderkey ASC) = 1""".stripMargin,
+
+    "q33_global_topk" ->
+      """SELECT o_orderkey, o_custkey,
+        |       round(o_totalprice, 4) AS o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC
+        |LIMIT 100""".stripMargin,
+
+    "q34_distinct_values" ->
+      """SELECT DISTINCT o_orderpriority, o_orderstatus
+        |FROM orders""".stripMargin
   )
 }
