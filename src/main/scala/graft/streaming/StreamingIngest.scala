@@ -76,4 +76,32 @@ object StreamingIngest {
     val q = writer.start()
     q.awaitTermination()
   }
+
+  /** Stateful streaming dedup by key (custom state via
+    * flatMapGroupsWithState): emits only the FIRST row per key — the
+    * streaming twin of exact-dedup for continuous document ingestion.
+    * Production note for unbounded key spaces: switch to
+    * `ProcessingTimeTimeout` + `setTimeoutDuration` so per-key state
+    * expires instead of growing forever.
+    *
+    * Input is a typed pair stream (key, payload).
+    */
+  def dedupStream(pairs: org.apache.spark.sql.Dataset[(String, String)])
+      : org.apache.spark.sql.Dataset[(String, String)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    pairs
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, (String, String)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, String)],
+         state: GroupState[Boolean]) =>
+          if (state.exists || !rows.hasNext) Iterator.empty
+          else {
+            state.update(true)
+            Iterator.single(rows.next())
+          }
+      }
+  }
 }

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.SkewJoin
+
+/** SQL function registration (§2.10 stretch), salted skew join, and
+  * stateful streaming dedup.
+  */
+class ExtensionsSkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("graft_* functions are callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_american_to_decimal(-110.0) AS dec,
+        |       graft_decimal_to_american(2.2) AS am,
+        |       graft_implied_prob(2.0) AS p,
+        |       graft_ev(0.5, 2.2) AS ev,
+        |       graft_simhash('the quick brown fox') AS sh,
+        |       graft_dot(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS d,
+        |       graft_l2norm(array(3.0F, 4.0F)) AS n
+        |""".stripMargin).collect().head
+    assert(approx(r.getAs[Double]("dec"), 1.0 + 100.0 / 110.0))
+    assert(r.getAs[Double]("am") == 120.0)
+    assert(r.getAs[Double]("p") == 0.5)
+    assert(approx(r.getAs[Double]("ev"), 0.1))
+    assert(r.getAs[String]("sh").length == 16)
+    assert(r.getAs[Double]("d") == 11.0)
+    assert(r.getAs[Double]("n") == 5.0)
+  }
+
+  test("SQL functions agree with the Column API across sampled odds") {
+    GraftExtensions.register(spark)
+    import graft.functions.OddsFunctions
+    val samples = Seq(-250.0, -110.0, -100.0, 100.0, 120.0, 1.5, 2.0,
+      2.2, 3.75, 99.0)
+    val df = samples.toDF("x")
+    val sql = df.selectExpr("x", "graft_decimalize(x) AS a",
+      "graft_decimal_to_american(graft_decimalize(x)) AS b",
+      "graft_implied_prob(graft_decimalize(x)) AS c").collect()
+    val col = df.select($"x",
+      OddsFunctions.decimalize($"x").as("a"),
+      OddsFunctions.decimalToAmerican(
+        OddsFunctions.decimalize($"x")).as("b"),
+      OddsFunctions.impliedProb(
+        OddsFunctions.decimalize($"x")).as("c")).collect()
+    sql.zip(col).foreach { case (s, c) =>
+      Seq("a", "b", "c").foreach { f =>
+        val i = s.fieldIndex(f)
+        assert(s.isNullAt(i) == c.isNullAt(i), s"null mismatch $f")
+        if (!s.isNullAt(i))
+          assert(s.getDouble(i) == c.getDouble(i),
+            s"$f mismatch at x=${s.getDouble(0)}")
+      }
+    }
+  }
+
+  test("graft_minhash in SQL equals the Column API") {
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT graft_minhash('a b c d e f') AS s").collect()
+      .head.getSeq[String](0)
+    val viaCol = Seq("a b c d e f").toDF("t")
+      .select(graft.dedup.Dedup.minhashSignature($"t").as("s"))
+      .collect().head.getSeq[String](0)
+    assert(viaSql == viaCol && viaSql.length == 16)
+  }
+
+  test("wrong arity raises a helpful error") {
+    GraftExtensions.register(spark)
+    val e = intercept[Exception](
+      spark.sql("SELECT graft_implied_prob(1.0, 2.0)").collect())
+    assert(e.getMessage.contains("graft_implied_prob") ||
+      e.getCause != null)
+  }
+
+  test("salted join equals the plain join, spread over buckets") {
+    val large = (1 to 1000).map(i =>
+      (if (i <= 900) "hot" else s"k$i", i.toLong))
+      .toDF("key", "row_id")
+    val small = Seq(("hot", 1.0), ("k950", 2.0)).toDF("key", "w")
+    val plain = large.join(small, "key")
+    val salted = SkewJoin.saltedJoin(large, small, "key", col("row_id"),
+      buckets = 8)
+    assert(salted.count() == plain.count())
+    assert(salted.agg(sum("row_id")).collect().head.getLong(0) ==
+      plain.agg(sum("row_id")).collect().head.getLong(0))
+    // the hot key's rows actually spread across salt buckets
+    val spread = large.filter($"key" === "hot")
+      .withColumn("salt", pmod(hash($"row_id"), lit(8)))
+      .select("salt").distinct().count()
+    assert(spread == 8)
+  }
+
+  test("stateful streaming dedup emits first row per key") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    val deduped = graft.streaming.StreamingIngest.dedupStream(
+      input.toDS())
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    input.addData(("a", "first"), ("a", "second"), ("b", "x"))
+    q.processAllAvailable()
+    input.addData(("a", "third"), ("c", "y"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("dedup_out").as[(String, String)]
+      .collect().toMap
+    assert(out == Map("a" -> "first", "b" -> "x", "c" -> "y"))
+  }
+}
