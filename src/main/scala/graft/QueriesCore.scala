@@ -406,6 +406,68 @@ object QueriesCore {
       t(spark, dir, "orders")
         .select(col("o_orderpriority"), col("o_orderstatus"))
         .distinct()
+    },
+
+    // As-of join (line-movement primitive): for each purchase, the
+    // latest click at-or-before it per user. Spark lacks ASOF JOIN —
+    // graft.operators.AsOfJoin is the single-shuffle union+window
+    // formulation; DuckDB's native ASOF LEFT JOIN is the oracle.
+    "q35_asof_join" -> q { (spark, dir) =>
+      import graft.operators.AsOfJoin
+      val ev = t(spark, dir, "events")
+        .withColumn("us", expr("ts DIV 1000"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("us"))
+      val wDedup = Window.partitionBy(col("user_id"), col("us"))
+        .orderBy(col("event_id").desc)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("us"), col("value"))
+        .withColumn("__rn", row_number().over(wDedup))
+        .filter(col("__rn") === 1).drop("__rn")
+      AsOfJoin.backward(purchases, clicks, Seq("user_id"), "us",
+          "event_id")
+        .select(col("event_id"), col("user_id"), col("us"),
+          col("right_us").as("last_click_us"),
+          round(col("right_value"), 4).as("last_click_value"))
+    },
+
+    // Left-anti join: customers that never ordered.
+    "q37_anti_join" -> q { (spark, dir) =>
+      val customer = t(spark, dir, "customer")
+      val orders = t(spark, dir, "orders")
+      customer.join(orders,
+          customer("c_custkey") === orders("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          round(col("c_acctbal"), 4).as("c_acctbal"))
+    },
+
+    // ROLLUP with grouping id (subtotal hierarchy).
+    "q38_rollup" -> q { (spark, dir) =>
+      t(spark, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n"),
+          grouping_id(col("l_returnflag"), col("l_linestatus"))
+            .cast("int").as("grp"))
+    },
+
+    // Exact interpolated percentiles per group.
+    "q39_percentiles" -> q { (spark, dir) =>
+      t(spark, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"))
+    },
+
+    // Pivot (status counts per priority as columns).
+    "q40_pivot" -> q { (spark, dir) =>
+      t(spark, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .count()
+        .na.fill(0L)
     }
   )
 
@@ -689,6 +751,55 @@ object QueriesCore {
 
     "q34_distinct_values" ->
       """SELECT DISTINCT o_orderpriority, o_orderstatus
-        |FROM orders""".stripMargin
+        |FROM orders""".stripMargin,
+
+    "q35_asof_join" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+        |  WHERE event_type = 'purchase'),
+        |c0 AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS us, value
+        |  FROM events WHERE event_type = 'click'),
+        |c AS (
+        |  SELECT * FROM c0
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY user_id, us ORDER BY event_id DESC) = 1)
+        |SELECT p.event_id, p.user_id, p.us,
+        |       c.us AS last_click_us,
+        |       round(c.value, 4) AS last_click_value
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.us >= c.us""".stripMargin,
+
+    "q37_anti_join" ->
+      """SELECT c_custkey, c_mktsegment,
+        |       round(c_acctbal, 4) AS c_acctbal
+        |FROM customer
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q38_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       SUM(l_quantity) AS sum_qty,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS grp
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q39_percentiles" ->
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        |       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |       round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q40_pivot" ->
+      """SELECT o_orderpriority,
+        |       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS F,
+        |       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS O,
+        |       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS P
+        |FROM orders GROUP BY o_orderpriority""".stripMargin
   )
 }

@@ -166,6 +166,18 @@ object QueriesScale {
         .filter(col("cosine_sim") >= 0.35)
     },
 
+    // IVF ANN (KMeans coarse quantizer + nprobe cells + exact rescore)
+    // — no DuckDB oracle (KMeans isn't reproducible there); the driver
+    // records a rows-only check, and DedupSimilaritySpec pins recall
+    // against brute force.
+    "q36_ann_ivf" -> q { (spark, dir) =>
+      val v = vecs(spark, dir)
+      Similarity.ivfTopK(v, v.filter(col("vec_id") % 40 === 0), k = 5,
+          nlist = 8, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cosine_sim"), 6).as("cosine_sim"))
+    },
+
     "q30_linreg_forecast" -> q { (spark, dir) =>
       import org.apache.spark.ml.feature.VectorAssembler
       import org.apache.spark.ml.regression.LinearRegression

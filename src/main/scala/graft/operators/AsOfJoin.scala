@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join: for each left row, attach the latest right row
+  * whose time is <= the left row's time, per key — the line-movement
+  * primitive ("which odds were live when this bet was placed?") the
+  * reference approximates by replaying its append-only snapshot CSV
+  * (`docs/README.md:40`, SURVEY §1.4).
+  *
+  * Spark has no ASOF JOIN; the scalable formulation is the tagged
+  * union + running `last_value(ignoreNulls)` window:
+  *
+  *   1. tag right rows side=0, left rows side=1; union on
+  *      (keys, time, side, payload-structs);
+  *   2. one window pass per key ordered by (time, side, right-order)
+  *      carries the most recent right payload forward;
+  *   3. keep side=1 rows.
+  *
+  * ONE shuffle + sort over left+right — no range join explosion, no
+  * per-row probing, and skew behaves like any window (salt the key if
+  * a single entity dominates). A broadcast-range variant would beat it
+  * only when the right side fits in memory; this shape survives both
+  * sides at 100 TB.
+  *
+  * Ties: a right row at exactly the left row's time IS visible
+  * (side 0 sorts first); equal right times resolve to the greatest
+  * `rightOrder` — pass a unique column to pin determinism.
+  */
+object AsOfJoin {
+
+  def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
+               timeCol: String, rightOrder: String): DataFrame = {
+    import org.apache.spark.sql.types.StructType
+    val leftPayload = struct(left.columns.map(col): _*)
+    val rightValueCols = right.columns
+      .filterNot(c => keys.contains(c) || c == timeCol)
+    val rightPayload = struct(right.columns.map(col): _*)
+    val leftType = StructType(left.schema.fields)
+    val rightType = StructType(right.schema.fields)
+
+    val keyCols = keys.map(col)
+    val taggedRight = right.select(
+      keyCols :+ col(timeCol).as("__t") :+ lit(0).as("__side") :+
+        col(rightOrder).cast("long").as("__ro") :+
+        rightPayload.as("__r") :+
+        lit(null).cast(leftType).as("__l"): _*)
+    val taggedLeft = left.select(
+      keyCols :+ col(timeCol).as("__t") :+ lit(1).as("__side") :+
+        lit(0L).as("__ro") :+
+        lit(null).cast(rightType).as("__r") :+
+        leftPayload.as("__l"): _*)
+
+    val w = Window.partitionBy(keyCols: _*)
+      .orderBy(col("__t").asc, col("__side").asc, col("__ro").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val carried = taggedRight.unionByName(taggedLeft)
+      .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+
+    val leftOut = left.columns.map(c => col(s"__l.$c").as(c))
+    val rightOut = rightValueCols.map(c =>
+      col(s"__match.$c").as(s"right_$c")) :+
+      col(s"__match.$timeCol").as(s"right_$timeCol")
+    carried.select(leftOut ++ rightOut: _*)
+  }
+}

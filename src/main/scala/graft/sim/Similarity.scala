@@ -104,6 +104,57 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF (inverted-file) ANN: a KMeans coarse quantizer assigns every
+    * corpus vector to one of `nlist` centroid cells; each query probes
+    * its `nprobe` nearest cells and exact-scores only those
+    * candidates. The 100 TB path when SRP recall is too coarse:
+    * candidate count scales with nprobe/nlist of the corpus, the
+    * centroid table is tiny and broadcast, and cell assignment is a
+    * single MLlib transform.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    val withFeatures = corpus.withColumn("__f",
+      array_to_vector(col(vecCol)))
+    val model = new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("__f").fit(withFeatures)
+    val assigned = model.transform(withFeatures)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cvec"),
+        col("prediction").as("cell"))
+
+    val centers = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq
+      .toDF("cell", "center")
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qvec"))
+    val wCell = Window.partitionBy(col("query_id"))
+      .orderBy(col("center_dist").asc, col("cell").asc)
+    val probed = q.join(broadcast(centers),
+        lit(true))
+      .withColumn("center_dist",
+        -dot(col("__qvec"), col("center")) /
+          (l2Norm(col("__qvec")) * l2Norm(col("center"))))
+      .withColumn("__cr", row_number().over(wCell))
+      .filter(col("__cr") <= nprobe)
+      .select(col("query_id"), col("__qvec"), col("cell"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_sim").desc, col("neighbor_id").asc)
+    probed.join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qvec"), col("__cvec")).as("cosine_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Embedding near-duplicate pairs above a cosine threshold, bucketed
     * by SRP signature to avoid the all-pairs cross product.
     */

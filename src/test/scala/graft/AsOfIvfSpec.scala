@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.AsOfJoin
+import graft.sim.Similarity
+
+/** As-of join semantics and IVF ANN recall. */
+class AsOfIvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("backward as-of attaches latest right row at-or-before") {
+    val bets = Seq((1L, "g1", 100L), (2L, "g1", 250L), (3L, "g2", 50L))
+      .toDF("bet_id", "game", "t")
+    val odds = Seq((10L, "g1", 100L, 1.9), (11L, "g1", 200L, 2.0),
+      (12L, "g1", 300L, 2.1), (13L, "g2", 60L, 1.5))
+      .toDF("line_id", "game", "t", "price")
+    val joined = AsOfJoin.backward(bets, odds, Seq("game"), "t",
+      "line_id").collect().map(r =>
+        r.getAs[Long]("bet_id") ->
+          (if (r.isNullAt(r.fieldIndex("right_price"))) None
+           else Some(r.getAs[Double]("right_price")))).toMap
+    assert(joined(1L).contains(1.9))  // exact-time match visible
+    assert(joined(2L).contains(2.0))  // latest at-or-before 250
+    assert(joined(3L).isEmpty)        // no odds yet at t=50
+  }
+
+  test("as-of ties at equal right times resolve to highest order col") {
+    val l = Seq((1L, "k", 10L)).toDF("id", "key", "t")
+    val r = Seq((5L, "k", 10L, 1.0), (6L, "k", 10L, 2.0))
+      .toDF("rid", "key", "t", "v")
+    val out = AsOfJoin.backward(l, r, Seq("key"), "t", "rid").collect()
+    assert(out.head.getAs[Double]("right_v") == 2.0)
+  }
+
+  test("IVF top-1 recall vs brute force on clustered vectors") {
+    val rnd = new scala.util.Random(7)
+    // 4 well-separated cluster centers in 8 dims, 40 vectors each
+    val centers = Array.fill(4, 8)(rnd.nextGaussian() * 5)
+    val vecs = (0 until 160).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => (x + rnd.nextGaussian() * 0.1).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" < 8)
+    val brute = Similarity.bruteForceTopK(vecs, queries, 1)
+      .collect().map(r => r.getAs[Long]("query_id") ->
+        r.getAs[Long]("neighbor_id")).toMap
+    val ivf = Similarity.ivfTopK(vecs, queries, 1, nlist = 4, nprobe = 2)
+      .collect().map(r => r.getAs[Long]("query_id") ->
+        r.getAs[Long]("neighbor_id")).toMap
+    val recall = brute.keys.count(k => ivf.get(k) == brute.get(k))
+      .toDouble / brute.size
+    assert(recall >= 0.75, s"IVF top-1 recall $recall too low")
+  }
+}
