@@ -178,6 +178,42 @@ object QueriesScale {
           round(col("cosine_sim"), 6).as("cosine_sim"))
     },
 
+    // End-to-end corpus cleaning: quality-filter -> language-filter ->
+    // exact-dedup survivors, one declarative plan (the LLM-data
+    // pipeline's daily materialized view, composed from the same
+    // operators the individual queries check).
+    "q41_clean_corpus" -> q { (spark, dir) =>
+      import graft.text.TextStatsExpression.textStats
+      import graft.text.TextAnalysis
+      val scored = docs(spark, dir)
+        .withColumn("st", textStats(col("text")))
+        .withColumn("predicted_lang", TextAnalysis.langId(col("text")))
+        .withColumn("fingerprint", TextAnalysis.fingerprint(col("text")))
+        .filter(col("st.n_tokens") >= 20 &&
+          col("predicted_lang") =!= "und")
+      val wDedup = Window.partitionBy(col("fingerprint"))
+        .orderBy(col("doc_id").asc)
+      scored
+        .withColumn("__rn", row_number().over(wDedup))
+        .filter(col("__rn") === 1)
+        .select(col("doc_id"), col("predicted_lang"),
+          col("st.n_tokens").as("n_tokens"))
+    },
+
+    // Multimodal plumbing through the driver harness: deterministic
+    // synthetic assets -> mapPartitions decode -> typed features. No
+    // SQL oracle (binary payloads + stub codec); rows-only check.
+    "q42_multimodal_features" -> q { (spark, dir) =>
+      import graft.multimodal.Multimodal
+      val n = 256
+      Multimodal.extractFeatures(Multimodal.syntheticAssets(spark, n))
+        .toDF()
+        .select(col("asset_id"), col("media_type"), col("n_bytes"),
+          col("content_hash"),
+          round(col("feature").getItem(0).cast("double"), 6)
+            .as("f0"))
+    },
+
     "q30_linreg_forecast" -> q { (spark, dir) =>
       import org.apache.spark.ml.feature.VectorAssembler
       import org.apache.spark.ml.regression.LinearRegression
@@ -357,6 +393,53 @@ object QueriesScale {
         |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
         |SELECT id_a, id_b, cosine_sim FROM p
         |WHERE cosine_sim >= 0.35""".stripMargin,
+
+    "q41_clean_corpus" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |         len(list_filter(regexp_split_to_array(text, '\s+'),
+        |             x -> x <> '')) AS n_tokens,
+        |         ' ' || lower(text) || ' ' AS pt,
+        |         md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+        |           AS fingerprint
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, n_tokens, fingerprint,
+        |    (length(pt) - length(replace(pt, ' the ', ''))) / 5
+        |    + (length(pt) - length(replace(pt, ' and ', ''))) / 5
+        |    + (length(pt) - length(replace(pt, ' of ', ''))) / 4 AS s_en,
+        |    (length(pt) - length(replace(pt, ' el ', ''))) / 4
+        |    + (length(pt) - length(replace(pt, ' la ', ''))) / 4
+        |    + (length(pt) - length(replace(pt, ' que ', ''))) / 5 AS s_es,
+        |    (length(pt) - length(replace(pt, ' le ', ''))) / 4
+        |    + (length(pt) - length(replace(pt, ' la ', ''))) / 4
+        |    + (length(pt) - length(replace(pt, ' et ', ''))) / 4 AS s_fr,
+        |    (length(pt) - length(replace(pt, ' der ', ''))) / 5
+        |    + (length(pt) - length(replace(pt, ' und ', ''))) / 5
+        |    + (length(pt) - length(replace(pt, ' die ', ''))) / 5 AS s_de
+        |  FROM t),
+        |lang AS (
+        |  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |         fingerprint,
+        |         CASE WHEN GREATEST(s_en, s_es, s_fr, s_de) <= 0
+        |              THEN 'und'
+        |              WHEN s_en = GREATEST(s_en, s_es, s_fr, s_de)
+        |              THEN 'en'
+        |              WHEN s_es = GREATEST(s_en, s_es, s_fr, s_de)
+        |              THEN 'es'
+        |              WHEN s_fr = GREATEST(s_en, s_es, s_fr, s_de)
+        |              THEN 'fr'
+        |              WHEN s_de = GREATEST(s_en, s_es, s_fr, s_de)
+        |              THEN 'de'
+        |              ELSE 'und' END AS predicted_lang
+        |  FROM s),
+        |filtered AS (
+        |  SELECT * FROM lang
+        |  WHERE n_tokens >= 20 AND predicted_lang <> 'und')
+        |SELECT doc_id, predicted_lang, n_tokens
+        |FROM filtered
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY fingerprint ORDER BY doc_id ASC) = 1""".stripMargin,
 
     "q30_linreg_forecast" ->
       """SELECT round(regr_slope(value, CAST(user_id AS DOUBLE)), 4)

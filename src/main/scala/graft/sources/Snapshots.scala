@@ -52,4 +52,16 @@ object Snapshots {
   /** S9: CSV export of an enriched table (`widgets_ui.py:119-121`). */
   def exportCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** Bucketed + sorted managed table: the at-scale layout for the
+    * canonical history. Repeated joins/aggregations on the bucket key
+    * (game, player, fingerprint) skip their shuffle entirely — two
+    * tables bucketed the same way sort-merge-join with zero exchanges,
+    * which at 100 TB is the difference between a nightly job and an
+    * interactive one.
+    */
+  def writeBucketedTable(df: DataFrame, table: String, key: String,
+                         buckets: Int = 32): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
 }

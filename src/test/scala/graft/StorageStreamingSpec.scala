@@ -32,6 +32,27 @@ class StorageStreamingSpec extends SparkSpec {
       .getAs[Double]("v") == 11.0)
   }
 
+  test("bucketed tables join without an exchange") {
+    val a = (1L to 500L).map(i => (i, s"a$i")).toDF("k", "va")
+    val b = (1L to 500L).map(i => (i, i * 2.0)).toDF("k", "vb")
+    Snapshots.writeBucketedTable(a, "graft_bucket_a", "k", 8)
+    Snapshots.writeBucketedTable(b, "graft_bucket_b", "k", 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("graft_bucket_a")
+        .join(spark.table("graft_bucket_b"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() == 500)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_a")
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_b")
+    }
+  }
+
   test("streaming file source appends to the canonical table") {
     val base = tmp()
     val landing = s"$base/landing"
