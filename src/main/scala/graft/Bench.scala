@@ -48,10 +48,17 @@ object Bench {
     // Two timed executions, min reported: the host shows sporadic
     // multi-second stalls (hypervisor noise) that would randomly tax
     // one query per run; min-of-2 measures the query, not the stall.
+    // Failures are NOT silently timed as successes — they surface on
+    // stderr and in a "failed" JSON field.
+    var failed = List.empty[String]
     val results = names.map { name =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { run(name, sfDir) } catch { case _: Throwable => () }
+        try { run(name, sfDir) } catch {
+          case e: Throwable =>
+            if (!failed.contains(name)) failed ::= name
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
         (System.nanoTime() - t0) / 1e9
       }
       name -> times.min
@@ -59,7 +66,9 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.sorted.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

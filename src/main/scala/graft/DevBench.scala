@@ -14,8 +14,8 @@ object DevBench {
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       val t0 = System.nanoTime()
-      val df = SparkEntry.queries(n)(spark, sfDir); df.write.mode("overwrite").format("noop").save(); val c = 0L
-      println(f"DEVBENCH $n%-22s ${(System.nanoTime()-t0)/1e9}%8.2fs rows=$c")
+      SparkEntry.queries(n)(spark, sfDir).write.mode("overwrite").format("noop").save()
+      println(f"DEVBENCH $n%-22s ${(System.nanoTime()-t0)/1e9}%8.2fs")
     }
     spark.stop()
   }

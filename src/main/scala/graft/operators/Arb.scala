@@ -19,18 +19,15 @@ import org.apache.spark.sql.functions._
 object Arb {
 
   /** A2: one row per (game_id, outcome): the max-price row with its
-    * bookmaker. Implemented as `row_number` over a price-desc window —
-    * a single shuffle on (game_id), no self-join.
+    * bookmaker. Delegates to [[graft.operators.Flatten.parseMarket]] —
+    * ONE home for the grouped-argmax window and its pinned tiebreak
+    * (price desc, bookmaker asc; SURVEY §7.4) — then applies the
+    * summary-shape renames.
     */
-  def bestPrices(df: DataFrame, priceCol: String = "price"): DataFrame = {
-    val w = Window.partitionBy(col("game_id"), col("outcome"))
-      .orderBy(col(priceCol).desc, col("bookmaker").asc)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+  def bestPrices(df: DataFrame, priceCol: String = "price"): DataFrame =
+    Flatten.parseMarket(df, priceCol)
       .withColumnRenamed("bookmaker", "best_bookmaker")
       .withColumnRenamed(priceCol, "best_price")
-  }
 
   /** A4: per-game arbitrage summary over best-price rows.
     * `total = Σ implied_prob` of the best prices; margin defined only
@@ -53,13 +50,17 @@ object Arb {
 
   /** Full flagship summary (`web/app.py:36-71`): best price rows joined
     * back to per-game margins. The margins side is one row per game —
-    * broadcast it so the join never shuffles the detail side.
+    * unbounded at scale, so the join strategy is left to Catalyst/AQE
+    * (it broadcasts when the aggregate is actually small, and falls
+    * back to a shuffle join when "one row per game" means terabytes).
+    * Both sides already share hash-partitioning on game_id from the
+    * window/groupBy, so the shuffle case adds no extra exchange.
     */
   def summary(flattened: DataFrame,
               impliedCol: String = "implied_prob"): DataFrame = {
     val best = bestPrices(flattened)
     val m = margins(best, impliedCol)
       .select("game_id", "total_implied", "n_outcomes", "arbitrage_margin")
-    best.join(broadcast(m), Seq("game_id"), "left")
+    best.join(m, Seq("game_id"), "left")
   }
 }

@@ -33,7 +33,14 @@ object AsOfJoin {
 
   def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
                timeCol: String, rightOrder: String): DataFrame = {
-    import org.apache.spark.sql.types.StructType
+    import org.apache.spark.sql.types.{NumericType, StructType, TimestampType}
+    right.schema(rightOrder).dataType match {
+      case _: NumericType | _: TimestampType => // orderable as long
+      case other => throw new IllegalArgumentException(
+        s"rightOrder column '$rightOrder' must be numeric/timestamp " +
+          s"(got $other) — a silent cast would null it out and break " +
+          "tie determinism")
+    }
     val leftPayload = struct(left.columns.map(col): _*)
     val rightValueCols = right.columns
       .filterNot(c => keys.contains(c) || c == timeCol)

@@ -31,9 +31,12 @@ object Backtest {
     */
   def summarize(labeled: DataFrame, startBankroll: Double = 1000.0,
                 stake: Double = 10.0): DataFrame = {
-    val wins = sum(when(col("bet_result") === "win", 1).otherwise(0))
-    val losses = sum(when(col("bet_result") === "loss", 1).otherwise(0))
-    val passes = sum(when(col("bet_result") === "pass", 1).otherwise(0))
+    // coalesce: sum over ZERO rows is null, but the reference's fold
+    // over an empty bet list returns bankroll=start, roi=0
+    def n(c: org.apache.spark.sql.Column) = coalesce(sum(c), lit(0L))
+    val wins = n(when(col("bet_result") === "win", 1).otherwise(0))
+    val losses = n(when(col("bet_result") === "loss", 1).otherwise(0))
+    val passes = n(when(col("bet_result") === "pass", 1).otherwise(0))
     labeled.agg(
       wins.as("wins"), losses.as("losses"), passes.as("passes"))
       .withColumn("bankroll",

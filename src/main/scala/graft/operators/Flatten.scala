@@ -126,11 +126,14 @@ object Flatten {
     * keep the best price and its bookmaker. pandas keeps the FIRST max
     * encountered in traversal order; we pin the tiebreak to the lowest
     * bookmaker name (deterministic under any row order — SURVEY §7.4).
+    * This is THE grouped-argmax window — `Arb.bestPrices` delegates
+    * here so the tiebreak has one home.
     */
-  def parseMarket(flattened: DataFrame): DataFrame = {
+  def parseMarket(flattened: DataFrame,
+                  priceCol: String = "price"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("game_id"), col("outcome"))
-      .orderBy(col("price").desc, col("bookmaker").asc)
+      .orderBy(col(priceCol).desc, col("bookmaker").asc)
     flattened
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

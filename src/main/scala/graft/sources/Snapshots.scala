@@ -37,14 +37,17 @@ object Snapshots {
 
   /** Latest snapshot per key from the canonical history (the upsert
     * view over the append-only log): keeps the row with the max
-    * `tsCol` per key, ties broken arbitrarily-but-deterministically by
-    * the remaining sort.
+    * `tsCol` per key. `tieBreak` columns pin the survivor when two
+    * appended batches share a timestamp for a key (row_number over a
+    * tie is otherwise partitioning-dependent, like every unpinned
+    * argmax — SURVEY §7.4).
     */
-  def latest(history: DataFrame, keyCols: Seq[String],
-             tsCol: String): DataFrame = {
+  def latest(history: DataFrame, keyCols: Seq[String], tsCol: String,
+             tieBreak: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val ordering = col(tsCol).desc +: tieBreak.map(col(_).desc)
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(tsCol).desc)
+      .orderBy(ordering: _*)
     history.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
   }

@@ -50,13 +50,16 @@ object TextStatsExpression {
       text.split("\\s+").foreach { t =>
         if (t.nonEmpty) {
           nTokens += 1
-          totalLen += t.length
+          // code POINTS, not UTF-16 units — Spark's length() and
+          // DuckDB both count points; surrogate pairs (emoji, rare
+          // CJK) would otherwise double-count
+          totalLen += t.codePointCount(0, t.length)
           if (stopSet.contains(t.toLowerCase(java.util.Locale.ROOT)))
             nStop += 1
         }
       }
-      new GenericInternalRow(
-        Array[Any](nTokens, totalLen, nStop, nPunct, text.length.toLong))
+      new GenericInternalRow(Array[Any](nTokens, totalLen, nStop, nPunct,
+        text.codePointCount(0, text.length).toLong))
     }
 
     override protected def withNewChildInternal(
