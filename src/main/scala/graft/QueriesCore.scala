@@ -468,6 +468,25 @@ object QueriesCore {
         .pivot("o_orderstatus", Seq("F", "O", "P"))
         .count()
         .na.fill(0L)
+    },
+
+    // Full star-schema reach: lineitem ⋈ part ⋈ supplier ⋈ nation,
+    // margin analysis per brand and supplier nation. Dims broadcast.
+    "q43_star_schema" -> q { (spark, dir) =>
+      val li = t(spark, dir, "lineitem")
+      val part = t(spark, dir, "part")
+      val supplier = t(spark, dir, "supplier")
+      val nation = t(spark, dir, "nation")
+      li
+        .join(broadcast(part), li("l_partkey") === part("p_partkey"))
+        .join(broadcast(supplier), li("l_suppkey") === supplier("s_suppkey"))
+        .join(broadcast(nation),
+          supplier("s_nationkey") === nation("n_nationkey"))
+        .groupBy(col("p_brand"), col("n_name"))
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            - col("p_retailprice") * col("l_quantity")), 2).as("margin"),
+          round(avg(col("l_discount")), 6).as("avg_discount"))
     }
   )
 
@@ -800,6 +819,17 @@ object QueriesCore {
         |            AS BIGINT) AS O,
         |       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
         |            AS BIGINT) AS P
-        |FROM orders GROUP BY o_orderpriority""".stripMargin
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q43_star_schema" ->
+      """SELECT p_brand, n_name, COUNT(*) AS n_lines,
+        |       round(SUM(l_extendedprice * (1.0 - l_discount)
+        |                 - p_retailprice * l_quantity), 2) AS margin,
+        |       round(AVG(l_discount), 6) AS avg_discount
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY p_brand, n_name""".stripMargin
   )
 }
