@@ -56,6 +56,27 @@ object Snapshots {
   def exportCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
 
+  /** Compaction for the append-only canonical log: rewrite the table
+    * to latest-per-key only. At scale the append-only history grows
+    * without bound and every `latest` view pays a window over the full
+    * log; periodic compaction bounds that cost while `latest` semantics
+    * stay identical. Writes to a temp sibling then swaps, so a reader
+    * never sees a half-written table.
+    */
+  def compact(spark: SparkSession, canonicalPath: String,
+              keyCols: Seq[String], tsCol: String,
+              tieBreak: Seq[String] = Nil): Unit = {
+    val compacted = latest(readCanonical(spark, canonicalPath),
+      keyCols, tsCol, tieBreak)
+    val tmpPath = canonicalPath + "__compact_tmp"
+    compacted.write.mode("overwrite").parquet(tmpPath)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(canonicalPath)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmpPath), dst)
+  }
+
   /** Bucketed + sorted managed table: the at-scale layout for the
     * canonical history. Repeated joins/aggregations on the bucket key
     * (game, player, fingerprint) skip their shuffle entirely — two

@@ -77,6 +77,20 @@ object StreamingIngest {
     q.awaitTermination()
   }
 
+  /** Watermark-bounded streaming dedup: drops rows whose key was seen
+    * within the watermark horizon, and — unlike plain
+    * `dropDuplicates` on a stream — EXPIRES state once event time
+    * passes the watermark, so state stays bounded on unbounded key
+    * spaces (every new document has a new fingerprint; keeping all of
+    * them forever is an OOM at 100 TB/day).
+    */
+  def dedupWithinWatermark(events: DataFrame, keyCols: Seq[String],
+                           tsCol: String = "ts",
+                           watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Stateful streaming dedup by key (custom state via
     * flatMapGroupsWithState): emits only the FIRST row per key — the
     * streaming twin of exact-dedup for continuous document ingestion.

@@ -32,6 +32,45 @@ class StorageStreamingSpec extends SparkSpec {
       .getAs[Double]("v") == 11.0)
   }
 
+  test("compaction rewrites the canonical log to latest-per-key") {
+    val base = tmp()
+    val b1 = Seq((1L, 10.0, "t1"), (2L, 20.0, "t1"))
+      .toDF("id", "v", "batch_ts")
+    val b2 = Seq((1L, 11.0, "t2"), (3L, 30.0, "t2"))
+      .toDF("id", "v", "batch_ts")
+    Snapshots.appendCanonical(b1, s"$base/canonical")
+    Snapshots.appendCanonical(b2, s"$base/canonical")
+    assert(Snapshots.readCanonical(spark, s"$base/canonical").count() == 4)
+    Snapshots.compact(spark, s"$base/canonical", Seq("id"), "batch_ts")
+    val after = Snapshots.readCanonical(spark, s"$base/canonical")
+    assert(after.count() == 3)
+    assert(after.filter($"id" === 1L).collect().head
+      .getAs[Double]("v") == 11.0)
+    // latest over the compacted log is unchanged
+    assert(Snapshots.latest(after, Seq("id"), "batch_ts").count() == 3)
+  }
+
+  test("watermarked streaming dedup drops in-horizon duplicates") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "fingerprint", "value")
+    val deduped = graft.streaming.StreamingIngest
+      .dedupWithinWatermark(df, Seq("fingerprint"))
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("wm_dedup_out").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    input.addData(
+      (t("2025-01-01 00:00:00"), "a", 1.0),
+      (t("2025-01-01 00:05:00"), "a", 2.0),  // dup within horizon
+      (t("2025-01-01 00:10:00"), "b", 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("wm_dedup_out")
+      .select("fingerprint").collect().map(_.getString(0)).toSeq.sorted
+    assert(out == Seq("a", "b"))
+  }
+
   test("bucketed tables join without an exchange") {
     val a = (1L to 500L).map(i => (i, s"a$i")).toDF("k", "va")
     val b = (1L to 500L).map(i => (i, i * 2.0)).toDF("k", "vb")
