@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.OddsFunctions._
+import graft.functions.PortableRound.pround
 import graft.operators.{Devig, Backtest}
 
 /** Core query catalog: the reference's odds/EV/arb/feature semantics
@@ -125,9 +126,10 @@ object QueriesCore {
       withDecimal(oddsBase(spark, dir))
         .select(col("game_id"), col("outcome"), col("l_linenumber"),
           col("bookmaker"), col("price"),
-          round(col("decimal_odds"), 6).as("decimal_odds"),
-          decimalToAmerican(col("decimal_odds")).as("odds_american"),
-          round(impliedProb(col("decimal_odds")), 6).as("implied_prob"))
+          pround(col("decimal_odds"), 6).as("decimal_odds"),
+          decimalToAmerican(col("decimal_odds"), pround)
+            .as("odds_american"),
+          pround(impliedProb(col("decimal_odds")), 6).as("implied_prob"))
     },
 
     "q02_numeric_coerce" -> q { (spark, dir) =>
@@ -143,15 +145,15 @@ object QueriesCore {
           .as("price_str"))
       base.select(col("l_orderkey"), col("l_linenumber"), col("price_str"),
         numericCoerce(col("price_str")).as("price_num"),
-        round(decimalize(numericCoerce(col("price_str"))), 6)
+        pround(decimalize(numericCoerce(col("price_str"))), 6)
           .as("decimal_odds"))
     },
 
     "q03_devig" -> q { (spark, dir) =>
       devigChain(oddsBase(spark, dir))
         .select(col("game_id"), col("outcome"), col("l_linenumber"),
-          round(col("devig_prob"), 6).as("devig_prob"),
-          round(col("true_prob"), 6).as("true_prob"))
+          pround(col("devig_prob"), 6).as("devig_prob"),
+          pround(col("true_prob"), 6).as("true_prob"))
     },
 
     "q04_best_price" -> q { (spark, dir) =>
@@ -163,7 +165,7 @@ object QueriesCore {
         .filter(col("rn") === 1)
         .select(col("game_id"), col("outcome"),
           col("bookmaker").as("best_bookmaker"),
-          round(col("decimal_odds"), 6).as("best_price"))
+          pround(col("decimal_odds"), 6).as("best_price"))
     },
 
     "q05_arb" -> q { (spark, dir) =>
@@ -177,9 +179,9 @@ object QueriesCore {
         .agg(sum(lit(1.0) / col("decimal_odds")).as("total_implied"),
           count(lit(1)).as("n_outcomes"))
         .select(col("game_id"), col("n_outcomes"),
-          round(col("total_implied"), 6).as("total_implied"),
+          pround(col("total_implied"), 6).as("total_implied"),
           when(col("n_outcomes") === 2 && col("total_implied") < 1,
-            round((lit(1.0) - col("total_implied")) * 100.0, 2))
+            pround((lit(1.0) - col("total_implied")) * 100.0, 2))
             .as("arbitrage_margin"))
     },
 
@@ -195,10 +197,10 @@ object QueriesCore {
           halfKelly(col("true_prob"), col("decimal_odds")))
         .withColumn("bet_flag", betFlag(col("ev")))
         .select(col("game_id"), col("outcome"), col("l_linenumber"),
-          round(col("ev"), 6).as("ev"),
-          round(col("variance"), 6).as("variance"),
-          round(col("ev_adj"), 6).as("ev_adj"),
-          round(col("kelly_fraction"), 6).as("kelly_fraction"),
+          pround(col("ev"), 6).as("ev"),
+          pround(col("variance"), 6).as("variance"),
+          pround(col("ev_adj"), 6).as("ev_adj"),
+          pround(col("kelly_fraction"), 6).as("kelly_fraction"),
           col("bet_flag"))
     },
 
@@ -211,8 +213,8 @@ object QueriesCore {
         .withColumn("ev_adj", adjustedEv(col("ev"), col("variance")))
         .filter(col("ev") >= 0.02)
         .select(col("game_id"), col("outcome"), col("l_linenumber"),
-          round(col("ev"), 6).as("ev"),
-          round(col("ev_adj"), 6).as("ev_adj"),
+          pround(col("ev"), 6).as("ev"),
+          pround(col("ev_adj"), 6).as("ev_adj"),
           decisionLabel(betFlag(col("ev"))).as("decision"))
     },
 
@@ -225,8 +227,8 @@ object QueriesCore {
         .withColumn("target", lead(col("value"), 1).over(wo))
         .filter(col("target").isNotNull)
         .select(col("event_id"), col("user_id"),
-          round(col("rolling_avg"), 6).as("rolling_avg"),
-          round(col("target"), 6).as("target"))
+          pround(col("rolling_avg"), 6).as("rolling_avg"),
+          pround(col("target"), 6).as("target"))
     },
 
     "q09_hourly_windows" -> q { (spark, dir) =>
@@ -235,7 +237,7 @@ object QueriesCore {
           expr("((ts DIV 1000) DIV 3600000000) * 3600000000"))
         .groupBy(col("hour_us"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          round(sum(col("value")), 4).as("total_value"),
+          pround(sum(col("value")), 4).as("total_value"),
           countDistinct(col("user_id")).as("n_users"))
     },
 
@@ -257,7 +259,7 @@ object QueriesCore {
         .groupBy(col("user_id"), col("session_id"))
         .agg(count(lit(1)).as("n_events"),
           (max(col("us")) - min(col("us"))).as("duration_us"),
-          round(sum(col("value")), 4).as("total_value"))
+          pround(sum(col("value")), 4).as("total_value"))
     },
 
     "q11_json_extract" -> q { (spark, dir) =>
@@ -265,7 +267,7 @@ object QueriesCore {
         .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
-          round(avg(col("k")), 6).as("avg_k"),
+          pround(avg(col("k")), 6).as("avg_k"),
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
     },
 
@@ -283,8 +285,8 @@ object QueriesCore {
           nation("n_regionkey") === region("r_regionkey"))
         .groupBy(col("r_name"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"),
-          round(sum(col("o_totalprice")), 2).as("revenue"),
-          round(avg(col("o_totalprice")), 4).as("avg_price"))
+          pround(sum(col("o_totalprice")), 2).as("revenue"),
+          pround(avg(col("o_totalprice")), 4).as("avg_price"))
     },
 
     "q13_topk_per_group" -> q { (spark, dir) =>
@@ -311,7 +313,7 @@ object QueriesCore {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("o_orderkey"), col("o_custkey"), col("snapshot"),
-          round(col("o_totalprice"), 4).as("o_totalprice"))
+          pround(col("o_totalprice"), 4).as("o_totalprice"))
     },
 
     "q15_string_agg" -> q { (spark, dir) =>
@@ -326,10 +328,10 @@ object QueriesCore {
       t(spark, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(sum(col("l_quantity")).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))),
+          pround(sum(col("l_extendedprice")), 2).as("sum_base"),
+          pround(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))),
             2).as("sum_disc"),
-          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          pround(avg(col("l_quantity")), 6).as("avg_qty"),
           count(lit(1)).as("n"))
     },
 
@@ -341,7 +343,7 @@ object QueriesCore {
         .groupBy(col("c_mktsegment"))
         .agg(countDistinct(col("c_custkey")).as("n_customers"),
           count(col("o_orderkey")).as("n_orders"),
-          round(sum(col("o_totalprice")), 2).as("revenue"))
+          pround(sum(col("o_totalprice")), 2).as("revenue"))
     },
 
     "q18_backtest" -> q { (spark, dir) =>
@@ -350,8 +352,8 @@ object QueriesCore {
         (((col("user_id") % 50) + 25).cast("double") / 100.0).as("line"))
       Backtest.summarize(Backtest.label(ev))
         .select(col("wins"), col("losses"), col("passes"),
-          round(col("bankroll"), 2).as("bankroll"),
-          round(col("roi"), 6).as("roi"))
+          pround(col("bankroll"), 2).as("bankroll"),
+          pround(col("roi"), 6).as("roi"))
     },
 
     "q19_accuracy" -> q { (spark, dir) =>
@@ -359,7 +361,7 @@ object QueriesCore {
         (((col("event_id") % 97) + 1).cast("double") / 100.0).as("pred"),
         (col("event_id") % 2).as("outcome"))
       Backtest.accuracy(ev)
-        .select(round(col("accuracy"), 6).as("accuracy"))
+        .select(pround(col("accuracy"), 6).as("accuracy"))
     },
 
     // F-family shape over testdata: nest rows into array<struct> per
@@ -376,7 +378,7 @@ object QueriesCore {
         .select(col("o_custkey"), explode(col("orders")).as("o"))
         .filter(col("o.o_orderpriority") === "1-URGENT")
         .select(col("o_custkey"), col("o.o_orderkey").as("o_orderkey"),
-          round(col("o.o_totalprice"), 4).as("o_totalprice"))
+          pround(col("o.o_totalprice"), 4).as("o_totalprice"))
     },
 
     // A10 grouped first-value: earliest order per customer.
@@ -388,7 +390,7 @@ object QueriesCore {
         .filter(col("rn") === 1)
         .select(col("o_custkey"),
           col("o_orderpriority").as("first_priority"),
-          round(col("o_totalprice"), 4).as("first_totalprice"))
+          pround(col("o_totalprice"), 4).as("first_totalprice"))
     },
 
     // O2/O5 global top-k: sort + limit plans as TakeOrderedAndProject
@@ -398,7 +400,7 @@ object QueriesCore {
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
         .limit(100)
         .select(col("o_orderkey"), col("o_custkey"),
-          round(col("o_totalprice"), 4).as("o_totalprice"))
+          pround(col("o_totalprice"), 4).as("o_totalprice"))
     },
 
     // A11 distinct values.
@@ -428,7 +430,7 @@ object QueriesCore {
           "event_id")
         .select(col("event_id"), col("user_id"), col("us"),
           col("right_us").as("last_click_us"),
-          round(col("right_value"), 4).as("last_click_value"))
+          pround(col("right_value"), 4).as("last_click_value"))
     },
 
     // Left-anti join: customers that never ordered.
@@ -438,7 +440,7 @@ object QueriesCore {
       customer.join(orders,
           customer("c_custkey") === orders("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_mktsegment"),
-          round(col("c_acctbal"), 4).as("c_acctbal"))
+          pround(col("c_acctbal"), 4).as("c_acctbal"))
     },
 
     // ROLLUP with grouping id (subtotal hierarchy).
@@ -456,9 +458,9 @@ object QueriesCore {
       t(spark, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
-          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"))
+          pround(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+          pround(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          pround(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"))
     },
 
     // Pivot (status counts per priority as columns).
@@ -484,9 +486,9 @@ object QueriesCore {
           supplier("s_nationkey") === nation("n_nationkey"))
         .groupBy(col("p_brand"), col("n_name"))
         .agg(count(lit(1)).as("n_lines"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          pround(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
             - col("p_retailprice") * col("l_quantity")), 2).as("margin"),
-          round(avg(col("l_discount")), 6).as("avg_discount"))
+          pround(avg(col("l_discount")), 6).as("avg_discount"))
     }
   )
 

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.PortableRound.pround
 import graft.text.TextAnalysis
 import graft.dedup.Dedup
 import graft.sim.Similarity
@@ -70,7 +71,7 @@ object QueriesScale {
         .select(col("doc_id"),
           col("st.n_tokens").as("n_tokens"),
           col("st.n_chars").as("n_chars"),
-          round(when(col("st.n_tokens") > 0,
+          pround(when(col("st.n_tokens") > 0,
             col("st.total_token_len").cast("double") / col("st.n_tokens")),
             6).as("avg_token_len"))
     },
@@ -86,9 +87,9 @@ object QueriesScale {
       docs(spark, dir)
         .withColumn("st", textStats(col("text")))
         .select(col("doc_id"),
-          round(stopRatio, 6).as("stopword_ratio"),
-          round(punctRatio, 6).as("punct_ratio"),
-          round(lit(0.5) * lenScore
+          pround(stopRatio, 6).as("stopword_ratio"),
+          pround(punctRatio, 6).as("punct_ratio"),
+          pround(lit(0.5) * lenScore
             + lit(0.3) * (lit(1.0) - abs(coalesce(stopRatio, lit(0.0))
               - 0.4))
             + lit(0.2) * (lit(1.0) - coalesce(punctRatio, lit(0.0))), 6)
@@ -133,7 +134,7 @@ object QueriesScale {
     "q27_embed_norm" -> q { (spark, dir) =>
       vecs(spark, dir).select(col("vec_id"),
         size(col("embedding")).cast("long").as("dim"),
-        round(Similarity.l2Norm(col("embedding")), 6).as("l2_norm"))
+        pround(Similarity.l2Norm(col("embedding")), 6).as("l2_norm"))
     },
 
     "q28_ann_topk" -> q { (spark, dir) =>
@@ -144,7 +145,7 @@ object QueriesScale {
           col("nrm").as("qn"))
       val scored = v.join(broadcast(qv), col("query_id") =!= col("vec_id"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          round(Similarity.dot(col("qe"), col("embedding"))
+          pround(Similarity.dot(col("qe"), col("embedding"))
             / (col("qn") * col("nrm")), 6).as("cosine_sim"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cosine_sim").desc, col("neighbor_id").asc)
@@ -161,7 +162,7 @@ object QueriesScale {
         col("nrm").as("nb"))
       a.join(b, col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
-          round(Similarity.dot(col("ea"), col("eb"))
+          pround(Similarity.dot(col("ea"), col("eb"))
             / (col("na") * col("nb")), 6).as("cosine_sim"))
         .filter(col("cosine_sim") >= 0.35)
     },
@@ -175,7 +176,7 @@ object QueriesScale {
       Similarity.ivfTopK(v, v.filter(col("vec_id") % 40 === 0), k = 5,
           nlist = 8, nprobe = 4)
         .select(col("query_id"), col("neighbor_id"), col("rank"),
-          round(col("cosine_sim"), 6).as("cosine_sim"))
+          pround(col("cosine_sim"), 6).as("cosine_sim"))
     },
 
     // End-to-end corpus cleaning: quality-filter -> language-filter ->
@@ -210,7 +211,7 @@ object QueriesScale {
         .toDF()
         .select(col("asset_id"), col("media_type"), col("n_bytes"),
           col("content_hash"),
-          round(col("feature").getItem(0).cast("double"), 6)
+          pround(col("feature").getItem(0).cast("double"), 6)
             .as("f0"))
     },
 
@@ -226,10 +227,9 @@ object QueriesScale {
         .fit(assembled)
       val n = df.count()
       import spark.implicits._
-      Seq((BigDecimal(model.coefficients(0)).setScale(4,
-          BigDecimal.RoundingMode.HALF_UP).toDouble,
-        BigDecimal(model.intercept).setScale(4,
-          BigDecimal.RoundingMode.HALF_UP).toDouble, n))
+      import graft.functions.PortableRound.proundScala
+      Seq((proundScala(model.coefficients(0), 4),
+        proundScala(model.intercept, 4), n))
         .toDF("slope", "intercept", "n")
     }
   )

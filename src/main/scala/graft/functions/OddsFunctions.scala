@@ -33,11 +33,15 @@ object OddsFunctions {
   /** Decimal → American odds, rounded to 2. Branch order pinned to the
     * reference (`odds_utils.py:61-73`): `d <= 1 → null`; `d >= 2 →
     * round((d-1)*100, 2)`; else `round(-100/(d-1), 2)`.
+    * `roundFn` lets callers swap the rounding mode (the oracle queries
+    * pass [[PortableRound.pround]] for DuckDB-identical boundaries).
     */
-  def decimalToAmerican(dec: Column): Column =
+  def decimalToAmerican(dec: Column,
+                        roundFn: (Column, Int) => Column =
+                          (c, d) => round(c, d)): Column =
     when(dec.isNull || dec <= 1, lit(null).cast("double"))
-      .when(dec >= 2, round((dec - 1) * 100.0, 2))
-      .otherwise(round(lit(-100.0) / (dec - 1), 2))
+      .when(dec >= 2, roundFn((dec - 1) * 100.0, 2))
+      .otherwise(roundFn(lit(-100.0) / (dec - 1), 2))
 
   /** Coerce a possibly-string price ("+120", "2.05") to double; null on
     * failure (pandas `to_numeric(errors="coerce")`,
