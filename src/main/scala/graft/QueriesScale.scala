@@ -70,6 +70,8 @@ object QueriesScale {
         .withColumn("st", textStats(col("text")))
         .select(col("doc_id"),
           col("st.n_tokens").as("n_tokens"),
+          TextAnalysis.bpeTokenCount(col("text")).cast("long")
+            .as("n_bpeish_tokens"),
           col("st.n_chars").as("n_chars"),
           pround(when(col("st.n_tokens") > 0,
             col("st.total_token_len").cast("double") / col("st.n_tokens")),
@@ -238,6 +240,9 @@ object QueriesScale {
     "q20_token_stats" ->
       s"""WITH $toksSql
          |SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+         |       CAST(len(regexp_extract_all(text,
+         |         ' ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+'))
+         |         AS BIGINT) AS n_bpeish_tokens,
          |       CAST(length(text) AS BIGINT) AS n_chars,
          |       round(CASE WHEN len(tk) > 0
          |             THEN CAST(list_sum(list_transform(tk,

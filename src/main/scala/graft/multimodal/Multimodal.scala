@@ -69,6 +69,34 @@ object Multimodal {
       }
   }
 
+  /** STUB resize: deterministic downsample of the payload to a
+    * `targetW x targetH` pseudo-pixel buffer (strided byte sampling
+    * standing in for a real scaler). The Spark-side shape — metadata
+    * columns updated alongside the payload, partition-local compute —
+    * is what a real codec slots into.
+    */
+  def resize(assets: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    val n = targetW * targetH
+    assets
+      .select(col("asset_id").cast("long"), col("media_type"),
+        col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, mtype, payload) =>
+          val bytes =
+            if (payload == null || payload.isEmpty) Array.emptyByteArray
+            else payload
+          val out =
+            if (bytes.isEmpty) Array.fill(n)(0.toByte)
+            else Array.tabulate(n)(i => bytes((i * bytes.length) / n))
+          (id, mtype, out, targetW, targetH)
+        }
+      }
+      .toDF("asset_id", "media_type", "payload", "width", "height")
+  }
+
   /** Frame sampling for video payloads: every `stride`-th fixed-size
     * chunk as a frame (stub chunking standing in for container
     * demux). Output: one row per sampled frame.

@@ -92,12 +92,43 @@ object TextAnalysis {
     }.otherwise(lit("und"))
   }
 
+  /** BPE-ish subword token count: matches letter runs, digit runs, and
+    * punctuation runs with an optional leading space (the GPT-2
+    * pre-tokenizer shape, minus its RE2-incompatible lookahead so the
+    * DuckDB oracle can reproduce the count with the same pattern).
+    */
+  val bpeishPattern = " ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit(bpeishPattern))
+
   /** Document fingerprint: md5 of the whitespace-normalized, lowercased
     * text. Identical content ⇒ identical fingerprint regardless of
     * spacing/case — the key for exact dedup.
     */
   def fingerprint(text: Column): Column =
     md5(lower(trim(regexp_replace(text, "\\s+", " "))))
+
+  /** Winnowing fingerprints (rolling-hash document signature): hash
+    * every k-char-gram, then keep the minimum hash of each
+    * w-gram window — the classic plagiarism/near-dup fingerprint set
+    * (Schleimer et al., SIGMOD'03). md5-based so engines agree; the
+    * distinct selected hashes form a compact, position-robust
+    * signature. Array column of hex strings.
+    */
+  def winnowingFingerprints(text: Column, k: Int = 8,
+                            w: Int = 4): Column = {
+    val norm = lower(trim(regexp_replace(text, "\\s+", " ")))
+    val grams = when(length(norm) >= k,
+      transform(sequence(lit(1), length(norm) - (k - 1)),
+        i => md5(norm.substr(i, lit(k)))))
+      .otherwise(array(md5(norm)))
+    val windows = when(size(grams) >= w,
+      transform(sequence(lit(1), size(grams) - (w - 1)),
+        i => array_min(slice(grams, i, lit(w)))))
+      .otherwise(array(array_min(grams)))
+    array_sort(array_distinct(windows))
+  }
 
   /** Word n-gram shingles (default 3) as an array column — input to
     * MinHash / Jaccard dedup.

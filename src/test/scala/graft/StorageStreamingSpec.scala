@@ -184,6 +184,23 @@ class StorageStreamingSpec extends SparkSpec {
       Seq("asset_id", "frame_idx", "frame_payload"))
   }
 
+  test("multimodal: resize produces fixed-size payloads with metadata") {
+    val assets = Multimodal.syntheticAssets(spark, 10)
+    val resized = Multimodal.resize(assets, 8, 8)
+    val rows = resized.collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getAs[Array[Byte]]("payload").length == 64)
+      assert(r.getAs[Int]("width") == 8 && r.getAs[Int]("height") == 8)
+    }
+    // deterministic: same input -> same resized bytes
+    val again = Multimodal.resize(assets, 8, 8).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload").toSeq)
+      .toMap
+    rows.foreach(r => assert(
+      again(r.getLong(0)) == r.getAs[Array[Byte]]("payload").toSeq))
+  }
+
   test("multimodal: content dedup collapses identical payloads") {
     val a = Multimodal.syntheticAssets(spark, 10)
     val doubled = a.unionByName(a.withColumn("asset_id",

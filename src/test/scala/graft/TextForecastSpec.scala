@@ -51,6 +51,33 @@ class TextForecastSpec extends SparkSpec {
       Seq("en", "fr", "de", "und"))
   }
 
+  test("BPE-ish token count splits letter/digit/punct runs") {
+    val df = Seq("hello world 123 foo-bar!", "", "a1b2").toDF("text")
+      .select(TextAnalysis.bpeTokenCount($"text").as("n"))
+    val got = df.collect().map(_.getInt(0)).toSeq
+    // "hello"," world"," 123"," foo","-","bar","!" = 7; ""=0;
+    // "a1b2" -> a,1,b,2 = 4
+    assert(got == Seq(7, 0, 4))
+  }
+
+  test("winnowing fingerprints: shifted text shares most hashes") {
+    val base = "the quick brown fox jumps over the lazy dog again"
+    val df = Seq(
+      (1L, base),
+      (2L, "PREFIX " + base),   // shifted content
+      (3L, "totally different words entirely unrelated content here")
+    ).toDF("id", "text").select($"id",
+      TextAnalysis.winnowingFingerprints($"text").as("fp"))
+    val fps = df.collect().map(r =>
+      r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val overlap12 = fps(1L).intersect(fps(2L)).size.toDouble /
+      fps(1L).union(fps(2L)).size
+    val overlap13 = fps(1L).intersect(fps(3L)).size.toDouble /
+      fps(1L).union(fps(3L)).size
+    assert(overlap12 > 0.5, s"shifted overlap $overlap12")
+    assert(overlap13 < 0.1, s"unrelated overlap $overlap13")
+  }
+
   test("shingles produce n-grams or the whole doc when short") {
     val df = Seq("a b c d", "a b").toDF("text")
       .select(TextAnalysis.shingles($"text", 3).as("s"))
