@@ -20,6 +20,8 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if v == 0.0:
+            return 0.0  # fold -0.0 and 0.0 (str-sort would split them)
         return round(v, 9)
     if isinstance(v, bool):
         return bool(v)

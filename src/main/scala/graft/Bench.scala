@@ -52,16 +52,21 @@ object Bench {
     // stderr and in a "failed" JSON field.
     var failed = List.empty[String]
     val results = names.map { name =>
-      val times = (1 to 2).map { _ =>
+      val runs = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { run(name, sfDir) } catch {
+        val ok = try { run(name, sfDir); true } catch {
           case e: Throwable =>
             if (!failed.contains(name)) failed ::= name
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
         }
-        (System.nanoTime() - t0) / 1e9
+        ((System.nanoTime() - t0) / 1e9, ok)
       }
-      name -> times.min
+      // min over SUCCESSFUL runs only — a fast failure must not be
+      // reported as the query's time (all-failed: report the time
+      // anyway; the name is in "failed")
+      val good = runs.filter(_._2).map(_._1)
+      name -> (if (good.nonEmpty) good.min else runs.map(_._1).min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -243,8 +243,12 @@ object QueriesCore {
 
     "q10_sessionize" -> q { (spark, dir) =>
       val ev = t(spark, dir, "events")
+      // order by MICROS (+ event_id), not raw nanos: the oracle can
+      // only order by epoch_us, and two events in the same microsecond
+      // with distinct nanos would otherwise sort differently per
+      // engine at a session boundary
       val wo = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts").asc, col("event_id").asc)
+        .orderBy(col("us").asc, col("event_id").asc)
       val gapUs = 1800L * 1000000L
       val withFlag = ev
         .withColumn("us", expr("ts DIV 1000"))
@@ -633,8 +637,8 @@ object QueriesCore {
       """WITH f AS (
         |  SELECT user_id, event_id, value, epoch_us(ts) AS us,
         |         LAG(epoch_us(ts), 1) OVER (
-        |           PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
-        |           AS prev_us
+        |           PARTITION BY user_id
+        |           ORDER BY epoch_us(ts) ASC, event_id ASC) AS prev_us
         |  FROM events),
         |s AS (
         |  SELECT *, CASE WHEN prev_us IS NULL

@@ -33,13 +33,14 @@ object AsOfJoin {
 
   def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
                timeCol: String, rightOrder: String): DataFrame = {
-    import org.apache.spark.sql.types.{NumericType, StructType, TimestampType}
-    right.schema(rightOrder).dataType match {
-      case _: NumericType | _: TimestampType => // orderable as long
+    import org.apache.spark.sql.types.{DateType, NumericType, StringType, StructType, TimestampType}
+    val roType = right.schema(rightOrder).dataType
+    roType match {
+      case _: NumericType | _: TimestampType | _: StringType |
+           _: DateType => // totally ordered; used in its NATIVE type
       case other => throw new IllegalArgumentException(
-        s"rightOrder column '$rightOrder' must be numeric/timestamp " +
-          s"(got $other) — a silent cast would null it out and break " +
-          "tie determinism")
+        s"rightOrder column '$rightOrder' must be an orderable scalar " +
+          s"(got $other) so equal-time ties resolve deterministically")
     }
     val leftPayload = struct(left.columns.map(col): _*)
     val rightValueCols = right.columns
@@ -49,14 +50,17 @@ object AsOfJoin {
     val rightType = StructType(right.schema.fields)
 
     val keyCols = keys.map(col)
+    // __ro keeps its NATIVE type — casting to long would truncate
+    // sub-second timestamps / fractional doubles and silently collapse
+    // distinct order values into ties
     val taggedRight = right.select(
       keyCols :+ col(timeCol).as("__t") :+ lit(0).as("__side") :+
-        col(rightOrder).cast("long").as("__ro") :+
+        col(rightOrder).as("__ro") :+
         rightPayload.as("__r") :+
         lit(null).cast(leftType).as("__l"): _*)
     val taggedLeft = left.select(
       keyCols :+ col(timeCol).as("__t") :+ lit(1).as("__side") :+
-        lit(0L).as("__ro") :+
+        lit(null).cast(roType).as("__ro") :+
         lit(null).cast(rightType).as("__r") :+
         leftPayload.as("__l"): _*)
 

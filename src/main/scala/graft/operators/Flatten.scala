@@ -129,11 +129,18 @@ object Flatten {
     * This is THE grouped-argmax window — `Arb.bestPrices` delegates
     * here so the tiebreak has one home.
     */
-  def parseMarket(flattened: DataFrame,
-                  priceCol: String = "price"): DataFrame = {
+  def parseMarket(flattened: DataFrame, priceCol: String = "price",
+                  tieBreak: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // (price desc, bookmaker asc) is total only when a bookmaker
+    // quotes one price per outcome; pass tieBreak columns (e.g.
+    // last_update) when the same book can appear twice per
+    // (game, outcome) — otherwise the surviving payload row is
+    // partitioning-dependent
+    val ordering = col(priceCol).desc +: col("bookmaker").asc +:
+      tieBreak.map(col(_).asc)
     val w = Window.partitionBy(col("game_id"), col("outcome"))
-      .orderBy(col(priceCol).desc, col("bookmaker").asc)
+      .orderBy(ordering: _*)
     flattened
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

@@ -57,24 +57,34 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** Deterministic pseudo-random hyperplane component for
-    * sign-random-projection LSH: a value in [-1, 1) derived from
-    * md5(plane || ':' || dim) — engine-independent, no RNG state.
+  /** Deterministic pseudo-random hyperplane component in [-1, 1):
+    * derived from md5(plane + ":" + dim) — engine-independent, no RNG
+    * state. Computed ONCE driver-side per (plane, dim); embedding the
+    * values as array literals saves every row from re-hashing a
+    * constant (planes × dim md5 calls per row otherwise).
     */
-  private def planeComponent(plane: Int, dim: Column): Column =
-    (conv(substring(md5(concat(lit(plane.toString), lit(":"),
-      dim.cast("string"))), 1, 8), 16, 10).cast("long")
-      .cast("double") / lit(2147483648.0)) - 1.0
+  private def planeComponent(plane: Int, dim: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(s"$plane:$dim"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = d.take(4).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex, 16).toDouble / 2147483648.0 - 1.0
+  }
+
+  private val maxSrpDim = 512
 
   /** Sign-random-projection signature: one bit per hyperplane —
     * bit_p = (Σ_d v[d] * plane(p, d)) >= 0. Vectors with equal
-    * signatures land in the same bucket.
+    * signatures land in the same bucket. Supports dims up to
+    * `maxSrpDim` (plane matrices are constant-folded literals).
     */
   def srpSignature(vec: Column, planes: Int = 8): Column = {
     val bits = (0 until planes).map { p =>
+      val plane = array((0 until maxSrpDim)
+        .map(d => lit(planeComponent(p, d))): _*)
       val s = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") * planeComponent(p, i)),
+        zip_with(vec, slice(plane, lit(1), size(vec)),
+          (x, w) => x.cast("double") * w),
         lit(0.0), (acc, x) => acc + x)
       when(s >= 0, lit("1")).otherwise(lit("0"))
     }
@@ -136,11 +146,17 @@ object Similarity {
       col(vecCol).as("__qvec"))
     val wCell = Window.partitionBy(col("query_id"))
       .orderBy(col("center_dist").asc, col("cell").asc)
+    // zero-norm guard: nulls sort FIRST ascending in Spark, so an
+    // unguarded divide-by-zero would rank arbitrary cells ahead of
+    // every real distance; degenerate vectors fall back to 0 (cell
+    // order decides, deterministically)
+    val qn = l2Norm(col("__qvec"))
+    val cn = l2Norm(col("center"))
     val probed = q.join(broadcast(centers),
         lit(true))
       .withColumn("center_dist",
-        -dot(col("__qvec"), col("center")) /
-          (l2Norm(col("__qvec")) * l2Norm(col("center"))))
+        when(qn * cn > 0, -dot(col("__qvec"), col("center")) / (qn * cn))
+          .otherwise(lit(0.0)))
       .withColumn("__cr", row_number().over(wCell))
       .filter(col("__cr") <= nprobe)
       .select(col("query_id"), col("__qvec"), col("cell"))

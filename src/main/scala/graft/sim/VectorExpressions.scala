@@ -13,10 +13,14 @@ import org.apache.spark.sql.types._
   * is interpreted per element with closure dispatch and allocates an
   * intermediate array per row — fine for one pass over a table,
   * hopeless inside an all-pairs or bucket-join loop. These expressions
-  * are tight codegen'd loops over the unsafe array data, with the SAME
-  * numeric semantics as the HOF fold: elements widened to double,
-  * sequential left-to-right accumulation (so results stay bit-identical
-  * to the DuckDB oracle's list_sum fold).
+  * are tight codegen'd loops over the unsafe array data with the same
+  * accumulation order as the HOF fold (elements widened to double,
+  * sequential left-to-right — bit-identical to the DuckDB oracle's
+  * list_sum on the engine's null-free fixed-width vectors). Edge
+  * semantics differ from the HOF form BY DESIGN: null elements are
+  * skipped (HOF would null the whole sum) and unequal lengths fold
+  * over the shorter prefix (zip_with would null-pad) — dirty vectors
+  * degrade instead of vanishing.
   *
   * Preference order per the build rules: built-ins first, then custom
   * `Expression` — this is the (b) tier; no UDF.

@@ -70,11 +70,23 @@ object Snapshots {
       keyCols, tsCol, tieBreak)
     val tmpPath = canonicalPath + "__compact_tmp"
     compacted.write.mode("overwrite").parquet(tmpPath)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(canonicalPath)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmpPath), dst)
+    // the path's own filesystem, not the default one (canonicalPath
+    // may be on a non-default scheme)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bak = new org.apache.hadoop.fs.Path(canonicalPath + "__compact_bak")
+    // two renames instead of delete+rename: the unreadable window
+    // shrinks to one rename, and a crash leaves the data recoverable
+    // at __compact_bak rather than gone. (True atomic swap needs a
+    // table format with a metadata pointer — out of scope here.)
+    fs.delete(bak, true)
+    if (!fs.rename(dst, bak))
+      throw new java.io.IOException(s"compact: cannot move $dst aside")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmpPath), dst)) {
+      fs.rename(bak, dst) // restore
+      throw new java.io.IOException(s"compact: cannot publish $tmpPath")
+    }
+    fs.delete(bak, true)
   }
 
   /** Bucketed + sorted managed table: the at-scale layout for the
