@@ -32,6 +32,28 @@ class AsOfIvfSpec extends SparkSpec {
     assert(out.head.getAs[Double]("right_v") == 2.0)
   }
 
+  test("as-of keeps sub-second timestamp order columns intact") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val l = Seq((1L, "k", 10L)).toDF("id", "key", "t")
+    // equal time t=10; updated_at differs only by millis — a long cast
+    // would collapse these into a tie
+    val r = Seq(
+      (5L, "k", 10L, ts("2025-01-01 00:00:00.100"), 1.0),
+      (6L, "k", 10L, ts("2025-01-01 00:00:00.900"), 2.0))
+      .toDF("rid", "key", "t", "updated_at", "v")
+    val out = AsOfJoin.backward(l, r, Seq("key"), "t", "updated_at")
+      .collect()
+    assert(out.head.getAs[Double]("right_v") == 2.0)
+  }
+
+  test("as-of rejects an unorderable order column") {
+    val l = Seq((1L, "k", 10L)).toDF("id", "key", "t")
+    val r = Seq((5L, "k", 10L, Array(1.0), 1.0))
+      .toDF("rid", "key", "t", "arr", "v")
+    assertThrows[IllegalArgumentException](
+      AsOfJoin.backward(l, r, Seq("key"), "t", "arr"))
+  }
+
   test("IVF top-1 recall vs brute force on clustered vectors") {
     val rnd = new scala.util.Random(7)
     // 4 well-separated cluster centers in 8 dims, 40 vectors each
