@@ -476,6 +476,53 @@ object QueriesCore {
         .na.fill(0L)
     },
 
+    // Window-function sampler: lag-with-default, ntile, cume_dist,
+    // percent_rank, nth_value, and a RANGE frame — the analytic SQL
+    // surface an engine user expects beyond the pipeline's own windows.
+    "q44_window_funcs" -> q { (spark, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      // the Scala rangeBetween API is Long-only; a fractional RANGE
+      // frame goes through the SQL window syntax
+      val rangeSum = expr(
+        """SUM(o_totalprice) OVER (
+          |  PARTITION BY o_custkey ORDER BY o_totalprice
+          |  RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW)""".stripMargin)
+      t(spark, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        pround(lag(col("o_totalprice"), 1, 0.0).over(w), 4).as("prev"),
+        ntile(4).over(w).as("quartile"),
+        pround(cume_dist().over(w), 6).as("cd"),
+        pround(percent_rank().over(w), 6).as("pr"),
+        pround(nth_value(col("o_totalprice"), 2).over(w), 4).as("nth2"),
+        pround(rangeSum, 4).as("range_sum"))
+    },
+
+    // Set operations with DISTINCT semantics (EXCEPT / INTERSECT).
+    "q45_set_ops" -> q { (spark, dir) =>
+      val o = t(spark, dir, "orders")
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey")).distinct()
+      val low = o.filter(col("o_orderpriority") === "5-LOW")
+        .select(col("o_custkey")).distinct()
+      urgent.except(low).withColumn("set_op", lit("except"))
+        .unionByName(
+          urgent.intersect(low).withColumn("set_op", lit("intersect")))
+    },
+
+    // Conditional aggregation + struct-max argmax (deterministic via
+    // the (acctbal, custkey) composite).
+    "q46_conditional_agg" -> q { (spark, dir) =>
+      t(spark, dir, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count_if(col("c_acctbal") > 0).as("n_positive"),
+          pround(sum(when(col("c_acctbal") > 0, col("c_acctbal"))
+            .otherwise(0.0)), 4).as("positive_total"),
+          max(struct(col("c_acctbal"), col("c_custkey")))
+            .getField("c_custkey").as("richest_custkey"))
+    },
+
     // Full star-schema reach: lineitem ⋈ part ⋈ supplier ⋈ nation,
     // margin analysis per brand and supplier nation. Dims broadcast.
     "q43_star_schema" -> q { (spark, dir) =>
@@ -826,6 +873,46 @@ object QueriesCore {
         |       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
         |            AS BIGINT) AS P
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q44_window_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+        |       round(lag(o_totalprice, 1, 0.0) OVER w, 4) AS prev,
+        |       CAST(ntile(4) OVER w AS INT) AS quartile,
+        |       round(cume_dist() OVER w, 6) AS cd,
+        |       round(percent_rank() OVER w, 6) AS pr,
+        |       round(nth_value(o_totalprice, 2) OVER w, 4) AS nth2,
+        |       round(SUM(o_totalprice) OVER (
+        |         PARTITION BY o_custkey ORDER BY o_totalprice
+        |         RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW), 4)
+        |         AS range_sum
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin,
+
+    "q45_set_ops" ->
+      """WITH urgent AS (
+        |  SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderpriority = '1-URGENT'),
+        |low AS (
+        |  SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderpriority = '5-LOW')
+        |SELECT o_custkey, 'except' AS set_op
+        |FROM (SELECT o_custkey FROM urgent
+        |      EXCEPT SELECT o_custkey FROM low)
+        |UNION ALL
+        |SELECT o_custkey, 'intersect' AS set_op
+        |FROM (SELECT o_custkey FROM urgent
+        |      INTERSECT SELECT o_custkey FROM low)""".stripMargin,
+
+    "q46_conditional_agg" ->
+      """SELECT c_mktsegment,
+        |       CAST(count_if(c_acctbal > 0) AS BIGINT) AS n_positive,
+        |       round(SUM(CASE WHEN c_acctbal > 0 THEN c_acctbal
+        |                      ELSE 0.0 END), 4) AS positive_total,
+        |       max(struct_pack(c_acctbal := c_acctbal,
+        |                       c_custkey := c_custkey)).c_custkey
+        |         AS richest_custkey
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
 
     "q43_star_schema" ->
       """SELECT p_brand, n_name, COUNT(*) AS n_lines,
