@@ -1,0 +1,48 @@
+package graft
+
+/** Physical-plan regression guard: the scale properties the design
+  * claims must survive refactors. Asserts over the optimizer's plan at
+  * sf0.001 (plan shape, not data).
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir)
+      .queryExecution.executedPlan.toString
+
+  test("no query plans a CartesianProduct") {
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans a cartesian product")
+    }
+  }
+
+  test("dim joins broadcast") {
+    val p = plan("q12_join_enrich")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("global top-k plans as TakeOrderedAndProject") {
+    assert(plan("q33_global_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("ANN broadcasts the query side (nested-loop, corpus unshuffled)") {
+    val p = plan("q28_ann_topk")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("LSH candidates come from an equi-join, not an all-pairs loop") {
+    val p = plan("q25_lsh_pairs")
+    assert(p.contains("Join") && !p.contains("NestedLoop"),
+      p.take(2000))
+  }
+
+  test("filter pushdown reaches the parquet scans") {
+    val p = plan("q12_join_enrich")
+    assert("PushedFilters: \\[[^\\]]".r.findFirstIn(p).isDefined,
+      "expected non-empty PushedFilters")
+  }
+}
