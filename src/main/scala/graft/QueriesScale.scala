@@ -133,6 +133,13 @@ object QueriesScale {
         Dedup.simhash(col("text")).as("simhash"))
     },
 
+    // Banded SimHash near-dup pairs: candidates share an exact 16-bit
+    // band (guaranteed for hamming <= 3 by pigeonhole), re-scored with
+    // exact hamming. Same banded-join scale shape as MinHash-LSH.
+    "q47_simhash_pairs" -> q { (spark, dir) =>
+      Dedup.simhashPairs(docs(spark, dir), maxHamming = 12)
+    },
+
     "q27_embed_norm" -> q { (spark, dir) =>
       vecs(spark, dir).select(col("vec_id"),
         size(col("embedding")).cast("long").as("dim"),
@@ -354,6 +361,46 @@ object QueriesScale {
          |           8 * bits[4*n+1] + 4 * bits[4*n+2] + 2 * bits[4*n+3]
          |           + bits[4*n+4] + 1, 1)), '') AS simhash
          |FROM v""".stripMargin,
+
+    "q47_simhash_pairs" ->
+      s"""WITH $toksSql,
+         |h AS (
+         |  SELECT doc_id,
+         |         list_transform(tk, t -> substr(md5(t), 1, 16)) AS hs
+         |  FROM toks),
+         |v AS (
+         |  SELECT doc_id,
+         |         list_transform(generate_series(0, 63), j ->
+         |           CASE WHEN COALESCE(list_sum(list_transform(hs, h ->
+         |             2 * (((strpos('0123456789abcdef',
+         |                    substr(h, (j // 4) + 1, 1)) - 1)
+         |                   >> (3 - (j % 4))) & 1) - 1)), 0) > 0
+         |           THEN 1 ELSE 0 END) AS bits
+         |  FROM h),
+         |sh AS (
+         |  SELECT doc_id,
+         |         array_to_string(list_transform(generate_series(0, 15),
+         |           n -> substr('0123456789abcdef',
+         |             8 * bits[4*n+1] + 4 * bits[4*n+2] + 2 * bits[4*n+3]
+         |             + bits[4*n+4] + 1, 1)), '') AS s
+         |  FROM v),
+         |banded AS (
+         |  SELECT doc_id, s, b.b AS band_idx,
+         |         substr(s, b.b * 4 + 1, 4) AS band_val
+         |  FROM sh CROSS JOIN (SELECT unnest([0,1,2,3]) AS b) b),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b,
+         |         CAST(list_sum(list_transform(generate_series(1, 16),
+         |           i -> bit_count(xor(
+         |             strpos('0123456789abcdef', substr(a.s, i, 1)) - 1,
+         |             strpos('0123456789abcdef', substr(bb.s, i, 1)) - 1
+         |           )))) AS INT) AS hamming
+         |  FROM banded a
+         |  JOIN banded bb ON a.band_idx = bb.band_idx
+         |               AND a.band_val = bb.band_val
+         |               AND a.doc_id < bb.doc_id)
+         |SELECT id_a, id_b, hamming FROM pairs
+         |WHERE hamming <= 12""".stripMargin,
 
     "q27_embed_norm" ->
       """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,

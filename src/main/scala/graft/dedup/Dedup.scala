@@ -104,6 +104,48 @@ object Dedup {
     */
   def simhash(text: Column): Column = HashExpressions.simhash(text)
 
+  /** Hamming distance between two 16-hex-char SimHash strings (nibble
+    * XOR popcounts — plain string/bit ops, portable to the oracle).
+    */
+  def simhashHamming(a: Column, b: Column): Column = {
+    val hexDigits = "0123456789abcdef"
+    (0 until 16).map { i =>
+      val na = instr(lit(hexDigits), substring(a, i + 1, 1)) - 1
+      val nb = instr(lit(hexDigits), substring(b, i + 1, 1)) - 1
+      bit_count(na.bitwiseXOR(nb)).cast("int")
+    }.reduce(_ + _)
+  }
+
+  /** SimHash near-dup candidate pairs: banded-LSH over the 64-bit
+    * signature (4 bands of 16 bits; hamming <= 3 GUARANTEES a shared
+    * band by pigeonhole; larger thresholds trade recall) re-scored
+    * with exact hamming distance. Join is on exact band values — no
+    * all-pairs comparison, same scale shape as MinHash-LSH.
+    */
+  def simhashPairs(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text",
+                   maxHamming: Int = 3): DataFrame = {
+    val banded = docs
+      .select(col(idCol), col(textCol))
+      .repartition(col(idCol))
+      .withColumn("sh", simhash(col(textCol)))
+      .repartition(col(idCol))
+      .select(col(idCol), col("sh"),
+        posexplode(array((0 until 4).map(b =>
+          col("sh").substr(b * 4 + 1, 4)): _*))
+          .as(Seq("band_idx", "band_val")))
+    val a = banded.select(col(idCol).as("id_a"), col("sh").as("sh_a"),
+      col("band_idx"), col("band_val"))
+    val b = banded.select(col(idCol).as("id_b"), col("sh").as("sh_b"),
+      col("band_idx"), col("band_val"))
+    a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        simhashHamming(col("sh_a"), col("sh_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Exact word n-gram Jaccard similarity between two shingle-set
     * columns: |A∩B| / |A∪B| over distinct shingles.
     */

@@ -73,6 +73,16 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(hamming(sh(1L), sh(5L)) < hamming(sh(1L), sh(4L)))
   }
 
+  test("simhash banded pairs find exact dups at hamming 0") {
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 3).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Int]("hamming")))
+    // docs 1 and 2 are byte-identical -> hamming 0
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+    // the unrelated doc 4 never pairs at <= 3 bits
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("jaccard of shingle sets") {
     val j = docs.filter($"doc_id".isin(1L, 5L))
       .agg(collect_list(struct($"doc_id", $"text"))).collect()
