@@ -22,15 +22,34 @@ def norm_cell(v):
             return "NaN"
         if v == 0.0:
             return 0.0  # fold -0.0 and 0.0 (str-sort would split them)
-        return round(v, 9)
+        return v
     if isinstance(v, bool):
         return bool(v)
     return v
 
+def sort_key(t):
+    # Sort on non-float columns first (they are the row identity in
+    # every catalog query); floats join the key only as a coarse
+    # (6-dp) tiebreak so two engines straddling a 1e-9 rounding
+    # boundary still align row-for-row for the epsilon compare.
+    non_f = tuple((x is None, str(x)) for x in t
+                  if not isinstance(x, float))
+    f = tuple(round(x, 6) for x in t if isinstance(x, float))
+    return (non_f, f)
+
+def cells_equal(a, b):
+    if isinstance(a, float) and isinstance(b, float):
+        return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
+    return a == b
+
+def rows_equal(a, b):
+    return len(a) == len(b) and all(
+        cells_equal(x, y) for x, y in zip(a, b))
+
 def norm_rows(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
-    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    out.sort(key=sort_key)
     return [cols[i] for i in order], out
 
 def main():
@@ -40,8 +59,11 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{vout}/oracle_sql.json"))
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     failures = 0
     for name in sorted(oracle):
+        if only is not None and name not in only:
+            continue
         files = glob.glob(f"{vout}/{name}/*.parquet")
         if not files:
             print(f"{name}: MISSING spark output")
@@ -70,7 +92,7 @@ def main():
             print(f"{name}: ROWCOUNT spark={len(g)} oracle={len(w)}")
             failures += 1
             continue
-        bad = [(a, b) for a, b in zip(g, w) if a != b]
+        bad = [(a, b) for a, b in zip(g, w) if not rows_equal(a, b)]
         if bad:
             print(f"{name}: {len(bad)} MISMATCHED rows of {len(g)}; "
                   f"first: spark={bad[0][0]} oracle={bad[0][1]} cols={gc}")

@@ -106,6 +106,8 @@ object Flatten {
     * side-channel instead.
     */
   def standardizeOdds(games: DataFrame, marketKeys: Seq[String]): DataFrame = {
+    require(marketKeys.nonEmpty,
+      "standardizeOdds: marketKeys must be non-empty")
     val flattened = marketKeys.map(flattenMarket(games, _))
       .reduce(_ unionByName _)
     flattened
@@ -118,9 +120,12 @@ object Flatten {
     * rows, `odds_utils.py:223-230`), for observability.
     */
   def standardizeRejects(games: DataFrame,
-                         marketKeys: Seq[String]): DataFrame =
+                         marketKeys: Seq[String]): DataFrame = {
+    require(marketKeys.nonEmpty,
+      "standardizeRejects: marketKeys must be non-empty")
     marketKeys.map(flattenMarket(games, _)).reduce(_ unionByName _)
       .filter(col("price_decimal").isNull || col("price_decimal") <= 1)
+  }
 
   /** F5 `parse_market` (`src/analysis.py:9-23`): per (game, outcome)
     * keep the best price and its bookmaker. pandas keeps the FIRST max

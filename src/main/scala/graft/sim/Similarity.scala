@@ -76,7 +76,10 @@ object Similarity {
   /** Sign-random-projection signature: one bit per hyperplane —
     * bit_p = (Σ_d v[d] * plane(p, d)) >= 0. Vectors with equal
     * signatures land in the same bucket. Supports dims up to
-    * `maxSrpDim` (plane matrices are constant-folded literals).
+    * `maxSrpDim` (plane matrices are constant-folded literals); an
+    * oversized vector FAILS LOUDLY via raise_error — silently
+    * null-padding past the plane would collapse every >maxSrpDim
+    * vector into one bucket (quadratic candidate blowup downstream).
     */
   def srpSignature(vec: Column, planes: Int = 8): Column = {
     val bits = (0 until planes).map { p =>
@@ -88,7 +91,10 @@ object Similarity {
         lit(0.0), (acc, x) => acc + x)
       when(s >= 0, lit("1")).otherwise(lit("0"))
     }
-    concat(bits: _*)
+    when(size(vec) <= maxSrpDim, concat(bits: _*))
+      .otherwise(raise_error(concat(
+        lit(s"srpSignature: vector dim "), size(vec).cast("string"),
+        lit(s" exceeds maxSrpDim=$maxSrpDim"))))
   }
 
   /** LSH-bucketed ANN: candidates = pairs sharing an SRP bucket,

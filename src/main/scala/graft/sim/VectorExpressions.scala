@@ -2,6 +2,7 @@ package graft.sim
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -41,6 +42,23 @@ object VectorExpressions {
       case _ => throw new IllegalArgumentException(s"bad element type $et")
     }
 
+  /** Analysis-time input check shared by the vector expressions:
+    * arguments must be float/double arrays, so a misuse fails with a
+    * readable AnalysisException instead of a ClassCastException at
+    * codegen/execution time.
+    */
+  private def checkVectorInputs(fn: String,
+                                inputs: Seq[Expression]): TypeCheckResult = {
+    inputs.zipWithIndex.collectFirst {
+      case (e, i) if !e.dataType.isInstanceOf[ArrayType] ||
+          !Set[DataType](FloatType, DoubleType).contains(
+            e.dataType.asInstanceOf[ArrayType].elementType) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$fn requires array<float>/array<double> arguments, " +
+            s"argument ${i + 1} is ${e.dataType.catalogString}")
+    }.getOrElse(TypeCheckResult.TypeCheckSuccess)
+  }
+
   /** Σ a[i]*b[i] in double precision; null if either input is null.
     * Null array elements are treated as 0 contribution (the testdata
     * vectors carry none).
@@ -48,6 +66,8 @@ object VectorExpressions {
   case class DotProduct(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkVectorInputs("dot_product", Seq(left, right))
     private def elemType(e: Expression): DataType =
       e.dataType.asInstanceOf[ArrayType].elementType
 
@@ -93,6 +113,8 @@ object VectorExpressions {
   /** sqrt(Σ a[i]^2) in double precision; null if input is null. */
   case class L2Norm(child: Expression) extends UnaryExpression {
     override def dataType: DataType = DoubleType
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkVectorInputs("l2_norm", Seq(child))
     private def elemType: DataType =
       child.dataType.asInstanceOf[ArrayType].elementType
 

@@ -80,9 +80,12 @@ object TextAnalysis {
   def langId(text: Column,
              markers: Seq[(String, Seq[String])] = defaultMarkers): Column = {
     val padded = concat(lit(" "), lower(text), lit(" "))
+    // literal replace, NOT regexp_replace: the markers are plain
+    // strings, and skipping the regex engine per (row, marker) is a
+    // measurable win on a wide corpus scan
     def markerCount(m: String): Column =
-      (length(padded) - length(regexp_replace(padded,
-        java.util.regex.Pattern.quote(m), ""))) / m.length
+      (length(padded) - length(replace(padded, lit(m), lit("")))) /
+        m.length
     val scores = markers.map { case (lang, ms) =>
       lang -> ms.map(markerCount).reduce(_ + _)
     }
