@@ -162,30 +162,38 @@ object QueriesScale {
         .filter(col("rank") <= 5)
     },
 
+    // Banded SRP-LSH near-dup (VERDICT r1 #2): candidates share a 4-bit
+    // SRP band (equi-join — never the all-pairs square), exact-cosine
+    // rescore. The brute-force all-pairs variant survives only as a
+    // small-SF recall spec (DedupSimilaritySpec).
     "q29_embed_neardup" -> q { (spark, dir) =>
-      val v = vecs(spark, dir).select(col("vec_id"),
-        col("embedding"), Similarity.l2Norm(col("embedding")).as("nrm"))
-      val a = v.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
-        col("nrm").as("na"))
-      val b = v.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
-        col("nrm").as("nb"))
-      a.join(b, col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          pround(Similarity.dot(col("ea"), col("eb"))
-            / (col("na") * col("nb")), 6).as("cosine_sim"))
-        .filter(col("cosine_sim") >= 0.35)
+      Similarity.nearDuplicates(vecs(spark, dir), threshold = 0.35,
+        planes = 16, bands = 4, roundSim = Some(6))
     },
 
-    // IVF ANN (KMeans coarse quantizer + nprobe cells + exact rescore)
-    // — no DuckDB oracle (KMeans isn't reproducible there); the driver
-    // records a rows-only check, and DedupSimilaritySpec pins recall
-    // against brute force.
+    // SRP-bucket ANN top-k, oracle-checked (VERDICT r1 #3): the SRP
+    // planes are md5-derived literals, so DuckDB reproduces bucket
+    // assignment exactly.
+    "q48_lsh_topk" -> q { (spark, dir) =>
+      val v = vecs(spark, dir)
+      Similarity.lshTopK(v, v.filter(col("vec_id") % 40 === 0), k = 5,
+        planes = 8, roundSim = Some(6))
+    },
+
+    // IVF ANN, online path only (VERDICT r1 #4): the coarse quantizer
+    // is the deterministic grid (pre-trained centroids — literals in
+    // both engines); the query is pure assign → probe → rescore, no
+    // fit in the timed path. Oracle-checked: cell assignment and
+    // probing reproduce exactly in DuckDB over the centroid literal
+    // table. The KMeans OFFLINE fit lives in
+    // Similarity.fitIvfCentroids (recall-pinned in AsOfIvfSpec).
     "q36_ann_ivf" -> q { (spark, dir) =>
       val v = vecs(spark, dir)
-      Similarity.ivfTopK(v, v.filter(col("vec_id") % 40 === 0), k = 5,
-          nlist = 8, nprobe = 4)
+      Similarity.ivfTopK(v, v.filter(col("vec_id") % 40 === 0),
+          Similarity.gridCentroids(8, 64), k = 5, nprobe = 4,
+          roundSim = Some(6))
         .select(col("query_id"), col("neighbor_id"), col("rank"),
-          pround(col("cosine_sim"), 6).as("cosine_sim"))
+          col("cosine_sim"))
     },
 
     // End-to-end corpus cleaning: quality-filter -> language-filter ->
@@ -211,8 +219,11 @@ object QueriesScale {
     },
 
     // Multimodal plumbing through the driver harness: deterministic
-    // synthetic assets -> mapPartitions decode -> typed features. No
-    // SQL oracle (binary payloads + stub codec); rows-only check.
+    // synthetic assets -> mapPartitions decode -> typed features.
+    // Oracle-checked (VERDICT r1 #5): payload bytes are a pure
+    // function of asset_id and the stub codec hashes the payload's
+    // hex encoding, so DuckDB reconstructs payload, content hash, and
+    // feature 0 exactly.
     "q42_multimodal_features" -> q { (spark, dir) =>
       import graft.multimodal.Multimodal
       val n = 256
@@ -222,6 +233,42 @@ object QueriesScale {
           col("content_hash"),
           pround(col("feature").getItem(0).cast("double"), 6)
             .as("f0"))
+    },
+
+    // RandomForest forecast check (VERDICT r1 #7): seeded RF (100
+    // trees, seed 42 — reference parity) over the q08 rolling-feature
+    // pipeline, deterministic train/test split. RF leaf values are
+    // averages of training labels, so predictions provably lie within
+    // [min, max] of the training target — that invariant plus the
+    // exact split counts is the portable surface DuckDB can oracle;
+    // a broken RF path (nulls, NaNs, garbage) flips the boolean and
+    // fails the hash.
+    "q49_rf_forecast" -> q { (spark, dir) =>
+      import graft.forecast.Models
+      val wo = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val feats = t(spark, dir, "events")
+        .withColumn("rolling_avg",
+          avg(col("value")).over(wo.rowsBetween(-4, 0)))
+        .withColumn("target", lead(col("value"), 1).over(wo))
+        .filter(col("target").isNotNull)
+        .select(col("event_id"), col("rolling_avg"), col("target"))
+      val train = feats.filter(col("event_id") % 5 =!= 0)
+      val test = feats.filter(col("event_id") % 5 === 0)
+      val model = Models.train(train, "random_forest",
+        featureCols = Seq("rolling_avg"), labelCol = "target")
+      val bounds = train.agg(min(col("target")).as("lo"),
+        max(col("target")).as("hi"), count(lit(1)).as("n_train"))
+      Models.predict(model, test)
+        .crossJoin(broadcast(bounds))
+        .agg(
+          count(lit(1)).as("n_test"),
+          min(col("n_train")).as("n_train"),
+          (count(when(col("prediction").isNotNull &&
+            !isnan(col("prediction")) &&
+            col("prediction") >= col("lo") &&
+            col("prediction") <= col("hi"), 1)) === count(lit(1)))
+            .as("preds_in_train_range"))
     },
 
     "q30_linreg_forecast" -> q { (spark, dir) =>
@@ -242,6 +289,56 @@ object QueriesScale {
         .toDF("slope", "intercept", "n")
     }
   )
+
+  /** DuckDB literal table of SRP hyperplanes 0..planes-1 (first `dims`
+    * components): the EXACT constants Spark constant-folds into
+    * `srpSignature` (Double.toString round-trips), so bucket
+    * assignment matches bit-for-bit across engines.
+    */
+  private def planesSql(planes: Int, dims: Int = 64): String = {
+    val rows = (0 until planes).map { p =>
+      "(" + p + ", [" +
+        Similarity.planeLiteral(p, dims).mkString(", ") + "])"
+    }.mkString(",\n      ")
+    s"""planes(p, w) AS (
+       |  SELECT * FROM (VALUES
+       |      $rows) AS t(p, w))""".stripMargin
+  }
+
+  /** SRP signature per vector — same bit rule as `srpSignature`
+    * (bit_p = dot(vec, plane_p) >= 0, planes in index order).
+    */
+  private val srpSigsSql: String =
+    """srp AS (
+      |  SELECT e.vec_id,
+      |         string_agg(CASE WHEN list_sum(list_transform(
+      |             generate_series(1, len(e.embedding)),
+      |             i -> CAST(e.embedding[i] AS DOUBLE) * p.w[i])) >= 0
+      |           THEN '1' ELSE '0' END, '' ORDER BY p.p) AS sig
+      |  FROM embeddings e CROSS JOIN planes p
+      |  GROUP BY e.vec_id)""".stripMargin
+
+  private val vNormSql: String =
+    """v AS (
+      |  SELECT vec_id, embedding,
+      |         sqrt(list_sum(list_transform(embedding,
+      |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings)""".stripMargin
+
+  /** DuckDB literal table of grid-quantizer centroids (cell, weights,
+    * norm) — the same constants `ivfTopK` folds in, norms included so
+    * both engines divide by the identical literal.
+    */
+  private def centsSql(nlist: Int, dims: Int = 64): String = {
+    val rows = (0 until nlist).map { c =>
+      val a = (0 until dims).map(Similarity.ivfComponent(c, _))
+      val nrm = math.sqrt(a.map(x => x * x).sum)
+      s"($c, [${a.mkString(", ")}], $nrm)"
+    }.mkString(",\n      ")
+    s"""cents(c, w, nrm) AS (
+       |  SELECT * FROM (VALUES
+       |      $rows) AS t(c, w, nrm))""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "q20_token_stats" ->
@@ -431,20 +528,89 @@ object QueriesScale {
         |QUALIFY row_number() OVER w <= 5""".stripMargin,
 
     "q29_embed_neardup" ->
-      """WITH v AS (
-        |  SELECT vec_id, embedding,
-        |         sqrt(list_sum(list_transform(embedding,
-        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-        |  FROM embeddings),
-        |p AS (
-        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |         round(list_sum(list_transform(generate_series(1, 64),
-        |             i -> CAST(a.embedding[i] AS DOUBLE)
-        |                  * CAST(b.embedding[i] AS DOUBLE)))
-        |           / (a.nrm * b.nrm), 6) AS cosine_sim
-        |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
-        |SELECT id_a, id_b, cosine_sim FROM p
-        |WHERE cosine_sim >= 0.35""".stripMargin,
+      s"""WITH ${planesSql(16)},
+         |$srpSigsSql,
+         |banded AS (
+         |  SELECT s.vec_id, b.b AS band_idx,
+         |         substr(s.sig, b.b * 4 + 1, 4) AS band_val
+         |  FROM srp s CROSS JOIN (SELECT unnest([0,1,2,3]) AS b) b),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, bb.vec_id AS id_b
+         |  FROM banded a
+         |  JOIN banded bb ON a.band_idx = bb.band_idx
+         |               AND a.band_val = bb.band_val
+         |               AND a.vec_id < bb.vec_id),
+         |$vNormSql,
+         |p AS (
+         |  SELECT c.id_a, c.id_b,
+         |         round(list_sum(list_transform(generate_series(1, 64),
+         |             i -> CAST(a.embedding[i] AS DOUBLE)
+         |                  * CAST(b.embedding[i] AS DOUBLE)))
+         |           / (a.nrm * b.nrm), 6) AS cosine_sim
+         |  FROM cand c
+         |  JOIN v a ON a.vec_id = c.id_a
+         |  JOIN v b ON b.vec_id = c.id_b)
+         |SELECT id_a, id_b, cosine_sim FROM p
+         |WHERE cosine_sim >= 0.35""".stripMargin,
+
+    "q36_ann_ivf" ->
+      s"""WITH ${centsSql(8)},
+         |scored AS (
+         |  SELECT e.vec_id, c.c AS cell,
+         |         list_sum(list_transform(
+         |             generate_series(1, len(e.embedding)),
+         |             i -> CAST(e.embedding[i] AS DOUBLE) * c.w[i]))
+         |           / c.nrm AS s
+         |  FROM embeddings e CROSS JOIN cents c),
+         |assign AS (
+         |  SELECT vec_id, list_position(ls, list_max(ls)) - 1 AS cell
+         |  FROM (SELECT vec_id, list(s ORDER BY cell) AS ls
+         |        FROM scored GROUP BY vec_id)),
+         |probes AS (
+         |  SELECT vec_id AS query_id, cell
+         |  FROM scored WHERE vec_id % 40 = 0
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY s DESC, cell ASC) <= 4),
+         |$vNormSql,
+         |p AS (
+         |  SELECT pr.query_id, a.vec_id AS neighbor_id,
+         |         round(list_sum(list_transform(generate_series(1, 64),
+         |             i -> CAST(qv.embedding[i] AS DOUBLE)
+         |                  * CAST(cv.embedding[i] AS DOUBLE)))
+         |           / (qv.nrm * cv.nrm), 6) AS cosine_sim
+         |  FROM probes pr
+         |  JOIN assign a ON a.cell = pr.cell AND a.vec_id <> pr.query_id
+         |  JOIN v qv ON qv.vec_id = pr.query_id
+         |  JOIN v cv ON cv.vec_id = a.vec_id)
+         |SELECT query_id, neighbor_id,
+         |       CAST(row_number() OVER w AS INT) AS rank, cosine_sim
+         |FROM p
+         |WINDOW w AS (PARTITION BY query_id
+         |             ORDER BY cosine_sim DESC, neighbor_id ASC)
+         |QUALIFY row_number() OVER w <= 5""".stripMargin,
+
+    "q48_lsh_topk" ->
+      s"""WITH ${planesSql(8)},
+         |$srpSigsSql,
+         |$vNormSql,
+         |b AS (
+         |  SELECT v.vec_id, v.embedding, v.nrm, s.sig
+         |  FROM v JOIN srp s USING (vec_id)),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         round(list_sum(list_transform(generate_series(1, 64),
+         |             i -> CAST(q.embedding[i] AS DOUBLE)
+         |                  * CAST(c.embedding[i] AS DOUBLE)))
+         |           / (q.nrm * c.nrm), 6) AS cosine_sim
+         |  FROM b q JOIN b c
+         |    ON q.sig = c.sig AND q.vec_id % 40 = 0
+         |   AND c.vec_id <> q.vec_id)
+         |SELECT query_id, neighbor_id, cosine_sim,
+         |       CAST(row_number() OVER w AS INT) AS rank
+         |FROM scored
+         |WINDOW w AS (PARTITION BY query_id
+         |             ORDER BY cosine_sim DESC, neighbor_id ASC)
+         |QUALIFY row_number() OVER w <= 5""".stripMargin,
 
     "q41_clean_corpus" ->
       """WITH t AS (
@@ -492,6 +658,44 @@ object QueriesScale {
         |FROM filtered
         |QUALIFY row_number() OVER (
         |  PARTITION BY fingerprint ORDER BY doc_id ASC) = 1""".stripMargin,
+
+    "q49_rf_forecast" ->
+      """WITH w AS (
+        |  SELECT event_id,
+        |         LEAD(value, 1) OVER (
+        |           PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |           AS target
+        |  FROM events),
+        |f AS (SELECT event_id FROM w WHERE target IS NOT NULL)
+        |SELECT CAST(SUM(CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_test,
+        |       CAST(SUM(CASE WHEN event_id % 5 <> 0 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_train,
+        |       TRUE AS preds_in_train_range
+        |FROM f""".stripMargin,
+
+    "q42_multimodal_features" ->
+      """WITH a AS (
+        |  SELECT i AS asset_id,
+        |         CASE CAST(i % 3 AS INT) WHEN 0 THEN 'image'
+        |              WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |         128 + (i % 64) AS n
+        |  FROM range(0, 256) t(i)),
+        |h AS (
+        |  SELECT asset_id, media_type, CAST(n AS BIGINT) AS n_bytes,
+        |         md5(lower(array_to_string(list_transform(
+        |           generate_series(0, n - 1),
+        |           j -> lpad(to_hex((asset_id * 31 + j * 7) % 256),
+        |                     2, '0')), ''))) AS content_hash
+        |  FROM a)
+        |SELECT asset_id, media_type, n_bytes, content_hash,
+        |       round(CAST(CAST(
+        |           (strpos('0123456789abcdef',
+        |              substr(content_hash, 1, 1)) - 1) * 16
+        |           + (strpos('0123456789abcdef',
+        |              substr(content_hash, 2, 1)) - 1)
+        |         AS FLOAT) / CAST(255.0 AS FLOAT) AS DOUBLE), 6) AS f0
+        |FROM h""".stripMargin,
 
     "q30_linreg_forecast" ->
       """SELECT round(regr_slope(value, CAST(user_id AS DOUBLE)), 4)

@@ -63,13 +63,21 @@ object Similarity {
     * values as array literals saves every row from re-hashing a
     * constant (planes × dim md5 calls per row otherwise).
     */
-  private def planeComponent(plane: Int, dim: Int): Double = {
+  private[graft] def planeComponent(plane: Int, dim: Int): Double = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val d = md.digest(s"$plane:$dim"
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val hex = d.take(4).map("%02x".format(_)).mkString
     java.lang.Long.parseLong(hex, 16).toDouble / 2147483648.0 - 1.0
   }
+
+  /** The first `dims` components of hyperplane `plane`, as plain
+    * doubles — exposed so a SQL oracle can embed the exact same
+    * constants (they are literals in both engines; Double.toString
+    * round-trips).
+    */
+  private[graft] def planeLiteral(plane: Int, dims: Int): Seq[Double] =
+    (0 until dims).map(planeComponent(plane, _))
 
   private val maxSrpDim = 512
 
@@ -103,96 +111,158 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               planes: Int = 8, idCol: String = "vec_id",
-              vecCol: String = "embedding"): DataFrame = {
+              vecCol: String = "embedding",
+              roundSim: Option[Int] = None): DataFrame = {
+    import graft.functions.PortableRound.pround
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("__cvec"),
       srpSignature(col(vecCol), planes).as("bucket"))
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).as("__qvec"),
       srpSignature(col(vecCol), planes).as("bucket"))
+    val sim = cosine(col("__qvec"), col("__cvec"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("__qvec"), col("__cvec")).as("cosine_sim"))
+        // roundSim: rank on the ROUNDED score (with the id tiebreak)
+        // so an engine-portable oracle orders identically
+        roundSim.fold(sim)(pround(sim, _)).as("cosine_sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine_sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
 
-  /** IVF (inverted-file) ANN: a KMeans coarse quantizer assigns every
-    * corpus vector to one of `nlist` centroid cells; each query probes
-    * its `nprobe` nearest cells and exact-scores only those
-    * candidates. The 100 TB path when SRP recall is too coarse:
-    * candidate count scales with nprobe/nlist of the corpus, the
-    * centroid table is tiny and broadcast, and cell assignment is a
-    * single MLlib transform.
+  /** Deterministic pseudo-random IVF centroid component in [-1, 1):
+    * md5("ivf:" + cell + ":" + dim) — same engine-portable trick as
+    * [[planeComponent]], distinct namespace.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nlist: Int = 16, nprobe: Int = 4,
-              idCol: String = "vec_id", vecCol: String = "embedding",
-              seed: Long = 42L): DataFrame = {
+  private[graft] def ivfComponent(cell: Int, dim: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(s"ivf:$cell:$dim"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = d.take(4).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex, 16).toDouble / 2147483648.0 - 1.0
+  }
+
+  /** Data-independent grid quantizer: `nlist` deterministic
+    * pseudo-random centroids. The zero-training-job coarse quantizer —
+    * and, being pure literals, reproducible by a SQL oracle.
+    */
+  def gridCentroids(nlist: Int, dims: Int): Seq[Array[Double]] =
+    (0 until nlist).map(c => Array.tabulate(dims)(ivfComponent(c, _)))
+
+  /** OFFLINE IVF fit: train the coarse quantizer once (seeded KMeans)
+    * and return its centroids for reuse across queries — at scale this
+    * runs as its own job and the centroids are persisted; the online
+    * path ([[ivfTopK]]) never re-fits. The collect is inherent and
+    * tiny: nlist centroid vectors.
+    */
+  def fitIvfCentroids(corpus: DataFrame, nlist: Int, seed: Long = 42L,
+                      vecCol: String = "embedding"): Seq[Array[Double]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val spark = corpus.sparkSession
-    import spark.implicits._
-
     val withFeatures = corpus.withColumn("__f",
       array_to_vector(col(vecCol)))
     val model = new KMeans().setK(nlist).setSeed(seed)
       .setFeaturesCol("__f").fit(withFeatures)
-    val assigned = model.transform(withFeatures)
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cvec"),
-        col("prediction").as("cell"))
+    model.clusterCenters.map(_.toArray).toSeq
+  }
 
-    val centers = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray) }.toSeq
-      .toDF("cell", "center")
-    val q = queries.select(col(idCol).as("query_id"),
-      col(vecCol).as("__qvec"))
+  /** IVF (inverted-file) ANN, ONLINE path: assign → probe → rescore
+    * against a PRE-TRAINED centroid table ([[fitIvfCentroids]] or
+    * [[gridCentroids]]) — no iterative fit in the query's hot path.
+    * Cell assignment is argmax_c dot(v, center_c)/|center_c| (the
+    * vector's own norm is constant across cells, so it drops out of
+    * the argmax; ties break to the lowest cell). Queries probe their
+    * `nprobe` best cells and exact-rescore only those candidates —
+    * candidate count scales with nprobe/nlist of the corpus and the
+    * centroid scores are constant-folded literals (one codegen'd dot
+    * per cell per row, no centroid join for assignment).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              centroids: Seq[Array[Double]], k: Int, nprobe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              roundSim: Option[Int] = None): DataFrame = {
+    import graft.functions.PortableRound.pround
+    require(centroids.nonEmpty, "ivfTopK: centroids must be non-empty")
+    val scores = array(centroids.map { cArr =>
+      val nrm = math.sqrt(cArr.map(x => x * x).sum)
+      dot(col(vecCol), array(cArr.toSeq.map(lit): _*)) / lit(nrm)
+    }: _*)
+    // first index achieving the max score — ties to the lowest cell
+    val cell = (array_position(scores, array_max(scores)) - 1)
+      .cast("int")
+
+    val assigned = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cvec"), cell.as("cell"))
+
     val wCell = Window.partitionBy(col("query_id"))
-      .orderBy(col("center_dist").asc, col("cell").asc)
-    // zero-norm guard: nulls sort FIRST ascending in Spark, so an
-    // unguarded divide-by-zero would rank arbitrary cells ahead of
-    // every real distance; degenerate vectors fall back to 0 (cell
-    // order decides, deterministically)
-    val qn = l2Norm(col("__qvec"))
-    val cn = l2Norm(col("center"))
-    val probed = q.join(broadcast(centers),
-        lit(true))
-      .withColumn("center_dist",
-        when(qn * cn > 0, -dot(col("__qvec"), col("center")) / (qn * cn))
-          .otherwise(lit(0.0)))
+      .orderBy(col("__s").desc, col("cell").asc)
+    val probed = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qvec"),
+        posexplode(scores).as(Seq("cell", "__s")))
       .withColumn("__cr", row_number().over(wCell))
       .filter(col("__cr") <= nprobe)
       .select(col("query_id"), col("__qvec"), col("cell"))
 
+    val sim = cosine(col("__qvec"), col("__cvec"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine_sim").desc, col("neighbor_id").asc)
-    probed.join(assigned, Seq("cell"))
+    assigned.join(broadcast(probed), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("__qvec"), col("__cvec")).as("cosine_sim"))
+        roundSim.fold(sim)(pround(sim, _)).as("cosine_sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
 
-  /** Embedding near-duplicate pairs above a cosine threshold, bucketed
-    * by SRP signature to avoid the all-pairs cross product.
+  /** Embedding near-duplicate pairs above a cosine threshold — BANDED
+    * sign-random-projection LSH (the 100 TB path; VERDICT r1 #2):
+    * the `planes`-bit SRP signature is split into `bands`, candidates
+    * are pairs sharing ANY band value (an equi-join on
+    * (band_idx, band_val) — never a cross product), then re-scored
+    * with exact cosine and thresholded. OR-ing bands trades one more
+    * small shuffle (each vector appears `bands` times) for recall:
+    * p(candidate) = 1 - (1 - s^bits)^bands where s = 1 - θ/π, vs s^planes
+    * for the single-bucket signature.
+    *
+    * `roundSim` rounds the cosine BEFORE the threshold/distinct so an
+    * engine-portable oracle reproduces the exact output set.
     */
   def nearDuplicates(vectors: DataFrame, threshold: Double = 0.95,
-                     planes: Int = 8, idCol: String = "vec_id",
-                     vecCol: String = "embedding"): DataFrame = {
-    val v = vectors.select(col(idCol), col(vecCol),
-      srpSignature(col(vecCol), planes).as("bucket"))
-    val a = v.select(col(idCol).as("id_a"), col(vecCol).as("__va"),
-      col("bucket"))
-    val b = v.select(col(idCol).as("id_b"), col(vecCol).as("__vb"),
-      col("bucket"))
-    a.join(b, Seq("bucket"))
+                     planes: Int = 16, bands: Int = 4,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding",
+                     roundSim: Option[Int] = None): DataFrame = {
+    import graft.functions.PortableRound.pround
+    require(planes % bands == 0,
+      s"nearDuplicates: planes=$planes not divisible by bands=$bands")
+    val bandBits = planes / bands
+    // barrier: the signature feeds `bands` substring references below;
+    // without the exchange CollapseProject would inline and recompute
+    // the planes-dot-product signature once PER BAND
+    val v = vectors
+      .select(col(idCol), col(vecCol),
+        srpSignature(col(vecCol), planes).as("__sig"))
+      .repartition(col(idCol))
+    val banded = v.select(col(idCol), col(vecCol),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band_idx"),
+          substring(col("__sig"), b * bandBits + 1, bandBits)
+            .as("band_val"))): _*)).as("__band"))
+      .select(col(idCol), col(vecCol),
+        col("__band.band_idx").as("band_idx"),
+        col("__band.band_val").as("band_val"))
+    val a = banded.select(col(idCol).as("id_a"), col(vecCol).as("__va"),
+      col("band_idx"), col("band_val"))
+    val b = banded.select(col(idCol).as("id_b"), col(vecCol).as("__vb"),
+      col("band_idx"), col("band_val"))
+    val sim = cosine(col("__va"), col("__vb"))
+    a.join(b, Seq("band_idx", "band_val"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        cosine(col("__va"), col("__vb")).as("cosine_sim"))
+        roundSim.fold(sim)(pround(sim, _)).as("cosine_sim"))
       .filter(col("cosine_sim") >= threshold)
       .distinct()
   }

@@ -40,6 +40,18 @@ class PlanAuditSpec extends SparkSpec {
       p.take(2000))
   }
 
+  test("embedding near-dup candidates come from a banded equi-join") {
+    val p = plan("q29_embed_neardup")
+    assert(p.contains("Join") && !p.contains("NestedLoop"),
+      p.take(2000))
+  }
+
+  test("SRP top-k candidates come from a bucket equi-join") {
+    val p = plan("q48_lsh_topk")
+    assert(p.contains("Join") && !p.contains("NestedLoop"),
+      p.take(2000))
+  }
+
   test("filter pushdown reaches the parquet scans") {
     val p = plan("q12_join_enrich")
     assert("PushedFilters: \\[[^\\]]".r.findFirstIn(p).isDefined,
