@@ -32,19 +32,27 @@ object Multimodal {
   /** STUB codec: deterministic bytes → fixed-width feature vector.
     * Stands in for image decode / audio spectrogram / video
     * frame-sample; real implementations replace this body only.
+    *
+    * Hashes run over the payload's lowercase HEX encoding (injective,
+    * so content identity is unchanged) rather than the raw bytes:
+    * that makes the stub's outputs expressible in engines whose
+    * cryptographic hash only accepts strings — which is what lets the
+    * driver's SQL oracle check q42 end-to-end (VERDICT r1 #5).
     */
   object MediaCodec {
     val featureDim = 8
+    private def hexDigest(payload: Array[Byte]): Array[Byte] = {
+      val hex = (if (payload == null) Array.emptyByteArray else payload)
+        .map("%02x".format(_)).mkString
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(hex.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     def decodeFeatures(payload: Array[Byte]): Array[Float] = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val d = md.digest(if (payload == null) Array.emptyByteArray else payload)
+      val d = hexDigest(payload)
       (0 until featureDim).map(i => (d(i) & 0xff) / 255.0f).toArray
     }
-    def contentHash(payload: Array[Byte]): String = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      md.digest(if (payload == null) Array.emptyByteArray else payload)
-        .map("%02x".format(_)).mkString
-    }
+    def contentHash(payload: Array[Byte]): String =
+      hexDigest(payload).map("%02x".format(_)).mkString
   }
 
   /** Decode + feature-extract every asset: partition-parallel, one

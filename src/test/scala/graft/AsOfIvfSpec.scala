@@ -66,7 +66,10 @@ class AsOfIvfSpec extends SparkSpec {
     val brute = Similarity.bruteForceTopK(vecs, queries, 1)
       .collect().map(r => r.getAs[Long]("query_id") ->
         r.getAs[Long]("neighbor_id")).toMap
-    val ivf = Similarity.ivfTopK(vecs, queries, 1, nlist = 4, nprobe = 2)
+    // offline fit (once), online probe (per query) — the split the
+    // production q36 path relies on
+    val centroids = Similarity.fitIvfCentroids(vecs, nlist = 4)
+    val ivf = Similarity.ivfTopK(vecs, queries, centroids, 1, nprobe = 2)
       .collect().map(r => r.getAs[Long]("query_id") ->
         r.getAs[Long]("neighbor_id")).toMap
     val recall = brute.keys.count(k => ivf.get(k) == brute.get(k))
