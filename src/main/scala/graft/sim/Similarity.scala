@@ -79,31 +79,23 @@ object Similarity {
   private[graft] def planeLiteral(plane: Int, dims: Int): Seq[Double] =
     (0 until dims).map(planeComponent(plane, _))
 
-  private val maxSrpDim = 512
+  private[graft] val maxSrpDim = 512
 
   /** Sign-random-projection signature: one bit per hyperplane —
     * bit_p = (Σ_d v[d] * plane(p, d)) >= 0. Vectors with equal
     * signatures land in the same bucket. Supports dims up to
-    * `maxSrpDim` (plane matrices are constant-folded literals); an
-    * oversized vector FAILS LOUDLY via raise_error — silently
+    * `maxSrpDim`; an oversized vector FAILS LOUDLY — silently
     * null-padding past the plane would collapse every >maxSrpDim
     * vector into one bucket (quadratic candidate blowup downstream).
+    *
+    * Native single-pass expression ([[VectorExpressions.SrpSignature]])
+    * — same sequential double accumulation as the HOF
+    * `aggregate(zip_with(vec, plane))` formulation (bit-identical, so
+    * SQL oracles built on the plane literals stay valid), ~planes×
+    * faster per row.
     */
-  def srpSignature(vec: Column, planes: Int = 8): Column = {
-    val bits = (0 until planes).map { p =>
-      val plane = array((0 until maxSrpDim)
-        .map(d => lit(planeComponent(p, d))): _*)
-      val s = aggregate(
-        zip_with(vec, slice(plane, lit(1), size(vec)),
-          (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, x) => acc + x)
-      when(s >= 0, lit("1")).otherwise(lit("0"))
-    }
-    when(size(vec) <= maxSrpDim, concat(bits: _*))
-      .otherwise(raise_error(concat(
-        lit(s"srpSignature: vector dim "), size(vec).cast("string"),
-        lit(s" exceeds maxSrpDim=$maxSrpDim"))))
-  }
+  def srpSignature(vec: Column, planes: Int = 8): Column =
+    VectorExpressions.srpSignature(vec, planes)
 
   /** LSH-bucketed ANN: candidates = pairs sharing an SRP bucket,
     * re-scored with exact cosine, top-k per query. Trades recall for

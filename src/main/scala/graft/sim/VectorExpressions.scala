@@ -157,10 +157,76 @@ object VectorExpressions {
         newChild: Expression): Expression = copy(child = newChild)
   }
 
+  /** Sign-random-projection signature as ONE native pass: bit_p =
+    * (Σ_d v[d] * plane(p, d)) >= 0 over the md5-derived constant plane
+    * matrix — the same sequential left-to-right double accumulation as
+    * the higher-order-function form it replaces (bit-identical, so the
+    * DuckDB oracles stay valid), but a tight JVM loop instead of
+    * `planes` interpreted aggregate(zip_with(...)) chains per row.
+    *
+    * Edge semantics mirror the HOF form: a null element nulls every
+    * plane sum ⇒ all-'0' signature; an oversized vector fails loudly
+    * (silent truncation would collapse >maxDim vectors into shared
+    * buckets). CodegenFallback is deliberate — per-row work dwarfs the
+    * virtual call and the surrounding stage stays codegen'd.
+    */
+  case class SrpSignature(child: Expression, planes: Int)
+      extends UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    override def dataType: DataType = StringType
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkVectorInputs("srp_signature", Seq(child))
+    private def elemType: DataType =
+      child.dataType.asInstanceOf[ArrayType].elementType
+    private val maxDim = graft.sim.Similarity.maxSrpDim
+    @transient private lazy val matrix: Array[Array[Double]] =
+      Array.tabulate(planes, maxDim)(
+        (p, d) => graft.sim.Similarity.planeComponent(p, d))
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      if (n > maxDim)
+        throw new IllegalStateException(
+          s"srpSignature: vector dim $n exceeds maxSrpDim=$maxDim")
+      val et = elemType
+      var anyNull = false
+      var i = 0
+      while (i < n && !anyNull) {
+        if (arr.isNullAt(i)) anyNull = true
+        i += 1
+      }
+      val out = new Array[Char](planes)
+      var p = 0
+      while (p < planes) {
+        if (anyNull) out(p) = '0'
+        else {
+          val row = matrix(p)
+          var s = 0.0
+          var d = 0
+          while (d < n) {
+            s += elemAt(et, arr, d) * row(d)
+            d += 1
+          }
+          out(p) = if (s >= 0) '1' else '0'
+        }
+        p += 1
+      }
+      org.apache.spark.unsafe.types.UTF8String
+        .fromString(new String(out))
+    }
+
+    override protected def withNewChildInternal(
+        newChild: Expression): Expression = copy(child = newChild)
+  }
+
   import org.apache.spark.sql.graftshim.SqlShims.{toColumn, toExpression}
 
   def dotProduct(a: Column, b: Column): Column =
     toColumn(DotProduct(toExpression(a), toExpression(b)))
 
   def l2Norm(v: Column): Column = toColumn(L2Norm(toExpression(v)))
+
+  def srpSignature(v: Column, planes: Int): Column =
+    toColumn(SrpSignature(toExpression(v), planes))
 }
