@@ -457,6 +457,19 @@ object QueriesCore {
             .cast("int").as("grp"))
     },
 
+    // CUBE: all 2^k grouping-set combinations (rollup's sibling —
+    // q38 covers the hierarchy, this covers the full lattice,
+    // including the (·, l_linestatus) slice rollup omits). Same
+    // single-pass expand+aggregate plan shape.
+    "q53_cube" -> q { (spark, dir) =>
+      t(spark, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n"),
+          grouping_id(col("l_returnflag"), col("l_linestatus"))
+            .cast("int").as("grp"))
+    },
+
     // Exact interpolated percentiles per group — DISTRIBUTED
     // formulation (VERDICT r1 #6): quantile_cont(p) over n ordered
     // values is v_lo + frac*(v_hi - v_lo) at h = p*(n-1)+1,
@@ -888,6 +901,14 @@ object QueriesCore {
         |       CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS grp
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q53_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       SUM(l_quantity) AS sum_qty,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS grp
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
 
     "q39_percentiles" ->
       """SELECT l_returnflag,

@@ -140,6 +140,50 @@ object QueriesScale {
       Dedup.simhashPairs(docs(spark, dir), maxHamming = 12)
     },
 
+    // Dup-cluster resolution: connected components (min-label
+    // propagation) over the banded SimHash near-dup pairs — the
+    // "which row survives" step after pair detection; chained dups
+    // (a~b, b~c) collapse into one cluster even when a~c was never a
+    // candidate. DuckDB oracle: recursive-CTE reachability closure.
+    "q50_dup_clusters" -> q { (spark, dir) =>
+      Dedup.duplicateClusters(
+        Dedup.simhashPairs(docs(spark, dir), maxHamming = 12))
+    },
+
+    // Token-window chunking for training-data prep: 64-token windows
+    // every 48 tokens (16-token overlap), one row per chunk.
+    "q51_token_chunks" -> q { (spark, dir) =>
+      docs(spark, dir)
+        .select(col("doc_id"),
+          explode(TextAnalysis.tokenChunks(col("text"), 64, 48)).as("c"))
+        .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+          size(col("c.chunk_tokens")).cast("long").as("n_chunk_tokens"),
+          md5(concat_ws(" ", col("c.chunk_tokens"))).as("chunk_hash"))
+    },
+
+    // Deterministic stratified downsample (training-mix rebalance):
+    // membership is a pure function of md5(salt + doc_id), so the
+    // sample is stable under repartitioning and reproducible by any
+    // engine — never `DataFrame.sample` (partition-dependent).
+    "q52_stratified_sample" -> q { (spark, dir) =>
+      import graft.sampling.Sampling
+      Sampling.stratifiedSample(
+        docs(spark, dir).select(col("doc_id"), col("lang")),
+        "lang", Map("en" -> 0.5, "es" -> 0.8),
+        col("doc_id"), salt = "mix1")
+    },
+
+    // Benchmark decontamination: shingle-overlap of every corpus doc
+    // against a held-out eval set (a deterministic 5% hash-slice of
+    // documents — same md5-fraction arithmetic as q52, salt 'bench').
+    // The eval shingle set broadcasts; the corpus never shuffles text.
+    "q54_contamination" -> q { (spark, dir) =>
+      import graft.sampling.Sampling
+      val d = docs(spark, dir)
+      val isBench = Sampling.hashFraction(col("doc_id"), "bench") < 0.05
+      Dedup.contamination(d.filter(!isBench), d.filter(isBench))
+    },
+
     "q27_embed_norm" -> q { (spark, dir) =>
       vecs(spark, dir).select(col("vec_id"),
         size(col("embedding")).cast("long").as("dim"),
@@ -321,6 +365,47 @@ object QueriesScale {
       |  FROM embeddings e CROSS JOIN planes p
       |  GROUP BY e.vec_id)""".stripMargin
 
+  /** Banded SimHash candidate pairs with exact hamming — the shared
+    * body of the q47 oracle, reused by the q50 cluster closure.
+    */
+  private val simhashPairsSql: String =
+    s"""$toksSql,
+       |h AS (
+       |  SELECT doc_id,
+       |         list_transform(tk, t -> substr(md5(t), 1, 16)) AS hs
+       |  FROM toks),
+       |v2 AS (
+       |  SELECT doc_id,
+       |         list_transform(generate_series(0, 63), j ->
+       |           CASE WHEN COALESCE(list_sum(list_transform(hs, h ->
+       |             2 * (((strpos('0123456789abcdef',
+       |                    substr(h, (j // 4) + 1, 1)) - 1)
+       |                   >> (3 - (j % 4))) & 1) - 1)), 0) > 0
+       |           THEN 1 ELSE 0 END) AS bits
+       |  FROM h),
+       |sh AS (
+       |  SELECT doc_id,
+       |         array_to_string(list_transform(generate_series(0, 15),
+       |           n -> substr('0123456789abcdef',
+       |             8 * bits[4*n+1] + 4 * bits[4*n+2] + 2 * bits[4*n+3]
+       |             + bits[4*n+4] + 1, 1)), '') AS s
+       |  FROM v2),
+       |banded AS (
+       |  SELECT doc_id, s, b.b AS band_idx,
+       |         substr(s, b.b * 4 + 1, 4) AS band_val
+       |  FROM sh CROSS JOIN (SELECT unnest([0,1,2,3]) AS b) b),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b,
+       |         CAST(list_sum(list_transform(generate_series(1, 16),
+       |           i -> bit_count(xor(
+       |             strpos('0123456789abcdef', substr(a.s, i, 1)) - 1,
+       |             strpos('0123456789abcdef', substr(bb.s, i, 1)) - 1
+       |           )))) AS INT) AS hamming
+       |  FROM banded a
+       |  JOIN banded bb ON a.band_idx = bb.band_idx
+       |               AND a.band_val = bb.band_val
+       |               AND a.doc_id < bb.doc_id)""".stripMargin
+
   private val vNormSql: String =
     """v AS (
       |  SELECT vec_id, embedding,
@@ -463,44 +548,80 @@ object QueriesScale {
          |FROM v""".stripMargin,
 
     "q47_simhash_pairs" ->
-      s"""WITH $toksSql,
-         |h AS (
-         |  SELECT doc_id,
-         |         list_transform(tk, t -> substr(md5(t), 1, 16)) AS hs
-         |  FROM toks),
-         |v AS (
-         |  SELECT doc_id,
-         |         list_transform(generate_series(0, 63), j ->
-         |           CASE WHEN COALESCE(list_sum(list_transform(hs, h ->
-         |             2 * (((strpos('0123456789abcdef',
-         |                    substr(h, (j // 4) + 1, 1)) - 1)
-         |                   >> (3 - (j % 4))) & 1) - 1)), 0) > 0
-         |           THEN 1 ELSE 0 END) AS bits
-         |  FROM h),
-         |sh AS (
-         |  SELECT doc_id,
-         |         array_to_string(list_transform(generate_series(0, 15),
-         |           n -> substr('0123456789abcdef',
-         |             8 * bits[4*n+1] + 4 * bits[4*n+2] + 2 * bits[4*n+3]
-         |             + bits[4*n+4] + 1, 1)), '') AS s
-         |  FROM v),
-         |banded AS (
-         |  SELECT doc_id, s, b.b AS band_idx,
-         |         substr(s, b.b * 4 + 1, 4) AS band_val
-         |  FROM sh CROSS JOIN (SELECT unnest([0,1,2,3]) AS b) b),
-         |pairs AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b,
-         |         CAST(list_sum(list_transform(generate_series(1, 16),
-         |           i -> bit_count(xor(
-         |             strpos('0123456789abcdef', substr(a.s, i, 1)) - 1,
-         |             strpos('0123456789abcdef', substr(bb.s, i, 1)) - 1
-         |           )))) AS INT) AS hamming
-         |  FROM banded a
-         |  JOIN banded bb ON a.band_idx = bb.band_idx
-         |               AND a.band_val = bb.band_val
-         |               AND a.doc_id < bb.doc_id)
+      s"""WITH $simhashPairsSql
          |SELECT id_a, id_b, hamming FROM pairs
          |WHERE hamming <= 12""".stripMargin,
+
+    "q50_dup_clusters" ->
+      s"""WITH RECURSIVE $simhashPairsSql,
+         |e AS (
+         |  SELECT id_a AS u, id_b AS v FROM pairs WHERE hamming <= 12
+         |  UNION
+         |  SELECT id_b, id_a FROM pairs WHERE hamming <= 12),
+         |r(u, v) AS (
+         |  SELECT u, v FROM e
+         |  UNION
+         |  SELECT r.u, e.v FROM r JOIN e ON r.v = e.u),
+         |m AS (SELECT u, MIN(v) AS mv FROM r GROUP BY u)
+         |SELECT u AS doc_id, LEAST(u, mv) AS cluster_id FROM m""".stripMargin,
+
+    "q51_token_chunks" ->
+      s"""WITH $toksSql,
+         |ch AS (
+         |  SELECT doc_id, tk,
+         |         unnest(generate_series(1, greatest(len(tk), 1), 48))
+         |           AS s
+         |  FROM toks)
+         |SELECT doc_id, CAST((s - 1) // 48 AS INT) AS chunk_idx,
+         |       CAST(len(tk[s : s + 63]) AS BIGINT) AS n_chunk_tokens,
+         |       md5(array_to_string(tk[s : s + 63], ' ')) AS chunk_hash
+         |FROM ch""".stripMargin,
+
+    "q52_stratified_sample" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang,
+        |         CAST(('0x' || substr(md5('mix1'
+        |             || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |           / 4294967296.0 AS frac
+        |  FROM documents)
+        |SELECT doc_id, lang FROM s
+        |WHERE frac < CASE lang WHEN 'en' THEN 0.5
+        |                       WHEN 'es' THEN 0.8 ELSE 1.0 END""".stripMargin,
+
+    "q54_contamination" ->
+      s"""WITH $toksSql,
+         |sh AS (
+         |  SELECT doc_id,
+         |         CASE WHEN len(tk) >= 3
+         |              THEN list_transform(generate_series(1, len(tk) - 2),
+         |                     j -> array_to_string(tk[j:j+2], ' '))
+         |              ELSE [array_to_string(tk, ' ')] END AS shl
+         |  FROM toks),
+         |hashed AS (
+         |  SELECT doc_id,
+         |         list_transform(list_distinct(shl), s -> md5(s)) AS hl
+         |  FROM sh),
+         |f AS (
+         |  SELECT doc_id,
+         |         CAST(('0x' || substr(md5('bench'
+         |             || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |           / 4294967296.0 AS frac
+         |  FROM documents),
+         |bench AS (
+         |  SELECT DISTINCT unnest(hl) AS h
+         |  FROM hashed JOIN f USING (doc_id) WHERE frac < 0.05),
+         |corpus AS (
+         |  SELECT hashed.doc_id AS doc_id, hl
+         |  FROM hashed JOIN f USING (doc_id) WHERE frac >= 0.05),
+         |ex AS (SELECT doc_id, unnest(hl) AS h FROM corpus),
+         |hits AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+         |  FROM ex JOIN bench USING (h) GROUP BY doc_id)
+         |SELECT c.doc_id, CAST(len(hl) AS BIGINT) AS n_shingles,
+         |       COALESCE(n_hits, CAST(0 AS BIGINT)) AS n_hits,
+         |       round(COALESCE(n_hits, 0) / CAST(len(hl) AS DOUBLE), 6)
+         |         AS overlap_frac
+         |FROM corpus c LEFT JOIN hits USING (doc_id)""".stripMargin,
 
     "q27_embed_norm" ->
       """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,

@@ -157,6 +157,51 @@ object Dedup {
     when(uni > 0, inter / uni).otherwise(lit(0.0))
   }
 
+  /** Duplicate-cluster resolution: connected components over a
+    * near-dup pair graph, labeling every member with the MINIMUM id in
+    * its component (the canonical "keep" doc). This is the step AFTER
+    * pair detection in a production dedup pipeline — pairs alone
+    * can't answer "which one row survives" when dups chain
+    * (a~b, b~c ⇒ {a,b,c} is one cluster even if a~c was never a
+    * candidate).
+    *
+    * Min-label propagation: each round, every vertex takes the min of
+    * its own label and its neighbors' labels; converges in
+    * O(component diameter) rounds — near-dup clusters are shallow
+    * (dups of a common source), so 3-5 rounds in practice. Each round
+    * is one shuffle join; `localCheckpoint` truncates lineage so plans
+    * don't grow with iterations. (At extreme diameters the
+    * large-star/small-star formulation halves rounds; not needed for
+    * dup graphs.) Isolated docs never enter the pair graph and are
+    * their own implicit cluster.
+    */
+  def duplicateClusters(pairs: DataFrame, idA: String = "id_a",
+                        idB: String = "id_b",
+                        maxIter: Int = 20): DataFrame = {
+    val e = pairs.select(col(idA).as("u"), col(idB).as("v"))
+      .union(pairs.select(col(idB).as("u"), col(idA).as("v")))
+      .distinct()
+      .localCheckpoint() // pair generation (LSH) runs ONCE, not per round
+    var labels = e.select(col("u")).distinct()
+      .withColumn("label", col("u"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = e
+        .join(labels.select(col("u").as("v"), col("label")), Seq("v"))
+        .groupBy(col("u")).agg(min(col("label")).as("nmin"))
+      val updated = labels.join(neighborMin, Seq("u"), "left")
+        .select(col("u"), col("label"),
+          least(col("label"), coalesce(col("nmin"), col("label")))
+            .as("label2"))
+        .localCheckpoint()
+      converged = updated.filter(col("label2") < col("label")).isEmpty
+      labels = updated.select(col("u"), col("label2").as("label"))
+      i += 1
+    }
+    labels.select(col("u").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** Verified near-dup pairs: LSH candidates re-scored with exact
     * n-gram Jaccard (the LSH estimate prunes, the exact score decides).
     */
@@ -176,5 +221,43 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= exactThreshold)
+  }
+
+  /** Benchmark decontamination: per-document n-gram overlap against an
+    * evaluation set — the standard "is this training doc contaminated
+    * with eval data" check of an LLM data pipeline. Returns one row
+    * per corpus doc with its distinct-shingle count, how many of those
+    * shingles appear ANYWHERE in the benchmark, and the overlap
+    * fraction (1.0 = every shingle of the doc is in the eval set).
+    *
+    * Scale shape: the benchmark's distinct shingle set is tiny next to
+    * a 100 TB corpus (eval sets are thousands of docs), so the overlap
+    * join BROADCASTS it — the corpus never shuffles for the probe; the
+    * only corpus shuffle is the per-doc hit count on `idCol`, which
+    * moves (id, shingle-hit) pairs, never text. Shingles compare by
+    * md5 (16 bytes) rather than raw n-gram strings, so the broadcast
+    * and exchange stay small for long n-grams.
+    */
+  def contamination(corpus: DataFrame, benchmark: DataFrame,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    shingleSize: Int = 3): DataFrame = {
+    def sh(df: DataFrame) = df.select(col(idCol),
+      explode(array_distinct(
+        TextAnalysis.shingles(col(textCol), shingleSize))).as("s"))
+      .select(col(idCol), md5(col("s")).as("h"))
+    val benchShingles = sh(benchmark).select(col("h")).distinct()
+    val corpusShingles = sh(corpus)
+    val hits = corpusShingles
+      .join(broadcast(benchShingles), Seq("h"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
+    corpus.select(col(idCol),
+        size(array_distinct(TextAnalysis.shingles(col(textCol),
+          shingleSize))).cast("long").as("n_shingles"))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_shingles"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        graft.functions.PortableRound.pround(
+          coalesce(col("n_hits"), lit(0L)) / col("n_shingles"), 6)
+          .as("overlap_frac"))
   }
 }

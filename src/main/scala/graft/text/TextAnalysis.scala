@@ -133,6 +133,26 @@ object TextAnalysis {
     array_sort(array_distinct(windows))
   }
 
+  /** Token-window chunks for training-data prep: windows of
+    * `chunkSize` tokens starting every `step` tokens (overlap =
+    * chunkSize - step), as an array of (chunk_idx, chunk_tokens)
+    * structs — explode downstream for one row per chunk. The trailing
+    * window may be shorter (documents don't pad). Empty documents
+    * yield a single empty chunk; filter on token count upstream when
+    * that's unwanted. Pure per-row column work — embarrassingly
+    * parallel, no shuffle.
+    */
+  def tokenChunks(text: Column, chunkSize: Int = 64,
+                  step: Int = 48): Column = {
+    require(chunkSize > 0 && step > 0,
+      s"tokenChunks: chunkSize=$chunkSize and step=$step must be > 0")
+    val toks = tokens(text)
+    transform(
+      sequence(lit(1), greatest(size(toks), lit(1)), lit(step)),
+      s => struct(((s - 1) / step).cast("int").as("chunk_idx"),
+        slice(toks, s, lit(chunkSize)).as("chunk_tokens")))
+  }
+
   /** Word n-gram shingles (default 3) as an array column — input to
     * MinHash / Jaccard dedup.
     */

@@ -162,4 +162,39 @@ class DedupSimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
     assert(dups.toSet == Set((1L, 2L)))
   }
+
+  test("contamination scores shingle overlap against a benchmark set") {
+    // benchmark = doc 2 (identical to doc 1); corpus = docs 1, 4, 5
+    val corpus = docs.filter($"doc_id".isin(1L, 4L, 5L))
+    val bench = docs.filter($"doc_id" === 2L)
+    val scores = Dedup.contamination(corpus, bench).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_hits"),
+          r.getAs[Double]("overlap_frac"))).toMap
+    assert(scores(1L) == ((10L, 10L, 1.0)))  // exact dup of the bench doc
+    assert(scores(4L)._2 == 0L)              // unrelated: zero overlap
+    // doc 5 differs in one token (position 9 of 12) => the 3 shingles
+    // covering it miss, the other 7 of 10 hit
+    assert(scores(5L) == ((10L, 7L, 0.7)))
+  }
+
+  test("duplicateClusters chains transitive pairs to the min label") {
+    // a~b, b~c but never a~c directly; plus an unrelated pair {5,6}
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val clusters = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
+      .toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      5L -> 5L, 6L -> 5L))
+  }
+
+  test("duplicateClusters converges on a long chain (diameter > 1 round)") {
+    val n = 12L
+    val chain = (1L until n).map(i => (i, i + 1))
+      .toDF("id_a", "id_b")
+    val clusters = Dedup.duplicateClusters(chain).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
+    assert(clusters.length == n)
+    assert(clusters.forall(_._2 == 1L))
+  }
 }

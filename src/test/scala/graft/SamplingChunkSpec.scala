@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sampling.Sampling
+import graft.text.TextAnalysis
+
+/** Training-data prep operators: token-window chunking and
+  * deterministic (hash-keyed) stratified sampling.
+  */
+class SamplingChunkSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenChunks windows with overlap; trailing chunk is short") {
+    // 10 tokens, chunkSize=4, step=3 → starts 1,4,7,10 → sizes 4,4,4,1
+    val text = (1 to 10).map(i => s"t$i").mkString(" ")
+    val chunks = Seq((1L, text)).toDF("doc_id", "text")
+      .select(explode(TextAnalysis.tokenChunks($"text", 4, 3)).as("c"))
+      .select($"c.chunk_idx", $"c.chunk_tokens")
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[String](1))
+    assert(chunks.map(_._1).toSeq == Seq(0, 1, 2, 3))
+    assert(chunks.map(_._2.length).toSeq == Seq(4, 4, 4, 1))
+    // overlap: chunk 1 starts at token 4 (1-based), repeats t4
+    assert(chunks(1)._2 == Seq("t4", "t5", "t6", "t7"))
+    assert(chunks(3)._2 == Seq("t10"))
+  }
+
+  test("tokenChunks on an empty document yields one empty chunk") {
+    val chunks = Seq((1L, "")).toDF("doc_id", "text")
+      .select(explode(TextAnalysis.tokenChunks($"text", 64, 48)).as("c"))
+      .select($"c.chunk_idx", size($"c.chunk_tokens").as("n"))
+      .collect()
+    assert(chunks.length == 1)
+    assert(chunks(0).getInt(1) == 0)
+  }
+
+  test("tokenChunks rejects non-positive sizes") {
+    intercept[IllegalArgumentException] {
+      TextAnalysis.tokenChunks(col("text"), 0, 48)
+    }
+  }
+
+  test("hashFraction is deterministic, in [0,1), and salt-sensitive") {
+    val df = (1L to 200L).toDF("k")
+    val fracs = df.select(Sampling.hashFraction($"k", "s1").as("f"))
+      .collect().map(_.getDouble(0))
+    assert(fracs.forall(f => f >= 0.0 && f < 1.0))
+    val again = df.select(Sampling.hashFraction($"k", "s1").as("f"))
+      .collect().map(_.getDouble(0))
+    assert(fracs.sameElements(again)) // pure function of (key, salt)
+    val other = df.select(Sampling.hashFraction($"k", "s2").as("f"))
+      .collect().map(_.getDouble(0))
+    assert(!fracs.sameElements(other)) // independent draw per salt
+    // roughly uniform: mean of U[0,1) over 200 draws within ±0.1
+    val mean = fracs.sum / fracs.length
+    assert(mean > 0.4 && mean < 0.6, s"mean=$mean")
+  }
+
+  test("stratifiedSample keeps rate-1 strata, drops rate-0, defaults rest") {
+    val df = (1L to 300L).map { i =>
+      (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "es" else "fr")
+    }.toDF("doc_id", "lang")
+    val kept = Sampling.stratifiedSample(df, "lang",
+        Map("en" -> 1.0, "es" -> 0.0), $"doc_id", salt = "t")
+      .groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("en") == 100)       // rate 1.0 keeps everything
+    assert(!kept.contains("es"))    // rate 0.0 drops the stratum
+    assert(kept("fr") == 100)       // defaultRate = 1.0
+  }
+
+  test("stratifiedSample rate is approximate but repartition-stable") {
+    val df = (1L to 1000L).map(i => (i, "en")).toDF("doc_id", "lang")
+    val kept = Sampling.stratifiedSample(df, "lang", Map("en" -> 0.5),
+      $"doc_id", salt = "t")
+    val n = kept.count()
+    assert(n > 400 && n < 600, s"kept=$n of 1000 at rate 0.5")
+    // membership is per-key, not per-partition: repartitioning the
+    // input must select the exact same rows
+    val ids = kept.select($"doc_id").collect().map(_.getLong(0)).toSet
+    val ids12 = Sampling.stratifiedSample(df.repartition(12), "lang",
+        Map("en" -> 0.5), $"doc_id", salt = "t")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == ids12)
+  }
+}
