@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.PortableRound.pround
 import graft.text.TextAnalysis
 import graft.dedup.Dedup
-import graft.sim.Similarity
+import graft.sim.{Pq, Similarity}
 
 /** Scale-path query catalog: LLM-data-pipeline operators (dedup,
   * similarity search, text analysis) over `documents` / `embeddings`,
@@ -182,6 +182,51 @@ object QueriesScale {
       val d = docs(spark, dir)
       val isBench = Sampling.hashFraction(col("doc_id"), "bench") < 0.05
       Dedup.contamination(d.filter(!isBench), d.filter(isBench))
+    },
+
+    // Gopher/C4-style repetition metrics: per-row sort + longest-run
+    // fold, no explode/shuffle (the oracle's group-by-count is the
+    // same number by a different route).
+    "q55_repetition" -> q { (spark, dir) =>
+      docs(spark, dir)
+        .withColumn("r", TextAnalysis.repetitionStats(col("text")))
+        .select(col("doc_id"),
+          col("r.n_tokens").as("n_tokens"),
+          col("r.dup_token_frac").as("dup_token_frac"),
+          col("r.dup_2gram_frac").as("dup_2gram_frac"),
+          col("r.top_2gram_frac").as("top_2gram_frac"),
+          col("r.keep").as("keep"))
+    },
+
+    // Training-mix accounting: docs + tokens per (lang, source) with
+    // each cell's share of the global token budget — the numbers a
+    // mixture-weight rebalance starts from. One aggregation shuffle;
+    // the global-share window runs over the AGGREGATED frame
+    // (|langs x sources| rows), not the corpus.
+    "q56_mix_weights" -> q { (spark, dir) =>
+      import graft.text.TextStatsExpression.textStats
+      docs(spark, dir)
+        .withColumn("st", textStats(col("text")))
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("st.n_tokens")).as("n_tokens"))
+        .withColumn("token_share",
+          pround(col("n_tokens").cast("double") /
+            sum(col("n_tokens")).over(Window.partitionBy()), 6))
+    },
+
+    // Product quantization encode: 64-dim float vector -> 8 codes of
+    // 4 bits (here vs a deterministic md5-derived codebook so DuckDB
+    // reproduces every distance; the KMeans-trained path is
+    // Pq.fitCodebooks, exercised in PqSpec). Pure per-row column work
+    // against codebook literals.
+    "q57_pq_encode" -> q { (spark, dir) =>
+      val cb = Pq.codebookLiteral(8, 16, 8)
+      vecs(spark, dir)
+        .withColumn("__d", Pq.distances(col("embedding"), cb))
+        .select(col("vec_id"),
+          Pq.codes(col("__d")).as("pq_codes"),
+          Pq.quantError(col("__d")).as("quant_err"))
     },
 
     "q27_embed_norm" -> q { (spark, dir) =>
@@ -406,6 +451,16 @@ object QueriesScale {
        |               AND a.band_val = bb.band_val
        |               AND a.doc_id < bb.doc_id)""".stripMargin
 
+  /** The deterministic 8x16x8 PQ codebook as a DuckDB nested-list
+    * literal — the exact doubles [[Pq.codebookLiteral]] embeds in the
+    * Spark plan (Double.toString round-trips bit-exactly).
+    */
+  private val pqCbSql: String =
+    Pq.codebookLiteral(8, 16, 8)
+      .map(s => s.map(t => t.mkString("[", ", ", "]"))
+        .mkString("[", ", ", "]"))
+      .mkString("[", ", ", "]")
+
   private val vNormSql: String =
     """v AS (
       |  SELECT vec_id, embedding,
@@ -587,6 +642,75 @@ object QueriesScale {
         |SELECT doc_id, lang FROM s
         |WHERE frac < CASE lang WHEN 'en' THEN 0.5
         |                       WHEN 'es' THEN 0.8 ELSE 1.0 END""".stripMargin,
+
+    "q55_repetition" ->
+      s"""WITH $toksSql,
+         |g AS (
+         |  SELECT doc_id, tk,
+         |         CASE WHEN len(tk) >= 2
+         |              THEN list_transform(generate_series(1, len(tk) - 1),
+         |                     j -> array_to_string(tk[j:j+1], ' '))
+         |              ELSE CAST([] AS VARCHAR[]) END AS gl
+         |  FROM toks),
+         |ex AS (SELECT doc_id, unnest(gl) AS gram FROM g),
+         |cnt AS (SELECT doc_id, gram, COUNT(*) AS c
+         |        FROM ex GROUP BY doc_id, gram),
+         |mx AS (SELECT doc_id, MAX(c) AS best FROM cnt GROUP BY doc_id),
+         |r AS (
+         |  SELECT g.doc_id AS doc_id,
+         |         CAST(len(tk) AS BIGINT) AS n_tokens,
+         |         CASE WHEN len(tk) > 0
+         |              THEN round(1.0 - CAST(len(list_distinct(tk))
+         |                     AS DOUBLE) / len(tk), 6)
+         |              ELSE 0.0 END AS dup_token_frac,
+         |         CASE WHEN len(gl) > 0
+         |              THEN round(1.0 - CAST(len(list_distinct(gl))
+         |                     AS DOUBLE) / len(gl), 6)
+         |              ELSE 0.0 END AS dup_2gram_frac,
+         |         CASE WHEN len(tk) >= 2
+         |              THEN round(CAST(COALESCE(best, 0) * 2 AS DOUBLE)
+         |                     / len(tk), 6)
+         |              ELSE 0.0 END AS top_2gram_frac
+         |  FROM g LEFT JOIN mx ON g.doc_id = mx.doc_id)
+         |SELECT doc_id, n_tokens, dup_token_frac, dup_2gram_frac,
+         |       top_2gram_frac,
+         |       (dup_2gram_frac <= 0.6 AND top_2gram_frac <= 0.3) AS keep
+         |FROM r""".stripMargin,
+
+    "q56_mix_weights" ->
+      """WITH tkn AS (
+        |  SELECT lang, source,
+        |         len(list_filter(regexp_split_to_array(text, '\s+'),
+        |             x -> x <> '')) AS n
+        |  FROM documents),
+        |agg AS (
+        |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |         CAST(SUM(n) AS BIGINT) AS n_tokens
+        |  FROM tkn GROUP BY lang, source)
+        |SELECT lang, source, n_docs, n_tokens,
+        |       round(CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER (), 6)
+        |         AS token_share
+        |FROM agg""".stripMargin,
+
+    "q57_pq_encode" ->
+      s"""WITH cb AS (SELECT $pqCbSql AS c),
+         |d AS (
+         |  SELECT vec_id,
+         |         list_transform(generate_series(0, 7), s ->
+         |           list_transform(generate_series(1, 16), t ->
+         |             round(list_sum(list_transform(generate_series(1, 8),
+         |               j -> (CAST(embedding[8*s + j] AS DOUBLE)
+         |                      - c[s+1][t][j])
+         |                    * (CAST(embedding[8*s + j] AS DOUBLE)
+         |                      - c[s+1][t][j]))), 9))) AS dists
+         |  FROM embeddings CROSS JOIN cb)
+         |SELECT vec_id,
+         |       list_transform(dists, dl ->
+         |         CAST(list_position(dl, list_min(dl)) - 1 AS INT))
+         |         AS pq_codes,
+         |       round(list_sum(list_transform(dists, dl -> list_min(dl))), 6)
+         |         AS quant_err
+         |FROM d""".stripMargin,
 
     "q54_contamination" ->
       s"""WITH $toksSql,

@@ -153,6 +153,55 @@ object TextAnalysis {
         slice(toks, s, lit(chunkSize)).as("chunk_tokens")))
   }
 
+  /** Gopher/C4-style repetition metrics as a struct — the "is this
+    * document degenerate boilerplate" signals of a training-data
+    * quality filter:
+    *   - n_tokens
+    *   - dup_token_frac: 1 - distinct/total tokens
+    *   - dup_2gram_frac: 1 - distinct/total word bigrams
+    *   - top_2gram_frac: tokens covered by the most frequent bigram
+    *     (count x 2 / n_tokens; can exceed 1 for overlapping runs)
+    * Fractions are rounded to 6 dp (portable across engines). The most
+    * frequent bigram count is a sort + single-pass longest-run fold
+    * over the row's own bigrams (equal values are adjacent after the
+    * sort) — per-row column work only, no explode/shuffle, so the
+    * operator stays embarrassingly parallel at corpus scale.
+    */
+  def repetitionStats(text: Column): Column = {
+    import graft.functions.PortableRound.pround
+    val toks = tokens(text)
+    val nTok = size(toks)
+    val grams = when(nTok >= 2,
+      transform(sequence(lit(1), nTok - 1),
+        i => concat_ws(" ", slice(toks, i, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    // longest run in the sorted bigram array == max bigram count
+    val best = aggregate(array_sort(grams),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"),
+          acc.getField("run") + 1).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    val dupTok = when(nTok > 0,
+      pround(lit(1.0) - size(array_distinct(toks)).cast("double") / nTok, 6))
+      .otherwise(lit(0.0))
+    val dup2 = when(size(grams) > 0,
+      pround(lit(1.0) - size(array_distinct(grams)).cast("double")
+        / size(grams), 6))
+      .otherwise(lit(0.0))
+    val top2 = when(nTok >= 2,
+      pround((best * 2).cast("double") / nTok, 6))
+      .otherwise(lit(0.0))
+    struct(nTok.cast("long").as("n_tokens"),
+      dupTok.as("dup_token_frac"),
+      dup2.as("dup_2gram_frac"),
+      top2.as("top_2gram_frac"),
+      (dup2 <= 0.6 && top2 <= 0.3).as("keep"))
+  }
+
   /** Word n-gram shingles (default 3) as an array column — input to
     * MinHash / Jaccard dedup.
     */

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sim.Pq
+import graft.text.TextAnalysis
+
+/** Product quantization + repetition-filter semantics. */
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("pq codes are in [0, k) and identical vectors encode identically") {
+    val cb = Pq.codebookLiteral(8, 16, 8)
+    val out = vecs.limit(50)
+      .withColumn("__d", Pq.distances(col("embedding"), cb))
+      .select($"vec_id", Pq.codes($"__d").as("codes"))
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val codes = r.getSeq[Int](1)
+      assert(codes.length == 8)
+      assert(codes.forall(c => c >= 0 && c < 16))
+    }
+    // determinism: same vector, same codes
+    val twice = vecs.limit(5)
+      .withColumn("__d", Pq.distances(col("embedding"), cb))
+      .select(Pq.codes($"__d")).collect().map(_.getSeq[Int](0))
+    val again = vecs.limit(5)
+      .withColumn("__d", Pq.distances(col("embedding"), cb))
+      .select(Pq.codes($"__d")).collect().map(_.getSeq[Int](0))
+    assert(twice.toSeq == again.toSeq)
+  }
+
+  test("fitted codebooks reconstruct better than the random literal") {
+    val cb0 = Pq.codebookLiteral(8, 16, 8)
+    val cbFit = Pq.fitCodebooks(vecs, m = 8, k = 16)
+    def meanErr(cb: Seq[Seq[Seq[Double]]]): Double = vecs
+      .withColumn("__d", Pq.distances(col("embedding"), cb))
+      .select(avg(Pq.quantError($"__d", 9))).head().getDouble(0)
+    val (e0, eFit) = (meanErr(cb0), meanErr(cbFit))
+    assert(eFit < e0,
+      s"KMeans codebook ($eFit) should beat random literal ($e0)")
+  }
+
+  test("distances fails loudly on a dimension mismatch") {
+    val bad = Seq((1L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val cb = Pq.codebookLiteral(8, 16, 8)
+    val e = intercept[Exception] {
+      bad.select(Pq.distances(col("embedding"), cb)).collect()
+    }
+    assert(e.getMessage.contains("expected dim 64")
+      || e.getCause != null)
+  }
+
+  test("repetitionStats flags degenerate repetition") {
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam"),
+      (2L, "a genuinely varied document with many distinct words here")
+    ).toDF("doc_id", "text")
+      .withColumn("r", TextAnalysis.repetitionStats($"text"))
+      .select($"doc_id", $"r.n_tokens", $"r.dup_token_frac",
+        $"r.dup_2gram_frac", $"r.top_2gram_frac", $"r.keep")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getBoolean(5))).toMap
+    // "spam" x6: 1 distinct token of 6, one bigram repeated 5 times
+    assert(df(1L)._1 == 6L)
+    assert(approx(df(1L)._2, 1.0 - 1.0 / 6, 1e-6))
+    assert(approx(df(1L)._3, 1.0 - 1.0 / 5, 1e-6))
+    assert(approx(df(1L)._4, 10.0 / 6, 1e-6)) // overlapping runs > 1
+    assert(!df(1L)._5)
+    assert(df(2L)._5) // varied doc passes the filter
+  }
+
+  test("repetitionStats on empty and single-token docs") {
+    val rows = Seq((1L, ""), (2L, "solo"))
+      .toDF("doc_id", "text")
+      .withColumn("r", TextAnalysis.repetitionStats($"text"))
+      .select($"doc_id", $"r.n_tokens", $"r.dup_2gram_frac",
+        $"r.top_2gram_frac")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(rows(1L) == ((0L, 0.0, 0.0)))
+    assert(rows(2L) == ((1L, 0.0, 0.0)))
+  }
+}
