@@ -229,6 +229,18 @@ object QueriesScale {
           Pq.quantError(col("__d")).as("quant_err"))
     },
 
+    // PQ-ADC top-k: the compressed ANN search — exact queries against
+    // the encoded corpus (8 codes/vector instead of 64 floats; at
+    // scale the corpus side is a RAM-resident code table). Same
+    // broadcast-queries shape as q28/q48.
+    "q58_pq_adc_topk" -> q { (spark, dir) =>
+      val cb = Pq.codebookLiteral(8, 16, 8)
+      val v = vecs(spark, dir)
+      val codes = v.withColumn("__d", Pq.distances(col("embedding"), cb))
+        .select(col("vec_id"), Pq.codes(col("__d")).as("pq_codes"))
+      Pq.adcTopK(codes, v.filter(col("vec_id") % 40 === 0), cb, k = 5)
+    },
+
     "q27_embed_norm" -> q { (spark, dir) =>
       vecs(spark, dir).select(col("vec_id"),
         size(col("embedding")).cast("long").as("dim"),
@@ -691,6 +703,46 @@ object QueriesScale {
         |       round(CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER (), 6)
         |         AS token_share
         |FROM agg""".stripMargin,
+
+    "q58_pq_adc_topk" ->
+      s"""WITH cb AS (SELECT $pqCbSql AS c),
+         |d AS (
+         |  SELECT vec_id,
+         |         list_transform(generate_series(0, 7), s ->
+         |           list_transform(generate_series(1, 16), t ->
+         |             round(list_sum(list_transform(generate_series(1, 8),
+         |               j -> (CAST(embedding[8*s + j] AS DOUBLE)
+         |                      - c[s+1][t][j])
+         |                    * (CAST(embedding[8*s + j] AS DOUBLE)
+         |                      - c[s+1][t][j]))), 9))) AS dists
+         |  FROM embeddings CROSS JOIN cb),
+         |codes AS (
+         |  SELECT vec_id,
+         |         list_transform(dists, dl ->
+         |           CAST(list_position(dl, list_min(dl)) - 1 AS INT))
+         |           AS pq_codes
+         |  FROM d),
+         |qs AS (
+         |  SELECT vec_id AS query_id, embedding AS qv
+         |  FROM embeddings WHERE vec_id % 40 = 0),
+         |p AS (
+         |  SELECT q.query_id, cd.vec_id AS neighbor_id,
+         |         round(list_sum(list_transform(generate_series(0, 7), s ->
+         |           list_sum(list_transform(generate_series(1, 8), j ->
+         |             (CAST(q.qv[8*s + j] AS DOUBLE)
+         |               - c[s+1][cd.pq_codes[s+1] + 1][j])
+         |             * (CAST(q.qv[8*s + j] AS DOUBLE)
+         |               - c[s+1][cd.pq_codes[s+1] + 1][j]))))), 6)
+         |           AS adc_dist
+         |  FROM codes cd CROSS JOIN qs q CROSS JOIN cb
+         |  WHERE cd.vec_id <> q.query_id),
+         |r AS (
+         |  SELECT query_id, neighbor_id, adc_dist,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY adc_dist ASC, neighbor_id ASC) AS rnk
+         |  FROM p)
+         |SELECT query_id, neighbor_id, adc_dist, CAST(rnk AS INT) AS rank
+         |FROM r WHERE rnk <= 5""".stripMargin,
 
     "q57_pq_encode" ->
       s"""WITH cb AS (SELECT $pqCbSql AS c),

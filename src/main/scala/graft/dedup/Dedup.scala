@@ -241,23 +241,25 @@ object Dedup {
   def contamination(corpus: DataFrame, benchmark: DataFrame,
                     idCol: String = "doc_id", textCol: String = "text",
                     shingleSize: Int = 3): DataFrame = {
+    // native one-pass tokenize→shingle→md5→dedupe per doc
+    // (HashExpressions.DistinctShingleHashes), then explode hashes
     def sh(df: DataFrame) = df.select(col(idCol),
-      explode(array_distinct(
-        TextAnalysis.shingles(col(textCol), shingleSize))).as("s"))
-      .select(col(idCol), md5(col("s")).as("h"))
+      explode(HashExpressions.distinctShingleHashes(col(textCol),
+        shingleSize)).as("h"))
     val benchShingles = sh(benchmark).select(col("h")).distinct()
-    val corpusShingles = sh(corpus)
-    val hits = corpusShingles
-      .join(broadcast(benchShingles), Seq("h"), "left_semi")
-      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
-    corpus.select(col(idCol),
-        size(array_distinct(TextAnalysis.shingles(col(textCol),
-          shingleSize))).cast("long").as("n_shingles"))
-      .join(hits, Seq(idCol), "left")
-      .select(col(idCol), col("n_shingles"),
-        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+    // ONE pass over the corpus shingles: mark membership with a
+    // broadcast left join (bench set is distinct, so multiplicity 1)
+    // and count total + hits in the same aggregation — the corpus is
+    // shingled once and shuffled once, not once per metric. Every doc
+    // has >= 1 shingle, so no join back for zero-shingle rows.
+    sh(corpus)
+      .join(broadcast(benchShingles.withColumn("__b", lit(1))),
+        Seq("h"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(col("__b")).as("n_hits"))
+      .select(col(idCol), col("n_shingles"), col("n_hits"),
         graft.functions.PortableRound.pround(
-          coalesce(col("n_hits"), lit(0L)) / col("n_shingles"), 6)
-          .as("overlap_frac"))
+          col("n_hits") / col("n_shingles"), 6).as("overlap_frac"))
   }
 }

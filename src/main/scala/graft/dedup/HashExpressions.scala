@@ -125,9 +125,51 @@ object HashExpressions {
         newChild: Expression): Expression = copy(child = newChild)
   }
 
+  /** md5 hex of each DISTINCT word shingle, in first-occurrence
+    * order — one native pass (tokenize → slide → hash → dedupe)
+    * replacing the interpreted `md5(explode(array_distinct(
+    * shingles(...))))` chain, which dominated the contamination
+    * probe's cost. Shingle semantics match `TextAnalysis.shingles` /
+    * [[MinHashSignature]]: documents shorter than `shingleSize`
+    * tokens contribute the whole token sequence as one shingle.
+    * Downstream consumers only count/join the hashes, so element
+    * order is immaterial — but first-occurrence keeps it
+    * deterministic anyway.
+    */
+  case class DistinctShingleHashes(child: Expression, shingleSize: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, false)
+
+    override def nullSafeEval(input: Any): Any = {
+      val text = input.asInstanceOf[UTF8String].toString
+      val toks = tokenize(text)
+      val shingles: Iterator[String] =
+        if (toks.length >= shingleSize)
+          toks.sliding(shingleSize).map(_.mkString(" "))
+        else Iterator.single(toks.mkString(" "))
+      val md = MessageDigest.getInstance("MD5")
+      val seen = new java.util.LinkedHashSet[String]()
+      shingles.foreach(s => seen.add(s))
+      val out = new Array[Any](seen.size)
+      var i = 0
+      val it = seen.iterator()
+      while (it.hasNext) {
+        out(i) = UTF8String.fromString(md5Hex(md, it.next()))
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(
+        newChild: Expression): Expression = copy(child = newChild)
+  }
+
   def minhashSignature(text: Column, k: Int = 16,
                        shingleSize: Int = 3): Column =
     toColumn(MinHashSignature(toExpression(text), k, shingleSize))
+
+  def distinctShingleHashes(text: Column, shingleSize: Int = 3): Column =
+    toColumn(DistinctShingleHashes(toExpression(text), shingleSize))
 
   def simhash(text: Column): Column =
     toColumn(SimHash64(toExpression(text)))

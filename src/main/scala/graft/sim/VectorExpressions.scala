@@ -220,6 +220,160 @@ object VectorExpressions {
         newChild: Expression): Expression = copy(child = newChild)
   }
 
+  /** PQ asymmetric distance in ONE native pass: Σ_s ||q_s −
+    * cb[s][codes[s]]||² over a constant codebook — the inner loop of
+    * ADC search, which runs once per (query, corpus-code) pair inside
+    * a broadcast join. Accumulation is the same sequential
+    * left-to-right double order as the `aggregate(zip_with(...))`
+    * fold it replaces (per-subspace partial, then the subspace sums),
+    * so DuckDB oracles built on the codebook literals stay valid.
+    *
+    * Fails LOUDLY on shape violations (wrong code count, vector dim,
+    * or out-of-range code) — silent padding would quietly corrupt
+    * every ranking. A null element in either array nulls the
+    * distance (mirrors the HOF form). CodegenFallback like
+    * SrpSignature: the per-pair loop dwarfs the virtual call.
+    */
+  case class AdcDistance(left: Expression, right: Expression,
+                         codebooks: Seq[Seq[Seq[Double]]])
+      extends BinaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val codesOk = left.dataType match {
+        case ArrayType(IntegerType, _) => true
+        case _ => false
+      }
+      if (!codesOk)
+        TypeCheckResult.TypeCheckFailure(
+          s"adc_distance requires array<int> codes, got " +
+            left.dataType.catalogString)
+      else checkVectorInputs("adc_distance", Seq(right))
+    }
+    private def qElemType: DataType =
+      right.dataType.asInstanceOf[ArrayType].elementType
+    private val m = codebooks.length
+    private val k = codebooks.head.length
+    private val dsub = codebooks.head.head.length
+    // flat [s][t][j] layout: one cache-friendly constant array
+    @transient private lazy val flat: Array[Double] = {
+      val a = new Array[Double](m * k * dsub)
+      var idx = 0
+      codebooks.foreach(_.foreach(_.foreach { v => a(idx) = v; idx += 1 }))
+      a
+    }
+
+    override def nullSafeEval(c: Any, q: Any): Any = {
+      val codes = c.asInstanceOf[ArrayData]
+      val qv = q.asInstanceOf[ArrayData]
+      if (codes.numElements() != m || qv.numElements() != m * dsub)
+        throw new IllegalStateException(
+          s"adc_distance: expected $m codes over dim ${m * dsub}, got " +
+            s"${codes.numElements()} codes over dim ${qv.numElements()}")
+      val et = qElemType
+      var total = 0.0
+      var s = 0
+      while (s < m) {
+        if (codes.isNullAt(s)) return null
+        val code = codes.getInt(s)
+        if (code < 0 || code >= k)
+          throw new IllegalStateException(
+            s"adc_distance: code $code out of [0, $k) at subspace $s")
+        val base = (s * k + code) * dsub
+        var inner = 0.0
+        var j = 0
+        while (j < dsub) {
+          val qi = s * dsub + j
+          if (qv.isNullAt(qi)) return null
+          val d = elemAt(et, qv, qi) - flat(base + j)
+          inner += d * d
+          j += 1
+        }
+        total += inner
+        s += 1
+      }
+      total
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** All m x k per-subspace PQ distances in ONE native pass:
+    * dists[s][t] = round(Σ_j (v[s*dsub+j] − cb[s][t][j])², 9) — the
+    * bulk-encode hot path (at scale this expression runs over every
+    * corpus vector during ingestion). Same sequential accumulation and
+    * the same floor(x*10^9+0.5)/10^9 rounding as the HOF + pround
+    * formulation it replaces (distances are non-negative), so the
+    * DuckDB oracles stay valid bit-for-bit.
+    *
+    * Fails LOUDLY on a dim mismatch; a null element nulls the whole
+    * result. CodegenFallback — the m*k*dsub loop dwarfs the call.
+    */
+  case class PqDistances(child: Expression,
+                         codebooks: Seq[Seq[Seq[Double]]])
+      extends UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    override def dataType: DataType =
+      ArrayType(ArrayType(DoubleType, containsNull = false),
+        containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkVectorInputs("pq_distances", Seq(child))
+    private def elemType: DataType =
+      child.dataType.asInstanceOf[ArrayType].elementType
+    private val m = codebooks.length
+    private val k = codebooks.head.length
+    private val dsub = codebooks.head.head.length
+    @transient private lazy val flat: Array[Double] = {
+      val a = new Array[Double](m * k * dsub)
+      var idx = 0
+      codebooks.foreach(_.foreach(_.foreach { v => a(idx) = v; idx += 1 }))
+      a
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      if (v.numElements() != m * dsub)
+        throw new IllegalStateException(
+          s"pq_distances: expected dim ${m * dsub}, got ${v.numElements()}")
+      val et = elemType
+      val q = new Array[Double](m * dsub)
+      var i = 0
+      while (i < m * dsub) {
+        if (v.isNullAt(i)) return null
+        q(i) = elemAt(et, v, i)
+        i += 1
+      }
+      val rows = new Array[Any](m)
+      var s = 0
+      while (s < m) {
+        val ds = new Array[Any](k)
+        var t = 0
+        while (t < k) {
+          val base = (s * k + t) * dsub
+          var sum = 0.0
+          var j = 0
+          while (j < dsub) {
+            val d = q(s * dsub + j) - flat(base + j)
+            sum += d * d
+            j += 1
+          }
+          // non-negative ⇒ the floor branch of PortableRound
+          ds(t) = math.floor(sum * 1e9 + 0.5) / 1e9
+          t += 1
+        }
+        rows(s) = new org.apache.spark.sql.catalyst.util
+          .GenericArrayData(ds)
+        s += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+    }
+
+    override protected def withNewChildInternal(
+        newChild: Expression): Expression = copy(child = newChild)
+  }
+
   import org.apache.spark.sql.graftshim.SqlShims.{toColumn, toExpression}
 
   def dotProduct(a: Column, b: Column): Column =
@@ -229,4 +383,13 @@ object VectorExpressions {
 
   def srpSignature(v: Column, planes: Int): Column =
     toColumn(SrpSignature(toExpression(v), planes))
+
+  def adcDistance(codes: Column, qvec: Column,
+                  codebooks: Seq[Seq[Seq[Double]]]): Column =
+    toColumn(AdcDistance(toExpression(codes), toExpression(qvec),
+      codebooks))
+
+  def pqDistances(vec: Column,
+                  codebooks: Seq[Seq[Seq[Double]]]): Column =
+    toColumn(PqDistances(toExpression(vec), codebooks))
 }

@@ -169,33 +169,23 @@ object TextAnalysis {
     */
   def repetitionStats(text: Column): Column = {
     import graft.functions.PortableRound.pround
-    val toks = tokens(text)
-    val nTok = size(toks)
-    val grams = when(nTok >= 2,
-      transform(sequence(lit(1), nTok - 1),
-        i => concat_ws(" ", slice(toks, i, lit(2)))))
-      .otherwise(array().cast("array<string>"))
-    // longest run in the sorted bigram array == max bigram count
-    val best = aggregate(array_sort(grams),
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-      (acc, x) => {
-        val run = when(x === acc.getField("prev"),
-          acc.getField("run") + 1).otherwise(lit(1L))
-        struct(x.as("prev"), run.as("run"),
-          greatest(acc.getField("best"), run).as("best"))
-      },
-      acc => acc.getField("best"))
+    // one native pass ([[RepetitionStatsExpression]]); everything
+    // below is cheap field arithmetic on the counters
+    val c = RepetitionStatsExpression.repetitionCounts(text)
+    val nTok = c.getField("n_tokens")
+    val nBig = c.getField("n_bigrams")
     val dupTok = when(nTok > 0,
-      pround(lit(1.0) - size(array_distinct(toks)).cast("double") / nTok, 6))
+      pround(lit(1.0)
+        - c.getField("n_distinct_tokens").cast("double") / nTok, 6))
       .otherwise(lit(0.0))
-    val dup2 = when(size(grams) > 0,
-      pround(lit(1.0) - size(array_distinct(grams)).cast("double")
-        / size(grams), 6))
+    val dup2 = when(nBig > 0,
+      pround(lit(1.0)
+        - c.getField("n_distinct_bigrams").cast("double") / nBig, 6))
       .otherwise(lit(0.0))
     val top2 = when(nTok >= 2,
-      pround((best * 2).cast("double") / nTok, 6))
+      pround((c.getField("top_bigram_count") * 2).cast("double") / nTok, 6))
       .otherwise(lit(0.0))
-    struct(nTok.cast("long").as("n_tokens"),
+    struct(nTok.as("n_tokens"),
       dupTok.as("dup_token_frac"),
       dup2.as("dup_2gram_frac"),
       top2.as("top_2gram_frac"),

@@ -54,6 +54,28 @@ class PqSpec extends SparkSpec {
       || e.getCause != null)
   }
 
+  test("adcTopK computes hand-checked asymmetric distances") {
+    // tiny hand-built codebook: m=2 subspaces, k=2 codes, dsub=2
+    val cb = Seq(
+      Seq(Seq(0.0, 0.0), Seq(1.0, 1.0)),
+      Seq(Seq(0.0, 0.0), Seq(2.0, 2.0)))
+    val corpus = Seq(
+      (1L, Array(1.0f, 1.0f, 0.0f, 0.0f)),  // codes [1, 0]
+      (2L, Array(0.0f, 0.0f, 2.0f, 2.0f)))  // codes [0, 1]
+    .toDF("vec_id", "embedding")
+    val codes = corpus
+      .withColumn("__d", Pq.distances(col("embedding"), cb))
+      .select($"vec_id", Pq.codes($"__d").as("pq_codes"))
+    val q = Seq((3L, Array(0.0f, 0.0f, 2.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Pq.adcTopK(codes, q, cb, k = 2).collect()
+      .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Double]("adc_dist"),
+        r.getAs[Int]("rank")))
+    // vs codes [0,1]: ||(0,0)-(0,0)||² + ||(2,2)-(2,2)||² = 0
+    // vs codes [1,0]: ||(0,0)-(1,1)||² + ||(2,2)-(0,0)||² = 2 + 8 = 10
+    assert(out.toSeq == Seq((2L, 0.0, 1), (1L, 10.0, 2)))
+  }
+
   test("repetitionStats flags degenerate repetition") {
     val df = Seq(
       (1L, "spam spam spam spam spam spam"),
