@@ -77,4 +77,45 @@ object AsOfJoin {
       col(s"__match.$timeCol").as(s"right_$timeCol")
     carried.select(leftOut ++ rightOut: _*)
   }
+
+  /** Broadcast variant of [[backward]] for a SMALL right side (a dim
+    * table of reference quotes, a config stream): the right side
+    * collapses to one sorted array per key and broadcast-joins onto
+    * the left — the LEFT side never shuffles or sorts, which beats the
+    * union+window by the cost of shuffling the (large) left whenever
+    * the right fits in the broadcast budget. Each left row then takes
+    * the last eligible element (`__t` <= its time) of its key's
+    * array — same visibility and tie rules as [[backward]] (equal
+    * time: right row visible; equal right times: greatest
+    * `rightOrder`), so the two variants are interchangeable.
+    *
+    * Not for large right sides: a key's whole history must fit in one
+    * array element (it is the broadcast row).
+    */
+  def backwardBroadcast(left: DataFrame, right: DataFrame,
+                        keys: Seq[String], timeCol: String,
+                        rightOrder: String): DataFrame = {
+    val rightValueCols = right.columns
+      .filterNot(c => keys.contains(c) || c == timeCol)
+    val rightPayload = struct(right.columns.map(col): _*)
+    val cmp = (a: Column, b: Column) =>
+      when(a.getField("__t") < b.getField("__t"), -1)
+        .when(a.getField("__t") > b.getField("__t"), 1)
+        .when(a.getField("__ro") < b.getField("__ro"), -1)
+        .when(a.getField("__ro") > b.getField("__ro"), 1)
+        .otherwise(0)
+    val rightAgg = right.groupBy(keys.map(col): _*)
+      .agg(array_sort(collect_list(struct(col(timeCol).as("__t"),
+        col(rightOrder).as("__ro"), rightPayload.as("__r"))), cmp)
+        .as("__arr"))
+    val matched = left.join(broadcast(rightAgg), keys, "left")
+      .withColumn("__m",
+        element_at(filter(col("__arr"),
+          e => e.getField("__t") <= col(timeCol)), -1))
+    val leftOut = left.columns.map(col)
+    val rightOut = rightValueCols.map(c =>
+      col(s"__m.__r.$c").as(s"right_$c")) :+
+      col(s"__m.__r.$timeCol").as(s"right_$timeCol")
+    matched.select(leftOut ++ rightOut: _*)
+  }
 }

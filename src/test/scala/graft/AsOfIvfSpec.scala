@@ -46,6 +46,37 @@ class AsOfIvfSpec extends SparkSpec {
     assert(out.head.getAs[Double]("right_v") == 2.0)
   }
 
+  test("broadcast as-of matches the union+window variant, left unshuffled") {
+    val bets = Seq((1L, "g1", 100L), (2L, "g1", 250L), (3L, "g2", 50L),
+      (4L, "g3", 999L))
+      .toDF("bet_id", "game", "t")
+    val odds = Seq((10L, "g1", 100L, 1.9), (11L, "g1", 200L, 2.0),
+      (12L, "g1", 300L, 2.1), (13L, "g2", 60L, 1.5),
+      (14L, "g2", 10L, 1.4))
+      .toDF("line_id", "game", "t", "price")
+    val a = AsOfJoin.backward(bets, odds, Seq("game"), "t", "line_id")
+    val b = AsOfJoin.backwardBroadcast(bets, odds, Seq("game"), "t",
+      "line_id")
+    assert(a.columns.toSeq == b.columns.toSeq)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("bet_id"),
+        Option(r.getAs[Any]("right_line_id")),
+        Option(r.getAs[Any]("right_price")))).sortBy(_._1).toSeq
+    assert(rows(a) == rows(b))
+    // the left side joins against a broadcast — no shuffle of bets
+    val plan = b.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("broadcast as-of equal-time ties resolve like backward") {
+    val l = Seq((1L, "k", 10L)).toDF("id", "key", "t")
+    val r = Seq((5L, "k", 10L, 1.0), (6L, "k", 10L, 2.0))
+      .toDF("rid", "key", "t", "v")
+    val out = AsOfJoin.backwardBroadcast(l, r, Seq("key"), "t", "rid")
+      .collect()
+    assert(out.head.getAs[Double]("right_v") == 2.0)
+  }
+
   test("as-of rejects an unorderable order column") {
     val l = Seq((1L, "k", 10L)).toDF("id", "key", "t")
     val r = Seq((5L, "k", 10L, Array(1.0), 1.0))

@@ -57,4 +57,38 @@ class PlanAuditSpec extends SparkSpec {
     assert("PushedFilters: \\[[^\\]]".r.findFirstIn(p).isDefined,
       "expected non-empty PushedFilters")
   }
+
+  test("runtime bloom-filter pruning injects on selective shuffle joins") {
+    // At 100 TB the big fact⋈fact joins are shuffle joins; Spark's
+    // InjectRuntimeFilter turns a selective dim-side predicate into a
+    // bloom filter probed BEFORE the fact side shuffles. Nothing in
+    // the engine's session config may break that. Thresholds are
+    // production-scale, so force the trigger conditions at toy scale.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "100MB")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter." +
+        "applicationSideScanSizeThreshold", "0")
+      val lineitem = spark.read.parquet(s"$dir/lineitem.parquet")
+      val orders = spark.read.parquet(s"$dir/orders.parquet")
+        .filter(org.apache.spark.sql.functions.col("o_orderstatus") === "F")
+      val joined = lineitem.join(orders,
+        lineitem("l_orderkey") === orders("o_orderkey"))
+      val p = joined.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain") && p.contains("bloom_filter_agg"),
+        p.take(3000))
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
 }
