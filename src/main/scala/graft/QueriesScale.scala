@@ -30,6 +30,15 @@ object QueriesScale {
   private def vecs(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "embeddings").repartition(col("vec_id"))
 
+  /** q51's chunk frame, shared with the q59 packing stage. */
+  private def chunks(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"),
+        explode(TextAnalysis.tokenChunks(col("text"), 64, 48)).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+        size(col("c.chunk_tokens")).cast("long").as("n_chunk_tokens"),
+        md5(concat_ws(" ", col("c.chunk_tokens"))).as("chunk_hash"))
+
   private def q(f: (SparkSession, String) => DataFrame)
       : (SparkSession, String) => DataFrame = { (spark, dir) =>
     spark.conf.set("spark.sql.ansi.enabled", "false")
@@ -152,13 +161,17 @@ object QueriesScale {
 
     // Token-window chunking for training-data prep: 64-token windows
     // every 48 tokens (16-token overlap), one row per chunk.
-    "q51_token_chunks" -> q { (spark, dir) =>
-      docs(spark, dir)
-        .select(col("doc_id"),
-          explode(TextAnalysis.tokenChunks(col("text"), 64, 48)).as("c"))
-        .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
-          size(col("c.chunk_tokens")).cast("long").as("n_chunk_tokens"),
-          md5(concat_ws(" ", col("c.chunk_tokens"))).as("chunk_hash"))
+    "q51_token_chunks" -> q { (spark, dir) => chunks(spark, dir) },
+
+    // Sequence packing — the step after chunking: chunks laid
+    // end-to-end per bucket and split every 256 tokens; one shuffle on
+    // the bucket, each bucket an independent window sort.
+    "q59_sequence_pack" -> q { (spark, dir) =>
+      import graft.sampling.Packing
+      Packing.packSequences(chunks(spark, dir),
+          capacity = 256, buckets = 32)
+        .select(col("doc_id"), col("chunk_idx"), col("bucket"),
+          col("seq_id"), col("seq_offset"))
     },
 
     // Deterministic stratified downsample (training-mix rebalance):
@@ -643,6 +656,30 @@ object QueriesScale {
          |       CAST(len(tk[s : s + 63]) AS BIGINT) AS n_chunk_tokens,
          |       md5(array_to_string(tk[s : s + 63], ' ')) AS chunk_hash
          |FROM ch""".stripMargin,
+
+    "q59_sequence_pack" ->
+      s"""WITH $toksSql,
+         |ch AS (
+         |  SELECT doc_id, tk,
+         |         unnest(generate_series(1, greatest(len(tk), 1), 48))
+         |           AS s
+         |  FROM toks),
+         |ck AS (
+         |  SELECT doc_id, CAST((s - 1) // 48 AS INT) AS chunk_idx,
+         |         CAST(doc_id % 32 AS INT) AS bucket,
+         |         CAST(len(tk[s : s + 63]) AS BIGINT) AS n
+         |  FROM ch),
+         |c AS (
+         |  SELECT doc_id, chunk_idx, bucket,
+         |         COALESCE(SUM(n) OVER (PARTITION BY bucket
+         |           ORDER BY doc_id, chunk_idx
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |           0) AS cum
+         |  FROM ck)
+         |SELECT doc_id, chunk_idx, bucket,
+         |       CAST(cum // 256 AS BIGINT) AS seq_id,
+         |       CAST(cum % 256 AS BIGINT) AS seq_offset
+         |FROM c""".stripMargin,
 
     "q52_stratified_sample" ->
       """WITH s AS (

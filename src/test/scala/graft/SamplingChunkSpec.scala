@@ -69,6 +69,39 @@ class SamplingChunkSpec extends SparkSpec {
     assert(kept("fr") == 100)       // defaultRate = 1.0
   }
 
+  test("packSequences splits the token stream at capacity boundaries") {
+    import graft.sampling.Packing
+    // one bucket (buckets=1): chunks of 60 tokens, capacity 100 —
+    // first-token positions 0,60,120,180 → seqs 0,0,1,1
+    val chunks = Seq((1L, 0, 60L), (1L, 1, 60L), (2L, 0, 60L),
+      (2L, 1, 60L)).toDF("doc_id", "chunk_idx", "n_chunk_tokens")
+    val packed = Packing.packSequences(chunks, capacity = 100,
+        buckets = 1)
+      .orderBy($"doc_id", $"chunk_idx")
+      .collect()
+      .map(r => (r.getAs[Long]("seq_id"), r.getAs[Long]("seq_offset")))
+    assert(packed.toSeq == Seq((0L, 0L), (0L, 60L), (1L, 20L), (1L, 80L)))
+  }
+
+  test("packSequences buckets are independent and repartition-stable") {
+    import graft.sampling.Packing
+    val chunks = (1L to 50L).flatMap(d => (0 until 3).map(i =>
+      (d, i, 40L))).toDF("doc_id", "chunk_idx", "n_chunk_tokens")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Packing.packSequences(df, capacity = 64, buckets = 4)
+        .select($"doc_id", $"chunk_idx", $"bucket", $"seq_id",
+          $"seq_offset")
+        .collect().map(_.toSeq).toSet
+    val a = run(chunks)
+    assert(a == run(chunks.repartition(13)))
+    // every offset respects capacity, buckets match doc_id % 4
+    a.foreach { row =>
+      assert(row(4).asInstanceOf[Long] < 64)
+      assert(row(2).asInstanceOf[Int] ==
+        (row(0).asInstanceOf[Long] % 4).toInt)
+    }
+  }
+
   test("stratifiedSample rate is approximate but repartition-stable") {
     val df = (1L to 1000L).map(i => (i, "en")).toDF("doc_id", "lang")
     val kept = Sampling.stratifiedSample(df, "lang", Map("en" -> 0.5),
