@@ -116,6 +116,25 @@ object QueriesScale {
       Dedup.exact(docs(spark, dir))
     },
 
+    // Incremental-ingest dedup: an 80/20 hash-split stands in for
+    // history vs today's batch; new docs survive only if their
+    // fingerprint is unseen in history AND first within the batch.
+    "q60_incremental_dedup" -> q { (spark, dir) =>
+      import graft.sampling.Sampling
+      val d = docs(spark, dir)
+      val isHist = Sampling.hashFraction(col("doc_id"), "incr") < 0.8
+      Dedup.incrementalNew(d.filter(!isHist), d.filter(isHist))
+        .select(col("doc_id"), col("fingerprint"))
+    },
+
+    // Dedup-impact report: how many fingerprint groups exist at each
+    // duplicate count — the "what will dedup save" histogram.
+    "q61_dup_histogram" -> q { (spark, dir) =>
+      Dedup.exact(docs(spark, dir))
+        .groupBy(col("n_dups"))
+        .agg(count(lit(1)).as("n_groups"))
+    },
+
     "q24_minhash_sig" -> q { (spark, dir) =>
       val sig = Dedup.minhashSignature(col("text"), 16, 3)
       docs(spark, dir)
@@ -579,6 +598,34 @@ object QueriesScale {
         |       MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
         |FROM documents
         |GROUP BY 1""".stripMargin,
+
+    "q60_incremental_dedup" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |         CAST(('0x' || substr(md5('incr'
+        |             || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |           / 4294967296.0 AS frac,
+        |         md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+        |           AS fingerprint
+        |  FROM documents),
+        |hist AS (SELECT DISTINCT fingerprint FROM f WHERE frac < 0.8),
+        |nw AS (SELECT doc_id, fingerprint FROM f WHERE frac >= 0.8),
+        |surv AS (
+        |  SELECT doc_id, fingerprint,
+        |         row_number() OVER (PARTITION BY fingerprint
+        |           ORDER BY doc_id) AS rn
+        |  FROM nw
+        |  WHERE fingerprint NOT IN (SELECT fingerprint FROM hist))
+        |SELECT doc_id, fingerprint FROM surv WHERE rn = 1""".stripMargin,
+
+    "q61_dup_histogram" ->
+      """WITH g AS (
+        |  SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+        |           AS fp,
+        |         CAST(COUNT(*) AS BIGINT) AS n_dups
+        |  FROM documents GROUP BY 1)
+        |SELECT n_dups, CAST(COUNT(*) AS BIGINT) AS n_groups
+        |FROM g GROUP BY 1""".stripMargin,
 
     "q24_minhash_sig" ->
       s"""WITH $sigsSql

@@ -29,6 +29,29 @@ object Dedup {
       .groupBy(col("fingerprint"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Incremental-ingest dedup: the docs of a NEW batch that are
+    * genuinely new — their content fingerprint appears neither in the
+    * already-ingested history nor earlier (lower id) within the batch
+    * itself. This is the daily-increment shape of a production
+    * pipeline: the history side is just fingerprints (at scale a
+    * pre-computed fingerprint table — payloads never load), the
+    * anti-join and the within-batch survivor pick are each one
+    * shuffle on the fingerprint.
+    */
+  def incrementalNew(newDocs: DataFrame, history: DataFrame,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val histFp = history
+      .select(TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
+      .distinct()
+    val w = Window.partitionBy(col("fingerprint")).orderBy(col(idCol))
+    newDocs
+      .withColumn("fingerprint", TextAnalysis.fingerprint(col(textCol)))
+      .join(histFp, Seq("fingerprint"), "left_anti")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
   /** MinHash signature as an array of k hex-string minima over word
     * shingles: `sig_i = min over shingles of md5(i || ':' || shingle)`.
     * Lexicographic min of fixed-length hex == numeric min of the hash —

@@ -163,6 +163,20 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(dups.toSet == Set((1L, 2L)))
   }
 
+  test("incrementalNew drops history dups and keeps one per batch group") {
+    val history = Seq((1L, "already ingested document text"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "already  INGESTED document text"), // dup of history (normalized)
+      (11L, "fresh doc one"),
+      (12L, "fresh doc one"),                   // in-batch dup of 11
+      (13L, "fresh doc two")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.incrementalNew(batch, history).collect()
+      .map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(kept == Seq(11L, 13L))
+  }
+
   test("contamination scores shingle overlap against a benchmark set") {
     // benchmark = doc 2 (identical to doc 1); corpus = docs 1, 4, 5
     val corpus = docs.filter($"doc_id".isin(1L, 4L, 5L))
