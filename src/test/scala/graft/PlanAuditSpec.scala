@@ -58,6 +58,16 @@ class PlanAuditSpec extends SparkSpec {
       "expected non-empty PushedFilters")
   }
 
+  test("contamination probes the benchmark shingle set via broadcast") {
+    val p = plan("q54_contamination")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("incremental dedup anti-joins the history fingerprints") {
+    val p = plan("q60_incremental_dedup")
+    assert(p.contains("LeftAnti"), p.take(2000))
+  }
+
   test("runtime bloom-filter pruning injects on selective shuffle joins") {
     // At 100 TB the big fact⋈fact joins are shuffle joins; Spark's
     // InjectRuntimeFilter turns a selective dim-side predicate into a
