@@ -273,6 +273,16 @@ object QueriesScale {
       Pq.adcTopK(codes, v.filter(col("vec_id") % 40 === 0), cb, k = 5)
     },
 
+    // IVF-PQ composed index: coarse cells route the query (nprobe/
+    // nlist of the corpus scanned), PQ codes score the candidates —
+    // the structure of a billion-vector RAM-resident index.
+    "q62_ivfpq_topk" -> q { (spark, dir) =>
+      val v = vecs(spark, dir)
+      Pq.ivfAdcTopK(v, v.filter(col("vec_id") % 40 === 0),
+        Similarity.gridCentroids(8, 64), Pq.codebookLiteral(8, 16, 8),
+        k = 5, nprobe = 4)
+    },
+
     "q27_embed_norm" -> q { (spark, dir) =>
       vecs(spark, dir).select(col("vec_id"),
         size(col("embedding")).cast("long").as("dim"),
@@ -787,6 +797,62 @@ object QueriesScale {
         |       round(CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER (), 6)
         |         AS token_share
         |FROM agg""".stripMargin,
+
+    "q62_ivfpq_topk" ->
+      s"""WITH ${centsSql(8)},
+         |scored AS (
+         |  SELECT e.vec_id, c.c AS cell,
+         |         list_sum(list_transform(
+         |             generate_series(1, len(e.embedding)),
+         |             i -> CAST(e.embedding[i] AS DOUBLE) * c.w[i]))
+         |           / c.nrm AS s
+         |  FROM embeddings e CROSS JOIN cents c),
+         |assign AS (
+         |  SELECT vec_id, list_position(ls, list_max(ls)) - 1 AS cell
+         |  FROM (SELECT vec_id, list(s ORDER BY cell) AS ls
+         |        FROM scored GROUP BY vec_id)),
+         |probes AS (
+         |  SELECT vec_id AS query_id, cell
+         |  FROM scored WHERE vec_id % 40 = 0
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY s DESC, cell ASC) <= 4),
+         |cb AS (SELECT $pqCbSql AS c),
+         |d AS (
+         |  SELECT vec_id,
+         |         list_transform(generate_series(0, 7), s ->
+         |           list_transform(generate_series(1, 16), t ->
+         |             round(list_sum(list_transform(generate_series(1, 8),
+         |               j -> (CAST(embedding[8*s + j] AS DOUBLE)
+         |                      - c[s+1][t][j])
+         |                    * (CAST(embedding[8*s + j] AS DOUBLE)
+         |                      - c[s+1][t][j]))), 9))) AS dists
+         |  FROM embeddings CROSS JOIN cb),
+         |codes AS (
+         |  SELECT vec_id,
+         |         list_transform(dists, dl ->
+         |           CAST(list_position(dl, list_min(dl)) - 1 AS INT))
+         |           AS pq_codes
+         |  FROM d),
+         |p AS (
+         |  SELECT pr.query_id, a.vec_id AS neighbor_id,
+         |         round(list_sum(list_transform(generate_series(0, 7), s ->
+         |           list_sum(list_transform(generate_series(1, 8), j ->
+         |             (CAST(qv.embedding[8*s + j] AS DOUBLE)
+         |               - c[s+1][cd.pq_codes[s+1] + 1][j])
+         |             * (CAST(qv.embedding[8*s + j] AS DOUBLE)
+         |               - c[s+1][cd.pq_codes[s+1] + 1][j]))))), 6)
+         |           AS adc_dist
+         |  FROM probes pr
+         |  JOIN assign a ON a.cell = pr.cell AND a.vec_id <> pr.query_id
+         |  JOIN codes cd ON cd.vec_id = a.vec_id
+         |  JOIN embeddings qv ON qv.vec_id = pr.query_id
+         |  CROSS JOIN cb)
+         |SELECT query_id, neighbor_id, adc_dist,
+         |       CAST(row_number() OVER w AS INT) AS rank
+         |FROM p
+         |WINDOW w AS (PARTITION BY query_id
+         |             ORDER BY adc_dist ASC, neighbor_id ASC)
+         |QUALIFY row_number() OVER w <= 5""".stripMargin,
 
     "q58_pq_adc_topk" ->
       s"""WITH cb AS (SELECT $pqCbSql AS c),

@@ -131,4 +131,47 @@ object Pq {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** IVF-PQ: the billion-scale index composition — the coarse
+    * quantizer routes each query to its `nprobe` best cells
+    * (candidates ∝ nprobe/nlist of the corpus, as in
+    * [[Similarity.ivfTopK]]) and the candidates are scored by ADC
+    * over their PQ codes (8 bytes/vector read, as in [[adcTopK]]).
+    * Both the cell table and the code table are computed here from
+    * the raw vectors for self-containment; at scale they are the
+    * persisted index, built once offline, and this query never
+    * touches a raw corpus vector.
+    */
+  def ivfAdcTopK(corpus: DataFrame, queries: DataFrame,
+                 centroids: Seq[Array[Double]],
+                 codebooks: Seq[Seq[Seq[Double]]], k: Int,
+                 nprobe: Int = 4, idCol: String = "vec_id",
+                 vecCol: String = "embedding",
+                 roundDist: Int = 6): DataFrame = {
+    require(centroids.nonEmpty, "ivfAdcTopK: centroids must be non-empty")
+    val scores = Similarity.centroidScores(col(vecCol), centroids)
+    val indexed = corpus
+      .withColumn("__dists", distances(col(vecCol), codebooks))
+      .select(col(idCol).as("neighbor_id"),
+        Similarity.cellOf(scores).as("cell"),
+        codes(col("__dists")).as("__codes"))
+    val wCell = Window.partitionBy(col("query_id"))
+      .orderBy(col("__s").desc, col("cell").asc)
+    val probed = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        posexplode(scores).as(Seq("cell", "__s")))
+      .withColumn("__cr", row_number().over(wCell))
+      .filter(col("__cr") <= nprobe)
+      .select(col("query_id"), col("__qv"), col("cell"))
+    val adc = VectorExpressions.adcDistance(col("__codes"), col("__qv"),
+      codebooks)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    indexed.join(broadcast(probed), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        pround(adc, roundDist).as("adc_dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 }

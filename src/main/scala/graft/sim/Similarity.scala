@@ -172,19 +172,31 @@ object Similarity {
     * centroid scores are constant-folded literals (one codegen'd dot
     * per cell per row, no centroid join for assignment).
     */
+  /** Per-cell affinity scores dot(v, center_c)/|center_c| as an array
+    * column over the centroid LITERALS (constant-folded — no centroid
+    * join), shared by the exact-rescore IVF ([[ivfTopK]]) and the
+    * IVF-PQ composition ([[Pq.ivfAdcTopK]]).
+    */
+  private[sim] def centroidScores(vec: Column,
+                                  centroids: Seq[Array[Double]]): Column =
+    array(centroids.map { cArr =>
+      val nrm = math.sqrt(cArr.map(x => x * x).sum)
+      dot(vec, array(cArr.toSeq.map(lit): _*)) / lit(nrm)
+    }: _*)
+
+  /** First index achieving the max score — ties to the lowest cell. */
+  private[sim] def cellOf(scores: Column): Column =
+    (array_position(scores, array_max(scores)) - 1).cast("int")
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
               centroids: Seq[Array[Double]], k: Int, nprobe: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding",
               roundSim: Option[Int] = None): DataFrame = {
     import graft.functions.PortableRound.pround
     require(centroids.nonEmpty, "ivfTopK: centroids must be non-empty")
-    val scores = array(centroids.map { cArr =>
-      val nrm = math.sqrt(cArr.map(x => x * x).sum)
-      dot(col(vecCol), array(cArr.toSeq.map(lit): _*)) / lit(nrm)
-    }: _*)
+    val scores = centroidScores(col(vecCol), centroids)
     // first index achieving the max score — ties to the lowest cell
-    val cell = (array_position(scores, array_max(scores)) - 1)
-      .cast("int")
+    val cell = cellOf(scores)
 
     val assigned = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("__cvec"), cell.as("cell"))

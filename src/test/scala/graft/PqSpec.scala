@@ -76,6 +76,28 @@ class PqSpec extends SparkSpec {
     assert(out.toSeq == Seq((2L, 0.0, 1), (1L, 10.0, 2)))
   }
 
+  test("ivfAdcTopK returns k ranked candidates per query, deterministically") {
+    import graft.sim.Similarity
+    val cb = Pq.codebookLiteral(8, 16, 8)
+    val cents = Similarity.gridCentroids(8, 64)
+    def run() = Pq.ivfAdcTopK(vecs, vecs.filter($"vec_id" % 100 === 0),
+        cents, cb, k = 3, nprobe = 4)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("adc_dist"), r.getAs[Int]("rank"))).sorted.toSeq
+    val out = run()
+    assert(out.nonEmpty)
+    val perQuery = out.groupBy(_._1)
+    perQuery.foreach { case (_, rows) =>
+      assert(rows.map(_._4).sorted == (1 to rows.length))
+      assert(rows.length <= 3)
+      // ranks follow ascending ADC distance
+      assert(rows.sortBy(_._4).map(_._3).sliding(2).forall(
+        p => p.length < 2 || p(0) <= p(1)))
+    }
+    assert(out == run()) // pure function of data + literals
+  }
+
   test("repetitionStats flags degenerate repetition") {
     val df = Seq(
       (1L, "spam spam spam spam spam spam"),
