@@ -38,8 +38,12 @@ def sort_key(t):
     return (non_f, f)
 
 def cells_equal(a, b):
+    # absolute-only tolerance: every float output is pround'd (>=2dp
+    # granularity), so genuine divergence is >=0.005 even at 1e9
+    # magnitude — a rel_tol there would mask real mismatches that the
+    # driver's exact hash compare fails
     if isinstance(a, float) and isinstance(b, float):
-        return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
+        return math.isclose(a, b, rel_tol=0.0, abs_tol=1e-9)
     return a == b
 
 def rows_equal(a, b):

@@ -487,6 +487,9 @@ object QueriesCore {
         Window.unboundedFollowing)
       val ranked = t(spark, dir, "lineitem")
         .select(col("l_returnflag"), col("l_extendedprice"))
+        // percentile/quantile_cont skip NULLs; without this filter the
+        // window would rank NULLs first and shift every rn
+        .filter(col("l_extendedprice").isNotNull)
         .withColumn("rn", row_number().over(w))
         .withColumn("n", count(lit(1)).over(wAll))
       val ps = Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75")

@@ -222,6 +222,11 @@ object Dedup {
       labels = updated.select(col("u"), col("label2").as("label"))
       i += 1
     }
+    // fail LOUDLY: partially-propagated labels would silently report
+    // one component as several clusters
+    if (!converged) throw new IllegalStateException(
+      s"duplicateClusters: not converged after $maxIter rounds — " +
+        "component diameter exceeds maxIter; raise it")
     labels.select(col("u").as("doc_id"), col("label").as("cluster_id"))
   }
 

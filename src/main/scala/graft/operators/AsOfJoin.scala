@@ -108,10 +108,13 @@ object AsOfJoin {
       .agg(array_sort(collect_list(struct(col(timeCol).as("__t"),
         col(rightOrder).as("__ro"), rightPayload.as("__r"))), cmp)
         .as("__arr"))
+    // try_element_at: the eligible set can be EMPTY (left row precedes
+    // every right row of its key); plain element_at would throw under
+    // ANSI mode (the Spark 4 default outside this repo's harness)
     val matched = left.join(broadcast(rightAgg), keys, "left")
       .withColumn("__m",
-        element_at(filter(col("__arr"),
-          e => e.getField("__t") <= col(timeCol)), -1))
+        try_element_at(filter(col("__arr"),
+          e => e.getField("__t") <= col(timeCol)), lit(-1)))
     val leftOut = left.columns.map(col)
     val rightOut = rightValueCols.map(c =>
       col(s"__m.__r.$c").as(s"right_$c")) :+

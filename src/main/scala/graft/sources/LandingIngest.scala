@@ -69,8 +69,23 @@ object LandingIngest {
   private val stampFmt =
     DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss").withZone(ZoneOffset.UTC)
 
+  /** Archive/landing filename: the UTC stamp for humans plus the
+    * params hash — two param sets polled within the same second must
+    * NOT collide (a shared `odds_<stamp>.json` name would silently
+    * overwrite one payload with the other).
+    */
+  private def stampedName(prefix: String, params: Map[String, String],
+                          now: Instant): String =
+    s"${prefix}_${stampFmt.format(now)}_${cacheKey(params).take(8)}.json"
+
   /** TTL-cached fetch with stale fallback (`odds_utils.py:130-179`).
     * A fresh fetch also archives the raw payload under `rawDir`.
+    *
+    * Only a FAILED FETCH falls back to the stale cache / empty
+    * payload; an IO failure while persisting a SUCCESSFUL fetch
+    * (cache move, raw archive) propagates — silently reporting fresh
+    * data as StaleCache would drop the fetched snapshot and mask a
+    * broken disk.
     */
   def fetchCached(params: Map[String, String], fetch: () => String,
                   cacheDir: Path, rawDir: Path, prefix: String = "odds",
@@ -80,24 +95,23 @@ object LandingIngest {
     val cp = cachePath(cacheDir, params)
     if (isFresh(cp, ttl, now()))
       return FetchResult(Files.readString(cp), FreshCache)
-    try {
-      val payload = fetch()
-      // write-then-move so a reader never sees a half-written cache
-      val tmp = Files.createTempFile(cacheDir, ".cache", ".tmp")
-      Files.writeString(tmp, payload)
-      Files.move(tmp, cp, StandardCopyOption.REPLACE_EXISTING,
-        StandardCopyOption.ATOMIC_MOVE)
-      Files.createDirectories(rawDir)
-      Files.writeString(
-        rawDir.resolve(s"${prefix}_${stampFmt.format(now())}.json"),
-        payload)
-      FetchResult(payload, FreshFetch)
-    } catch {
-      case _: Exception if Files.exists(cp) =>
-        FetchResult(Files.readString(cp), StaleCache)
-      case _: Exception =>
-        FetchResult("[]", EmptyFallback)
-    }
+    val payload =
+      try fetch()
+      catch {
+        case _: Exception if Files.exists(cp) =>
+          return FetchResult(Files.readString(cp), StaleCache)
+        case _: Exception =>
+          return FetchResult("[]", EmptyFallback)
+      }
+    // write-then-move so a reader never sees a half-written cache
+    val tmp = Files.createTempFile(cacheDir, ".cache", ".tmp")
+    Files.writeString(tmp, payload)
+    Files.move(tmp, cp, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+    Files.createDirectories(rawDir)
+    Files.writeString(rawDir.resolve(stampedName(prefix, params, now())),
+      payload)
+    FetchResult(payload, FreshFetch)
   }
 
   /** One poll tick: fetch (TTL-cached) and, when the payload is NEW
@@ -117,8 +131,7 @@ object LandingIngest {
         Files.createDirectories(landingDir)
         val tmp = Files.createTempFile(landingDir, ".land", ".tmp")
         Files.writeString(tmp, r.payload)
-        val dest = landingDir.resolve(
-          s"${prefix}_${stampFmt.format(now())}.json")
+        val dest = landingDir.resolve(stampedName(prefix, params, now()))
         Files.move(tmp, dest, StandardCopyOption.REPLACE_EXISTING,
           StandardCopyOption.ATOMIC_MOVE)
         (r, Some(dest))

@@ -146,6 +146,9 @@ object TextAnalysis {
                   step: Int = 48): Column = {
     require(chunkSize > 0 && step > 0,
       s"tokenChunks: chunkSize=$chunkSize and step=$step must be > 0")
+    require(step <= chunkSize,
+      s"tokenChunks: step=$step > chunkSize=$chunkSize would silently " +
+        "drop the tokens between consecutive windows")
     val toks = tokens(text)
     transform(
       sequence(lit(1), greatest(size(toks), lit(1)), lit(step)),
