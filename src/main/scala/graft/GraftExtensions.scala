@@ -98,6 +98,16 @@ object GraftExtensions {
     ("graft_minhash", 1,
       exprs => HashExpressions.MinHashSignature(exprs.head, 16, 3)),
     ("graft_simhash", 1, exprs => HashExpressions.SimHash64(exprs.head)),
+    ("graft_shingle_hashes", 1,
+      exprs => HashExpressions.DistinctShingleHashes(exprs.head, 3)),
+    ("graft_repetition_stats", 1, exprs =>
+      graft.text.RepetitionStatsExpression.RepetitionStats(exprs.head)),
+    ("graft_srp_signature", 2, exprs => exprs(1) match {
+      case Literal(p: Int, org.apache.spark.sql.types.IntegerType) =>
+        VectorExpressions.SrpSignature(exprs(0), p)
+      case other => throw new IllegalArgumentException(
+        s"graft_srp_signature: planes must be an int literal, got $other")
+    }),
     ("graft_dot", 2,
       exprs => VectorExpressions.DotProduct(exprs(0), exprs(1))),
     ("graft_l2norm", 1, exprs => VectorExpressions.L2Norm(exprs.head)))

@@ -66,6 +66,29 @@ class ExtensionsSkewSpec extends SparkSpec {
     assert(viaSql == viaCol && viaSql.length == 16)
   }
 
+  test("graft_shingle_hashes / repetition_stats / srp_signature from SQL") {
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT graft_shingle_hashes('a b c d') AS sh").collect()
+      .head.getSeq[String](0)
+    val viaCol = Seq("a b c d").toDF("t")
+      .select(graft.dedup.HashExpressions
+        .distinctShingleHashes($"t").as("sh"))
+      .collect().head.getSeq[String](0)
+    assert(viaSql == viaCol && viaSql.length == 2) // "a b c", "b c d"
+    val reps = spark.sql(
+      "SELECT graft_repetition_stats('x x x').n_tokens AS n").collect()
+      .head.getLong(0)
+    assert(reps == 3L)
+    val sig = spark.sql(
+      "SELECT graft_srp_signature(array(1.0F, 0.0F), 8) AS s").collect()
+      .head.getString(0)
+    val sigCol = Seq(Tuple1(Array(1.0f, 0.0f))).toDF("v")
+      .select(graft.sim.Similarity.srpSignature($"v", 8).as("s"))
+      .collect().head.getString(0)
+    assert(sig == sigCol && sig.length == 8)
+  }
+
   test("wrong arity raises a helpful error") {
     GraftExtensions.register(spark)
     val e = intercept[Exception](
