@@ -309,13 +309,14 @@ object QueriesScale {
     // SRP band (equi-join — never the all-pairs square), exact-cosine
     // rescore. The brute-force all-pairs variant survives only as a
     // small-SF recall spec (DedupSimilaritySpec).
-    // raw table, NOT vecs(): nearDuplicates' internal repartition is
-    // both the parallelism spread and the CollapseProject barrier —
-    // vecs()'s own repartition on the same key would just add a second
-    // back-to-back exchange of the vectors
+    // vecs()'s repartition is the PARALLELISM SPREAD (single-row-group
+    // parquet reads as one split, and the SRP signature is computed
+    // before nearDuplicates' own exchange); the internal repartition
+    // is the CollapseProject barrier. Two exchanges of a narrow frame
+    // buy a fully parallel signature stage — measured faster than one.
     "q29_embed_neardup" -> q { (spark, dir) =>
-      Similarity.nearDuplicates(t(spark, dir, "embeddings"),
-        threshold = 0.35, planes = 16, bands = 4, roundSim = Some(6))
+      Similarity.nearDuplicates(vecs(spark, dir), threshold = 0.35,
+        planes = 16, bands = 4, roundSim = Some(6))
     },
 
     // SRP-bucket ANN top-k, oracle-checked (VERDICT r1 #3): the SRP
