@@ -283,6 +283,16 @@ object QueriesScale {
         k = 5, nprobe = 4)
     },
 
+    // Train/val/test assignment: per-key hash split (90/5/5) — stable
+    // under repartitioning, incremental ingest, and engine swaps.
+    "q63_split_assign" -> q { (spark, dir) =>
+      import graft.sampling.Sampling
+      docs(spark, dir).select(col("doc_id"),
+        Sampling.assignSplit(col("doc_id"),
+          Seq("train" -> 0.9, "val" -> 0.95, "test" -> 1.0),
+          salt = "split1").as("split"))
+    },
+
     "q27_embed_norm" -> q { (spark, dir) =>
       vecs(spark, dir).select(col("vec_id"),
         size(col("embedding")).cast("long").as("dim"),
@@ -918,6 +928,19 @@ object QueriesScale {
          |       round(list_sum(list_transform(dists, dl -> list_min(dl))), 6)
          |         AS quant_err
          |FROM d""".stripMargin,
+
+    "q63_split_assign" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |         CAST(('0x' || substr(md5('split1'
+        |             || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |           / 4294967296.0 AS f
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CASE WHEN f < 0.9 THEN 'train'
+        |            WHEN f < 0.95 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM s""".stripMargin,
 
     "q54_contamination" ->
       s"""WITH $toksSql,

@@ -27,6 +27,26 @@ object Sampling {
     conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 8),
       16, 10).cast("long").cast("double") / 4294967296.0
 
+  /** Named split assignment (train/val/test …) from the hash
+    * fraction: the first (name, upperBound) whose bound exceeds the
+    * row's fraction wins. Bounds are cumulative and ascending, e.g.
+    * `Seq("train" -> 0.9, "val" -> 0.95, "test" -> 1.0)`. Per-key and
+    * salt-scoped like [[hashFraction]]: a row's split never changes
+    * as data is added, repartitioned, or re-processed by another
+    * engine.
+    */
+  def assignSplit(key: Column, bounds: Seq[(String, Double)],
+                  salt: String = ""): Column = {
+    require(bounds.nonEmpty, "assignSplit: bounds must be non-empty")
+    require(bounds.map(_._2) == bounds.map(_._2).sorted,
+      s"assignSplit: bounds must ascend, got $bounds")
+    val frac = hashFraction(key, salt)
+    bounds.init.reverse.foldLeft(lit(bounds.last._1)) {
+      case (acc, (name, upper)) =>
+        when(frac < upper, lit(name)).otherwise(acc)
+    }
+  }
+
   /** Keep a row iff its hash fraction falls under its stratum's rate
     * (strata absent from `rates` keep `defaultRate`). Downsampling a
     * dominant language/source to a target mix is the canonical use.

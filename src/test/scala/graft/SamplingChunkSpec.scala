@@ -69,6 +69,33 @@ class SamplingChunkSpec extends SparkSpec {
     assert(kept("fr") == 100)       // defaultRate = 1.0
   }
 
+  test("assignSplit covers all rows, respects bounds, stays stable") {
+    val df = (1L to 1000L).toDF("k")
+    val splits = df.select($"k", Sampling.assignSplit($"k",
+        Seq("train" -> 0.9, "val" -> 0.95, "test" -> 1.0), "s1")
+        .as("split"))
+      .groupBy($"split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(splits.values.sum == 1000)
+    assert(splits("train") > 800 && splits("train") < 950)
+    assert(splits.keySet == Set("train", "val", "test"))
+    // a key's split never changes when more data arrives
+    val one = df.filter($"k" === 7L).select(Sampling.assignSplit($"k",
+      Seq("train" -> 0.9, "val" -> 0.95, "test" -> 1.0), "s1"))
+      .head().getString(0)
+    val among = (1L to 5000L).toDF("k").filter($"k" === 7L)
+      .select(Sampling.assignSplit($"k",
+        Seq("train" -> 0.9, "val" -> 0.95, "test" -> 1.0), "s1"))
+      .head().getString(0)
+    assert(one == among)
+  }
+
+  test("assignSplit rejects unsorted bounds") {
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplit(col("k"), Seq("a" -> 0.9, "b" -> 0.5))
+    }
+  }
+
   test("packSequences splits the token stream at capacity boundaries") {
     import graft.sampling.Packing
     // one bucket (buckets=1): chunks of 60 tokens, capacity 100 —
