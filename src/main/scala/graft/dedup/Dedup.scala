@@ -165,8 +165,11 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         simhashHamming(col("sh_a"), col("sh_b")).as("hamming"))
-      .distinct()
+      // threshold BEFORE the dedup shuffle: a pair colliding in
+      // several bands is deduped once either way, but far-apart pairs
+      // (hamming > max) never enter the exchange
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Exact word n-gram Jaccard similarity between two shingle-set
@@ -201,9 +204,12 @@ object Dedup {
   def duplicateClusters(pairs: DataFrame, idA: String = "id_a",
                         idB: String = "id_b",
                         maxIter: Int = 20): DataFrame = {
+    // no distinct(): the two union branches are disjoint (u<v vs u>v
+    // from the pair convention), and even a caller passing duplicated
+    // pairs cannot change a MIN aggregation — a distinct here would
+    // just add a full shuffle of the edge list
     val e = pairs.select(col(idA).as("u"), col(idB).as("v"))
       .union(pairs.select(col(idB).as("u"), col(idA).as("v")))
-      .distinct()
       .localCheckpoint() // pair generation (LSH) runs ONCE, not per round
     var labels = e.select(col("u")).distinct()
       .withColumn("label", col("u"))
