@@ -193,6 +193,34 @@ object QueriesScale {
           col("seq_id"), col("seq_offset"))
     },
 
+    // Materialized training sequences: one row per packed sequence —
+    // chunk count, token count, and an order-pinned content hash
+    // (sorted struct list, not collect_list order, which is
+    // partition-dependent). Aggregation keys extend the packing
+    // window's partitioning, so no extra shuffle shape at scale.
+    "q65_packed_sequences" -> q { (spark, dir) =>
+      import graft.sampling.Packing
+      Packing.packSequences(chunks(spark, dir),
+          capacity = 256, buckets = 32)
+        .groupBy(col("bucket"), col("seq_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("n_chunk_tokens")).as("n_tokens"),
+          md5(concat_ws("|", transform(
+            array_sort(collect_list(struct(col("doc_id"),
+              col("chunk_idx"), col("chunk_hash")))),
+            e => e.getField("chunk_hash")))).as("seq_hash"))
+    },
+
+    // Corpus vocabulary: global top-100 tokens — partial aggregation
+    // map-side, a single count shuffle, TakeOrdered for the top-k
+    // (never a full sort of the vocabulary).
+    "q64_vocab_topk" -> q { (spark, dir) =>
+      docs(spark, dir)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc).limit(100)
+    },
+
     // Deterministic stratified downsample (training-mix rebalance):
     // membership is a pure function of md5(salt + doc_id), so the
     // sample is stable under repartitioning and reproducible by any
@@ -752,6 +780,40 @@ object QueriesScale {
          |       CAST(cum // 256 AS BIGINT) AS seq_id,
          |       CAST(cum % 256 AS BIGINT) AS seq_offset
          |FROM c""".stripMargin,
+
+    "q65_packed_sequences" ->
+      s"""WITH $toksSql,
+         |ch AS (
+         |  SELECT doc_id, tk,
+         |         unnest(generate_series(1, greatest(len(tk), 1), 48))
+         |           AS s
+         |  FROM toks),
+         |ck AS (
+         |  SELECT doc_id, CAST((s - 1) // 48 AS INT) AS chunk_idx,
+         |         CAST(doc_id % 32 AS INT) AS bucket,
+         |         CAST(len(tk[s : s + 63]) AS BIGINT) AS n,
+         |         md5(array_to_string(tk[s : s + 63], ' ')) AS chunk_hash
+         |  FROM ch),
+         |c AS (
+         |  SELECT doc_id, chunk_idx, bucket, n, chunk_hash,
+         |         COALESCE(SUM(n) OVER (PARTITION BY bucket
+         |           ORDER BY doc_id, chunk_idx
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |           0) AS cum
+         |  FROM ck)
+         |SELECT bucket, CAST(cum // 256 AS BIGINT) AS seq_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         |       CAST(SUM(n) AS BIGINT) AS n_tokens,
+         |       md5(string_agg(chunk_hash, '|'
+         |         ORDER BY doc_id, chunk_idx)) AS seq_hash
+         |FROM c GROUP BY bucket, cum // 256""".stripMargin,
+
+    "q64_vocab_topk" ->
+      s"""WITH $toksSql,
+         |ex AS (SELECT unnest(tk) AS token FROM toks)
+         |SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+         |FROM ex GROUP BY token
+         |ORDER BY n DESC, token ASC LIMIT 100""".stripMargin,
 
     "q52_stratified_sample" ->
       """WITH s AS (

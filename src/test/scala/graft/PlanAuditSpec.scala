@@ -27,6 +27,9 @@ class PlanAuditSpec extends SparkSpec {
 
   test("global top-k plans as TakeOrderedAndProject") {
     assert(plan("q33_global_topk").contains("TakeOrderedAndProject"))
+    // vocabulary top-k: TakeOrdered over the aggregated counts, never
+    // a full sort of the vocabulary
+    assert(plan("q64_vocab_topk").contains("TakeOrderedAndProject"))
   }
 
   test("ANN broadcasts the query side (nested-loop, corpus unshuffled)") {
