@@ -196,8 +196,9 @@ object QueriesScale {
     // Materialized training sequences: one row per packed sequence —
     // chunk count, token count, and an order-pinned content hash
     // (sorted struct list, not collect_list order, which is
-    // partition-dependent). Aggregation keys extend the packing
-    // window's partitioning, so no extra shuffle shape at scale.
+    // partition-dependent). The aggregation adds one exchange of
+    // partially-aggregated per-sequence rows on top of the packing
+    // window's bucket shuffle.
     "q65_packed_sequences" -> q { (spark, dir) =>
       import graft.sampling.Packing
       Packing.packSequences(chunks(spark, dir),
