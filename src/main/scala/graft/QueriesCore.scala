@@ -280,9 +280,13 @@ object QueriesCore {
       val customer = t(spark, dir, "customer")
       val nation = t(spark, dir, "nation")
       val region = t(spark, dir, "region")
+      // customer is SCALE-PROPORTIONAL (1.5M rows/SF) — never force a
+      // broadcast hint on it (r2 verdict: driver-OOM shape at 100 TB,
+      // and the hint overrides AQE's own size-based choice, which
+      // still picks a broadcast at small SF on its own). Only the
+      // fixed-cardinality dims (nation=25, region=5) get the hint.
       orders
-        .join(broadcast(customer),
-          orders("o_custkey") === customer("c_custkey"))
+        .join(customer, orders("o_custkey") === customer("c_custkey"))
         .join(broadcast(nation),
           customer("c_nationkey") === nation("n_nationkey"))
         .join(broadcast(region),

@@ -280,13 +280,18 @@ object QueriesScale {
     // 4 bits (here vs a deterministic md5-derived codebook so DuckDB
     // reproduces every distance; the KMeans-trained path is
     // Pq.fitCodebooks, exercised in PqSpec). Pure per-row column work
-    // against codebook literals.
+    // against codebook literals. The codes are emitted as a
+    // comma-joined STRING, not array<int>: the driver harness compares
+    // via pandas sort_values, which cannot sort list cells (r2 verdict
+    // item 1) — PlanAuditSpec now asserts scalar-only outputs for the
+    // whole catalog.
     "q57_pq_encode" -> q { (spark, dir) =>
       val cb = Pq.codebookLiteral(8, 16, 8)
       vecs(spark, dir)
         .withColumn("__d", Pq.distances(col("embedding"), cb))
         .select(col("vec_id"),
-          Pq.codes(col("__d")).as("pq_codes"),
+          array_join(Pq.codes(col("__d")).cast("array<string>"), ",")
+            .as("pq_codes"),
           Pq.quantError(col("__d")).as("quant_err"))
     },
 
@@ -985,8 +990,8 @@ object QueriesScale {
          |                      - c[s+1][t][j]))), 9))) AS dists
          |  FROM embeddings CROSS JOIN cb)
          |SELECT vec_id,
-         |       list_transform(dists, dl ->
-         |         CAST(list_position(dl, list_min(dl)) - 1 AS INT))
+         |       array_to_string(list_transform(dists, dl ->
+         |         CAST(list_position(dl, list_min(dl)) - 1 AS VARCHAR)), ',')
          |         AS pq_codes,
          |       round(list_sum(list_transform(dists, dl -> list_min(dl))), 6)
          |         AS quant_err

@@ -20,6 +20,25 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("every query output is scalar-only (driver harness compat)") {
+    // The driver compares results via pandas sort_values, which raises
+    // "unhashable type" on list/dict cells (r2: q57's array<int>
+    // pq_codes column was the catalog's only red row for exactly this).
+    // Nested values must be flattened (array_join / one column per
+    // element) before they reach a query's output schema.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val schema = SparkEntry.queries(name)(spark, dir).schema
+      val bad = schema.fields.filter(f => f.dataType match {
+        case _: ArrayType | _: MapType | _: StructType => true
+        case _ => false
+      })
+      assert(bad.isEmpty,
+        s"$name exposes non-scalar column(s) ${bad.map(_.name).mkString(",")}" +
+          " — the driver's pandas-based compare cannot sort these")
+    }
+  }
+
   test("dim joins broadcast") {
     val p = plan("q12_join_enrich")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
