@@ -45,19 +45,23 @@ object Bench {
     names.foreach { n =>
       try run(n, warmDir) catch { case _: Throwable => () }
     }
-    // Three timed rounds, INTERLEAVED round-robin across queries, min
-    // per query: the host shows sporadic multi-second stalls
-    // (hypervisor noise). Back-to-back repeats of one query can land
-    // both inside a single stall window (round 1's recorded artifact
-    // read 2x its reproducible value exactly that way); round-robin
-    // puts ~a full catalog pass between a query's repeats, so a stall
-    // taxes different queries each round and the min survives.
+    // Three timed rounds, INTERLEAVED round-robin across queries,
+    // MEDIAN per query (r2 verdict item 4): the host shows sporadic
+    // multi-second stalls (hypervisor noise). Back-to-back repeats of
+    // one query can land inside a single stall window (round 1's
+    // recorded artifact read 2x its reproducible value exactly that
+    // way); round-robin puts ~a full catalog pass between a query's
+    // repeats, so a stall taxes different queries each round and the
+    // median survives one polluted round per query. The per-query
+    // max-min spread is reported alongside so a reader can tell a
+    // stable number from a stall-polluted one.
     // Failures are NOT silently timed as successes — they surface on
     // stderr and in a "failed" JSON field; a query that never
     // succeeds reports null and is EXCLUDED from the headline total
     // (a failure-path timing is not a measurement).
     val rounds = 3
-    val good = scala.collection.mutable.Map.empty[String, Double]
+    val samples = scala.collection.mutable
+      .Map.empty[String, List[Double]].withDefaultValue(Nil)
     (1 to rounds).foreach { r =>
       names.foreach { name =>
         val t0 = System.nanoTime()
@@ -68,16 +72,29 @@ object Bench {
             false
         }
         val dt = (System.nanoTime() - t0) / 1e9
-        if (ok && good.get(name).forall(dt < _)) good(name) = dt
+        if (ok) samples(name) = dt :: samples(name)
       }
     }
-    val failed = names.filterNot(good.contains)
-    val qs = names.map { n =>
-      "\"" + n + "\":" + good.get(n).map(_.toString).getOrElse("null")
+    def median(xs: List[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val med = names.flatMap(n => samples(n) match {
+      case Nil => None
+      case xs  => Some(n -> median(xs))
+    }).toMap
+    val spread = names.flatMap(n => samples(n) match {
+      case Nil => None
+      case xs  => Some(n -> (xs.max - xs.min))
+    }).toMap
+    val failed = names.filterNot(med.contains)
+    def jmap(m: Map[String, Double]): String = names.map { n =>
+      "\"" + n + "\":" + m.get(n).map(_.toString).getOrElse("null")
     }.mkString("{", ",", "}")
-    val total = good.values.sum
+    val total = med.values.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(med)},"spread":${jmap(spread)},"stat":"median_of_$rounds","failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

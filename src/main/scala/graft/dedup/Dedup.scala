@@ -191,19 +191,29 @@ object Dedup {
     * (a~b, b~c ⇒ {a,b,c} is one cluster even if a~c was never a
     * candidate).
     *
-    * Min-label propagation: each round, every vertex takes the min of
-    * its own label and its neighbors' labels; converges in
-    * O(component diameter) rounds — near-dup clusters are shallow
-    * (dups of a common source), so 3-5 rounds in practice. Each round
-    * is one shuffle join; `localCheckpoint` truncates lineage so plans
-    * don't grow with iterations. (At extreme diameters the
-    * large-star/small-star formulation halves rounds; not needed for
-    * dup graphs.) Isolated docs never enter the pair graph and are
-    * their own implicit cluster.
+    * Min-label propagation WITH pointer jumping (shortcutting): each
+    * round every vertex takes (1) the min of its own and its
+    * neighbors' labels, then — from round `shortcutAfter` on — (2) its
+    * label's label, the two-phase "label propagation + shortcut" of
+    * the MapReduce-CC literature (Stergiou et al. / the alternating
+    * large-star–small-star family). The shortcut turns O(component
+    * diameter) rounds into O(log diameter): a crawl-mirror chain of
+    * depth 10^6 resolves in ~25 rounds instead of 10^6 (r2 verdict
+    * item 7). Near-dup clusters are usually shallow (3-5 rounds), so
+    * the jump join is DEFERRED — the common case pays zero extra
+    * shuffles, and only a component still unconverged after
+    * `shortcutAfter` rounds (ipso facto deep) buys the label-of-label
+    * join, which is vertex-sized — much smaller than the edge join.
+    * `localCheckpoint` truncates lineage so plans don't grow with
+    * iterations. Isolated docs never enter the pair graph and are
+    * their own implicit cluster. The fixpoint is identical to plain
+    * min-propagation: every vertex labeled with its component's min
+    * id.
     */
   def duplicateClusters(pairs: DataFrame, idA: String = "id_a",
                         idB: String = "id_b",
-                        maxIter: Int = 20): DataFrame = {
+                        maxIter: Int = 40,
+                        shortcutAfter: Int = 3): DataFrame = {
     // no distinct(): the two union branches are disjoint (u<v vs u>v
     // from the pair convention), and even a caller passing duplicated
     // pairs cannot change a MIN aggregation — a distinct here would
@@ -219,11 +229,26 @@ object Dedup {
       val neighborMin = e
         .join(labels.select(col("u").as("v"), col("label")), Seq("v"))
         .groupBy(col("u")).agg(min(col("label")).as("nmin"))
-      val updated = labels.join(neighborMin, Seq("u"), "left")
+      val prelim = labels.join(neighborMin, Seq("u"), "left")
         .select(col("u"), col("label"),
           least(col("label"), coalesce(col("nmin"), col("label")))
-            .as("label2"))
-        .localCheckpoint()
+            .as("l1"))
+      // shortcut (deferred): follow the new label one hop (label2 =
+      // l1's l1). l1 values are vertex ids present in `prelim` (labels
+      // start as ids and only copy other labels), so the left join
+      // hits unless l1 is already a root — coalesce keeps it then.
+      val jumped = if (i < shortcutAfter) prelim
+        .select(col("u"), col("label"), col("l1").as("label2"))
+      else {
+        val parent =
+          prelim.select(col("u").as("__p"), col("l1").as("__pl"))
+        prelim
+          .join(parent, col("l1") === col("__p"), "left")
+          .select(col("u"), col("label"),
+            least(col("l1"), coalesce(col("__pl"), col("l1")))
+              .as("label2"))
+      }
+      val updated = jumped.localCheckpoint()
       converged = updated.filter(col("label2") < col("label")).isEmpty
       labels = updated.select(col("u"), col("label2").as("label"))
       i += 1
@@ -232,7 +257,7 @@ object Dedup {
     // one component as several clusters
     if (!converged) throw new IllegalStateException(
       s"duplicateClusters: not converged after $maxIter rounds — " +
-        "component diameter exceeds maxIter; raise it")
+        s"component diameter exceeds 2^$maxIter; raise maxIter")
     labels.select(col("u").as("doc_id"), col("label").as("cluster_id"))
   }
 

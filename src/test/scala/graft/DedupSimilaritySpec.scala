@@ -211,4 +211,19 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(clusters.length == n)
     assert(clusters.forall(_._2 == 1L))
   }
+
+  test("duplicateClusters resolves a deep chain in O(log diameter) rounds") {
+    // Crawl-mirror pathology (r2 verdict item 7): a path graph of
+    // diameter 400. Plain min-label propagation needs ~400 rounds —
+    // far past any sane maxIter; the pointer-jumping shortcut must
+    // resolve it within the default budget (40 rounds covers
+    // diameters up to ~2^40). Correctness: every vertex labels to the
+    // chain head.
+    val n = 400L
+    val chain = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val clusters = Dedup.duplicateClusters(chain).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
+    assert(clusters.length == n)
+    assert(clusters.forall(_._2 == 1L))
+  }
 }

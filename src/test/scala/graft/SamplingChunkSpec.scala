@@ -129,6 +129,32 @@ class SamplingChunkSpec extends SparkSpec {
     }
   }
 
+  test("q65 packed sequences conserve chunks and tokens per bucket") {
+    // Refactor guard (r2 verdict item 8): the packing aggregation must
+    // account for EVERY chunk — per bucket, the sum of per-sequence
+    // token counts equals the sum of the chunk token counts that went
+    // in, and the sequence chunk counts sum to the chunk-table row
+    // count. A packing change that drops or double-assigns a chunk
+    // breaks one of these before any oracle run sees it.
+    val dir = "/root/testdata/sf0.001"
+    val chunkTable = SparkEntry.queries("q51_token_chunks")(spark, dir)
+      .withColumn("bucket", pmod($"doc_id", lit(32)).cast("int"))
+    val expected = chunkTable.groupBy($"bucket")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum($"n_chunk_tokens").as("n_tokens"))
+      .collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val packed = SparkEntry.queries("q65_packed_sequences")(spark, dir)
+      .groupBy($"bucket")
+      .agg(sum($"n_chunks").as("n_chunks"),
+        sum($"n_tokens").as("n_tokens"))
+      .collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(expected.nonEmpty)
+    assert(packed == expected,
+      "packed-sequence totals diverge from the chunk table")
+  }
+
   test("stratifiedSample rate is approximate but repartition-stable") {
     val df = (1L to 1000L).map(i => (i, "en")).toDF("doc_id", "lang")
     val kept = Sampling.stratifiedSample(df, "lang", Map("en" -> 0.5),
