@@ -222,6 +222,38 @@ object QueriesScale {
         .orderBy(col("n").desc, col("token").asc).limit(100)
     },
 
+    // TF-IDF top-5 terms per document — the classic corpus-statistics
+    // composition: per-doc term frequency (one shuffle on
+    // (doc_id, token), map-side partial), document frequency derived
+    // FROM the tf aggregate (its rows are already distinct
+    // (doc, token), so df is a count per token — no second pass over
+    // text), corpus size as a 1-row broadcast crossJoin (the bounds-
+    // aggregate pattern), tf⋈df as a plain equi-join on token (the
+    // vocabulary is corpus-sized at 100 TB — never a forced
+    // broadcast; AQE picks one at toy SF), and a per-doc top-k
+    // window. Ranking is on the ROUNDED score with a token tiebreak,
+    // so the DuckDB oracle orders identically.
+    "q66_tfidf" -> q { (spark, dir) =>
+      val d = docs(spark, dir)
+      val tf = d
+        .select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val n = d.agg(count(lit(1)).as("__n"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("token").asc)
+      tf.join(dfreq, Seq("token"))
+        .crossJoin(broadcast(n))
+        .withColumn("tfidf", pround(col("tf") *
+          log(col("__n").cast("double") / col("df")), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("doc_id"), col("rank"), col("token"), col("tf"),
+          col("df"), col("tfidf"))
+    },
+
     // Deterministic stratified downsample (training-mix rebalance):
     // membership is a pure function of md5(salt + doc_id), so the
     // sample is stable under repartitioning and reproducible by any
@@ -820,6 +852,29 @@ object QueriesScale {
          |SELECT token, CAST(COUNT(*) AS BIGINT) AS n
          |FROM ex GROUP BY token
          |ORDER BY n DESC, token ASC LIMIT 100""".stripMargin,
+
+    "q66_tfidf" ->
+      s"""WITH $toksSql,
+         |ex AS (SELECT doc_id, unnest(tk) AS token FROM toks),
+         |tf AS (
+         |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+         |  FROM ex GROUP BY doc_id, token),
+         |dfreq AS (
+         |  SELECT token, CAST(count(*) AS BIGINT) AS df
+         |  FROM tf GROUP BY token),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |s AS (
+         |  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+         |         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df),
+         |               6) AS tfidf
+         |  FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+         |r AS (
+         |  SELECT doc_id, token, tf, df, tfidf,
+         |         row_number() OVER (PARTITION BY doc_id
+         |           ORDER BY tfidf DESC, token ASC) AS rnk
+         |  FROM s)
+         |SELECT doc_id, CAST(rnk AS INT) AS rank, token, tf, df, tfidf
+         |FROM r WHERE rnk <= 5""".stripMargin,
 
     "q52_stratified_sample" ->
       """WITH s AS (
