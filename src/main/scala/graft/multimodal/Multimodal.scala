@@ -134,6 +134,36 @@ object Multimodal {
       .groupBy(col("content_hash"))
       .agg(min(col("asset_id")).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Scale-proportional synthetic asset table: one asset per
+    * `embeddings` row (count ∝ SF — r3 verdict item 3: the fixed
+    * 256-row table validated plumbing but never streamed through
+    * executors at data scale). Payload bytes are a pure function of
+    * the DUP-GROUP id (`asset_id % dupGroups`), so exact-content
+    * duplicates exist at every scale — the structure
+    * [[dedupByContent]] resolves; `media_type` still cycles on the
+    * asset id, so one payload group spans media types (content dedup
+    * is type-blind, as for real mirrored files). Generation is
+    * per-row typed-map compute — the same executor shape a real
+    * "fetch bytes from the blob store" stage has: partition-parallel,
+    * nothing driver-side, no shuffle.
+    */
+  def assetsFromVectors(vectors: DataFrame,
+                        dupGroups: Int = 97): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    require(dupGroups > 0, s"dupGroups=$dupGroups must be > 0")
+    vectors.select(col("vec_id").cast("long")).as[Long]
+      .map { id =>
+        val g = id % dupGroups
+        val payload = Array.tabulate(128 + (g % 64).toInt)(j =>
+          ((g * 31 + j * 7) % 256).toByte)
+        val mtype = Seq("image", "audio", "video")((id % 3).toInt)
+        (id, mtype, payload, 64, 64, 1000L, "fake")
+      }
+      .toDF("asset_id", "media_type", "payload", "width", "height",
+        "duration_ms", "codec")
+  }
+
   /** Deterministic synthetic media table for tests (no codecs in this
     * environment): payload bytes derived from the asset id.
     */

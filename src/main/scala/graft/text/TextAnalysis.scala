@@ -78,22 +78,14 @@ object TextAnalysis {
     "de" -> Seq(" der ", " und ", " die "))
 
   def langId(text: Column,
-             markers: Seq[(String, Seq[String])] = defaultMarkers): Column = {
-    val padded = concat(lit(" "), lower(text), lit(" "))
-    // literal replace, NOT regexp_replace: the markers are plain
-    // strings, and skipping the regex engine per (row, marker) is a
-    // measurable win on a wide corpus scan
-    def markerCount(m: String): Column =
-      (length(padded) - length(replace(padded, lit(m), lit("")))) /
-        m.length
-    val scores = markers.map { case (lang, ms) =>
-      lang -> ms.map(markerCount).reduce(_ + _)
-    }
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    scores.foldLeft(when(best <= 0, lit("und"))) {
-      case (acc, (lang, score)) => acc.when(score === best, lit(lang))
-    }.otherwise(lit("und"))
-  }
+             markers: Seq[(String, Seq[String])] = defaultMarkers): Column =
+    // native single-pass expression: one lowercase allocation +
+    // allocation-free indexOf counting. The previous when/otherwise
+    // column chain repeated each length(replace(...)) marker pipeline
+    // once per CASE branch after Catalyst inlining (~8x the work per
+    // row; conditional branches are excluded from codegen
+    // subexpression elimination) — see [[LangIdExpression]].
+    LangIdExpression.langId(text, markers)
 
   /** BPE-ish subword token count: matches letter runs, digit runs, and
     * punctuation runs with an optional leading space (the GPT-2

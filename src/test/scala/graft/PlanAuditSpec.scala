@@ -74,6 +74,35 @@ class PlanAuditSpec extends SparkSpec {
       p.take(2000))
   }
 
+  test("q66 tokenizes the corpus exactly once") {
+    // r3 verdict item 1: the tf⋈dfreq self-join let Catalyst re-derive
+    // dfreq from a second tokenize+explode subtree — the dominant
+    // stage on 100 TB of text ran twice. df is now a window count
+    // physically consuming the tf aggregate; the plan must hold ONE
+    // explode over documents.
+    val p = plan("q66_tfidf")
+    val nGen = "(?m)^\\W*\\bGenerate\\b".r.findAllIn(p).length
+    assert(nGen == 1,
+      s"q66 expected exactly 1 Generate (explode), got $nGen:\n" +
+        p.take(3000))
+  }
+
+  test("langId is one native expression, not an inlined CASE pipeline") {
+    // r3 verdict item 2: the when/otherwise column chain repeated each
+    // length(replace(lower(text)...)) marker count once per CASE
+    // branch (~8x per row). The native expression leaves exactly one
+    // langid(...) call and zero replace chains in the projection.
+    Seq("q22_lang_id", "q41_clean_corpus").foreach { name =>
+      val p = plan(name)
+      // literal replace() only — q41's fingerprint keeps its
+      // legitimate regexp_replace
+      assert("(?<!regexp_)\\breplace\\(".r.findFirstIn(p).isEmpty,
+        s"$name still inlines marker replace() chains: ${p.take(2000)}")
+      assert(p.toLowerCase.contains("langid"),
+        s"$name does not use the native langid expression: ${p.take(2000)}")
+    }
+  }
+
   test("filter pushdown reaches the parquet scans") {
     val p = plan("q12_join_enrich")
     assert("PushedFilters: \\[[^\\]]".r.findFirstIn(p).isDefined,

@@ -209,4 +209,23 @@ class StorageStreamingSpec extends SparkSpec {
     assert(d.count() == 10)
     d.collect().foreach(r => assert(r.getAs[Long]("n_dups") == 2))
   }
+
+  test("multimodal: scale-proportional assets stream through content " +
+      "dedup") {
+    // r3 verdict item 3: the asset table must grow with the data.
+    // sf0.001 embeddings = 50 vectors; dupGroups=7 forces exact
+    // payload duplicates (ids 0..49 -> 7 distinct payload groups
+    // before any asset repeats would at the default 97).
+    val vecs = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = vecs.count()
+    val assets = Multimodal.assetsFromVectors(vecs, dupGroups = 7)
+    assert(assets.count() == n) // one asset per embedding row
+    val d = Multimodal.dedupByContent(assets).collect()
+    assert(d.length == 7)
+    assert(d.map(_.getAs[Long]("n_dups")).sum == n)
+    // keep_id is the min asset id of its group: ids 0..6 each lead one
+    assert(d.map(_.getAs[Long]("keep_id")).sorted.toSeq ==
+      (0L to 6L).toSeq)
+  }
 }
