@@ -204,23 +204,35 @@ object Dedup {
     * shuffles, and only a component still unconverged after
     * `shortcutAfter` rounds (ipso facto deep) buys the label-of-label
     * join, which is vertex-sized — much smaller than the edge join.
-    * `localCheckpoint` truncates lineage so plans don't grow with
-    * iterations. Isolated docs never enter the pair graph and are
-    * their own implicit cluster. The fixpoint is identical to plain
-    * min-propagation: every vertex labeled with its component's min
-    * id.
+    * Checkpointing truncates lineage so plans don't grow with
+    * iterations. The default is `localCheckpoint` (executor-local
+    * blocks — zero-config, right for local mode), but its blocks die
+    * with their executor: on a real cluster an executor loss after
+    * round k kills the whole job with no recovery (r3 verdict
+    * item 7). Pass `checkpointDir` (HDFS/S3 path) to use RELIABLE
+    * `checkpoint()` instead — each round persists to the fault-
+    * tolerant store and the iteration survives executor churn, at the
+    * cost of a write per round. Isolated docs never enter the pair
+    * graph and are their own implicit cluster. The fixpoint is
+    * identical to plain min-propagation: every vertex labeled with
+    * its component's min id.
     */
   def duplicateClusters(pairs: DataFrame, idA: String = "id_a",
                         idB: String = "id_b",
                         maxIter: Int = 40,
-                        shortcutAfter: Int = 3): DataFrame = {
+                        shortcutAfter: Int = 3,
+                        checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(
+      pairs.sparkSession.sparkContext.setCheckpointDir)
+    def barrier(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     // no distinct(): the two union branches are disjoint (u<v vs u>v
     // from the pair convention), and even a caller passing duplicated
     // pairs cannot change a MIN aggregation — a distinct here would
     // just add a full shuffle of the edge list
-    val e = pairs.select(col(idA).as("u"), col(idB).as("v"))
-      .union(pairs.select(col(idB).as("u"), col(idA).as("v")))
-      .localCheckpoint() // pair generation (LSH) runs ONCE, not per round
+    val e = barrier(pairs.select(col(idA).as("u"), col(idB).as("v"))
+      .union(pairs.select(col(idB).as("u"), col(idA).as("v"))))
+      // pair generation (LSH) runs ONCE, not per round
     var labels = e.select(col("u")).distinct()
       .withColumn("label", col("u"))
     var converged = false
@@ -248,7 +260,7 @@ object Dedup {
             least(col("l1"), coalesce(col("__pl"), col("l1")))
               .as("label2"))
       }
-      val updated = jumped.localCheckpoint()
+      val updated = barrier(jumped)
       converged = updated.filter(col("label2") < col("label")).isEmpty
       labels = updated.select(col("u"), col("label2").as("label"))
       i += 1

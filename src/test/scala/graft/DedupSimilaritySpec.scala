@@ -226,4 +226,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(clusters.length == n)
     assert(clusters.forall(_._2 == 1L))
   }
+
+  test("duplicateClusters with a reliable checkpointDir matches the " +
+      "localCheckpoint default") {
+    // r3 verdict item 7: localCheckpoint pins iteration state to
+    // executors — an executor loss mid-iteration kills the job on a
+    // real cluster. The opt-in reliable checkpoint() path must
+    // produce identical clusters (only the lineage barrier differs).
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-cc-ckpt").toString
+    try {
+      val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (7L, 8L), (8L, 9L))
+        .toDF("id_a", "id_b")
+      val got = Dedup
+        .duplicateClusters(pairs, checkpointDir = Some(dir))
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
+        .toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L,
+        6L -> 5L, 7L -> 7L, 8L -> 7L, 9L -> 7L))
+      // the reliable store was actually written (RDD checkpoint dirs)
+      assert(new java.io.File(dir).listFiles() != null &&
+        new java.io.File(dir).listFiles().nonEmpty,
+        s"no checkpoint data written under $dir")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
 }
