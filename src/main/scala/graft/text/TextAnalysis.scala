@@ -110,20 +110,15 @@ object TextAnalysis {
     * (Schleimer et al., SIGMOD'03). md5-based so engines agree; the
     * distinct selected hashes form a compact, position-robust
     * signature. Array column of hex strings.
+    *
+    * Native single-pass expression: the nested-HOF formulation
+    * (transform-over-grams inside transform-over-windows) re-evaluates
+    * the captured gram pipeline per window element when interpreted —
+    * O(n²) md5 calls per document. See [[WinnowingExpression]].
     */
   def winnowingFingerprints(text: Column, k: Int = 8,
-                            w: Int = 4): Column = {
-    val norm = lower(trim(regexp_replace(text, "\\s+", " ")))
-    val grams = when(length(norm) >= k,
-      transform(sequence(lit(1), length(norm) - (k - 1)),
-        i => md5(norm.substr(i, lit(k)))))
-      .otherwise(array(md5(norm)))
-    val windows = when(size(grams) >= w,
-      transform(sequence(lit(1), size(grams) - (w - 1)),
-        i => array_min(slice(grams, i, lit(w)))))
-      .otherwise(array(array_min(grams)))
-    array_sort(array_distinct(windows))
-  }
+                            w: Int = 4): Column =
+    WinnowingExpression.winnowingFingerprints(text, k, w)
 
   /** Token-window chunks for training-data prep: windows of
     * `chunkSize` tokens starting every `step` tokens (overlap =
