@@ -156,6 +156,19 @@ object QueriesScale {
         .select(col("id_a"), col("id_b"), col("est_jaccard"))
     },
 
+    // LSH-pruned EXACT n-gram Jaccard rescore — the two-stage near-dup
+    // decision (estimate prunes, exact score decides): banded MinHash
+    // candidates only (never all pairs), then set Jaccard over each
+    // side's distinct 3-gram shingles. Shingle sets move only for
+    // candidate pairs — at 100 TB the rescore cost is proportional to
+    // the candidate count, not the corpus square.
+    "q70_neardup_rescore" -> q { (spark, dir) =>
+      Dedup.nearDuplicates(docs(spark, dir),
+          estThreshold = 0.0, exactThreshold = 0.35)
+        .select(col("id_a"), col("id_b"),
+          pround(col("jaccard"), 6).as("jaccard"))
+    },
+
     "q26_simhash" -> q { (spark, dir) =>
       docs(spark, dir).select(col("doc_id"),
         Dedup.simhash(col("text")).as("simhash"))
@@ -804,6 +817,34 @@ object QueriesScale {
          |JOIN bands bb ON a.band_idx = bb.band_idx
          |             AND a.band_hash = bb.band_hash
          |             AND a.doc_id < bb.doc_id""".stripMargin,
+
+    "q70_neardup_rescore" ->
+      s"""WITH $sigsSql,
+         |bands AS (
+         |  SELECT doc_id, sig, b.b AS band_idx,
+         |         md5(array_to_string(sig[b.b*4+1:b.b*4+4], '|'))
+         |           AS band_hash
+         |  FROM sigs CROSS JOIN (SELECT unnest([0,1,2,3]) AS b) b),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b
+         |  FROM bands a
+         |  JOIN bands bb ON a.band_idx = bb.band_idx
+         |               AND a.band_hash = bb.band_hash
+         |               AND a.doc_id < bb.doc_id),
+         |j AS (
+         |  SELECT c.id_a, c.id_b,
+         |         CASE WHEN len(list_distinct(
+         |                      list_concat(sa.shl, sb.shl))) > 0
+         |              THEN CAST(len(list_intersect(sa.shl, sb.shl))
+         |                     AS DOUBLE)
+         |                   / len(list_distinct(
+         |                       list_concat(sa.shl, sb.shl)))
+         |              ELSE 0.0 END AS jac
+         |  FROM cand c
+         |  JOIN shd sa ON sa.doc_id = c.id_a
+         |  JOIN shd sb ON sb.doc_id = c.id_b)
+         |SELECT id_a, id_b, round(jac, 6) AS jaccard
+         |FROM j WHERE jac >= 0.35""".stripMargin,
 
     "q26_simhash" ->
       s"""WITH $toksSql,

@@ -283,9 +283,23 @@ object Dedup {
                      exactThreshold: Double = 0.7): DataFrame = {
     val cands = minhashPairs(docs, idCol, textCol, k, bands, shingleSize,
       estThreshold)
-    val sh = docs.select(col(idCol),
-      array_distinct(TextAnalysis.shingles(col(textCol), shingleSize))
-        .as("sh"))
+    // semi-join prune BEFORE building shingle arrays: candidates are a
+    // sliver of a 100 TB corpus, and the rescore joins shuffle each
+    // side's shingle arrays — materializing arrays for every corpus
+    // doc and shuffling them all to rescore 0.1% of ids would move
+    // ~the whole corpus twice. After the prune only candidate docs pay
+    // the array build + shuffle (AQE broadcasts the id list when
+    // small).
+    // one reference to cands (explode, not a 2-branch union): both
+    // this and the final rescore join then consume the SAME candidate
+    // subtree, and AQE's exchange reuse runs the LSH banding join once
+    val candIds = cands
+      .select(explode(array(col("id_a"), col("id_b"))).as(idCol))
+      .distinct()
+    val sh = docs.join(candIds, Seq(idCol), "left_semi")
+      .select(col(idCol),
+        array_distinct(TextAnalysis.shingles(col(textCol), shingleSize))
+          .as("sh"))
     cands
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")

@@ -51,6 +51,62 @@ class TextForecastSpec extends SparkSpec {
       Seq("en", "fr", "de", "und"))
   }
 
+  test("property: native langId matches the replace-count oracle " +
+      "formula on random marker soups") {
+    // differential check of the native expression against an
+    // INDEPENDENT model implementing the oracle's arithmetic:
+    // count(m) = (len(p) - len(p.replace(m, ""))) / len(m) over the
+    // padded lowercase text, greatest with first-wins ties, 'und' on 0
+    val gen = org.scalacheck.Gen.listOfN(12, org.scalacheck.Gen.oneOf(
+      "the", "and", "of", "el", "la", "que", "le", "et", "der", "und",
+      "die", "cat", "DOG", "xyz", "the", "la"))
+      .map(_.mkString(" "))
+    def model(text: String): String = {
+      val p = " " + text.toLowerCase(java.util.Locale.ROOT) + " "
+      val scores = TextAnalysis.defaultMarkers.map { case (lang, ms) =>
+        lang -> ms.map(m =>
+          (p.length - p.replace(m, "").length) / m.length).sum
+      }
+      val best = scores.map(_._2).max
+      if (best <= 0) "und"
+      else scores.find(_._2 == best).get._1
+    }
+    val texts = Iterator.continually(gen.sample).flatten.take(60).toSeq
+    val got = texts.toDF("text")
+      .select(TextAnalysis.langId($"text").as("l"))
+      .collect().map(_.getString(0)).toSeq
+    texts.zip(got).foreach { case (t, g) =>
+      assert(g == model(t), s"langId('$t') = $g, model says ${model(t)}")
+    }
+  }
+
+  test("property: winnowing invariant under whitespace/case noise, " +
+      "size-bounded, sorted-distinct") {
+    val word = org.scalacheck.Gen.listOfN(6,
+      org.scalacheck.Gen.alphaLowerChar).map(_.mkString)
+    val gen = org.scalacheck.Gen.chooseNum(0, 8).flatMap(n =>
+      org.scalacheck.Gen.listOfN(n, word).map(_.mkString(" ")))
+    val texts = Iterator.continually(gen.sample).flatten.take(40).toSeq
+    val noisy = texts.map(t =>
+      "  " + t.toUpperCase(java.util.Locale.ROOT).replace(" ", " \t ")
+        + "\n")
+    val fp = (ts: Seq[String]) => ts.toDF("text")
+      .select(TextAnalysis.winnowingFingerprints($"text").as("f"))
+      .collect().map(_.getSeq[String](0).toList)
+    val a = fp(texts)
+    val b = fp(noisy)
+    texts.indices.foreach { i =>
+      // normalization: whitespace runs + case never change the set
+      assert(a(i) == b(i), s"fps changed under noise for '${texts(i)}'")
+      assert(a(i) == a(i).distinct.sorted, "output not sorted-distinct")
+      val n = texts(i).trim.replaceAll("\\s+", " ").length
+      val grams = if (n >= 8) n - 7 else 1
+      val bound = math.max(1, grams - 3)
+      assert(a(i).nonEmpty && a(i).size <= bound,
+        s"|fps|=${a(i).size} outside (0, $bound] for '${texts(i)}'")
+    }
+  }
+
   test("BPE-ish token count splits letter/digit/punct runs") {
     val df = Seq("hello world 123 foo-bar!", "", "a1b2").toDF("text")
       .select(TextAnalysis.bpeTokenCount($"text").as("n"))
