@@ -103,6 +103,24 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("hll sketch aggregates per-partition before its one exchange") {
+    // The whole point of q71: estimating |vocab| must never shuffle a
+    // token. The plan must partial-aggregate (≤256 register rows per
+    // partition) before each exchange — a plan that exchanges raw
+    // (register, rho) rows forwards the corpus through the shuffle.
+    val p = plan("q71_hll_distinct")
+    assert(p.contains("partial_max") || p.contains("partial max") ||
+      "HashAggregate.*max".r.findFirstIn(p).isDefined, p.take(3000))
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"))
+  }
+
+  test("bloom bit set and cms counter table broadcast to their probes") {
+    assert(plan("q72_bloom_contamination").contains("BroadcastHashJoin"),
+      plan("q72_bloom_contamination").take(2000))
+    assert(plan("q73_cms_heavy_hitters").contains("BroadcastHashJoin"),
+      plan("q73_cms_heavy_hitters").take(2000))
+  }
+
   test("filter pushdown reaches the parquet scans") {
     val p = plan("q12_join_enrich")
     assert("PushedFilters: \\[[^\\]]".r.findFirstIn(p).isDefined,
