@@ -636,6 +636,112 @@ object QueriesScale {
           pround(col("rate"), 6).as("rate"))
     },
 
+    // Histogram-sketch quantiles: log2-binned cents (bit length of an
+    // exact integer — engine-portable, no float log) → ≤53-bin
+    // count/min/max table → within-bin linear interpolation for
+    // p50/p95/p99. One corpus pass, a ≤53-row shuffle, and a 53-row
+    // window — where exact quantiles (q39) pay a full distributed
+    // sort. The 100 TB monitoring shape: tail latencies from a
+    // histogram, not an ORDER BY.
+    "q76_hist_quantiles" -> q { (spark, dir) =>
+      val centsOf = floor(col("l_extendedprice") * 100.0 + 0.5)
+        .cast("long")
+      val binned = t(spark, dir, "lineitem")
+        .filter(col("l_extendedprice").isNotNull &&
+          col("l_extendedprice") > 0)
+        .select(length(bin(centsOf)).as("b"), centsOf.as("c"))
+        .groupBy(col("b"))
+        .agg(count(lit(1)).as("cnt"), min(col("c")).as("mn"),
+          max(col("c")).as("mx"))
+      // global window over the ≤53-row bin table — benign at any SF
+      val w = Window.orderBy(col("b"))
+      val withCum = binned
+        .withColumn("cum", coalesce(sum(col("cnt")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("n", sum(col("cnt")).over(
+          w.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+      val ps = Seq(0.5 -> "p50", 0.95 -> "p95", 0.99 -> "p99")
+      val aggs = ps.map { case (p, a) =>
+        val target = lit(p) * col("n").cast("double")
+        max(when(col("cum").cast("double") < target &&
+            target <= (col("cum") + col("cnt")).cast("double"),
+          (col("mn").cast("double") +
+            (col("mx") - col("mn")).cast("double") *
+              (target - col("cum").cast("double")) /
+              col("cnt").cast("double")) / 100.0)).as(a)
+      }
+      withCum.agg(aggs.head, aggs.tail: _*)
+        .select(ps.map { case (_, a) => pround(col(a), 4).as(a) }: _*)
+    },
+
+    // HLL set-overlap estimation: |orders.o_custkey ∩
+    // customer.c_custkey| by inclusion-exclusion over max-merged
+    // register sets — the join-cardinality primitive a planner wants
+    // before committing to a shuffle strategy. Each side is one
+    // partial-max pass; the merge is 256-row arithmetic.
+    "q77_hll_overlap" -> q { (spark, dir) =>
+      import graft.sketch.Sketches
+      val rA = Sketches.hllRegisters(
+        t(spark, dir, "orders"), col("o_custkey"), 8)
+      val rB = Sketches.hllRegisters(
+        t(spark, dir, "customer"), col("c_custkey"), 8)
+      val rU = rA.unionByName(rB).groupBy(col("register"))
+        .agg(max(col("max_rho")).as("max_rho"))
+      def est(regs: DataFrame, name: String) =
+        Sketches.hllSummary(regs, 8).select(col("hll_estimate").as(name))
+      est(rA, "est_order_custkeys")
+        .crossJoin(broadcast(est(rB, "est_customers")))
+        .crossJoin(broadcast(est(rU, "est_union")))
+        .withColumn("est_overlap", pround(greatest(lit(0.0),
+          col("est_order_custkeys") + col("est_customers")
+            - col("est_union")), 4))
+    },
+
+    // Shingle novelty: per doc, the fraction of its distinct shingles
+    // whose FIRST owner (min doc_id) is the doc itself — the "how
+    // much of this crawl batch is new content" score. One shingle-
+    // keyed aggregation; the ownership join reuses the same hash
+    // partitioning (no second corpus-wide exchange of payloads —
+    // only (doc_id, hash) pairs ever move).
+    "q78_shingle_novelty" -> q { (spark, dir) =>
+      import graft.dedup.HashExpressions
+      val he = docs(spark, dir).select(col("doc_id"),
+        explode(HashExpressions.distinctShingleHashes(col("text"), 3))
+          .as("h"))
+      val first = he.groupBy(col("h"))
+        .agg(min(col("doc_id")).as("first_doc"))
+      he.join(first, Seq("h"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          count(when(col("first_doc") === col("doc_id"), 1))
+            .as("n_novel"))
+        .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+          pround(col("n_novel").cast("double")
+            / col("n_shingles").cast("double"), 6).as("novelty_frac"))
+    },
+
+    // Out-of-vocabulary rate per doc against the top-100 corpus
+    // vocabulary (q64's TakeOrdered, full tiebreak) — the tokenizer-
+    // coverage number a training pipeline watches. The vocab
+    // broadcasts; per-doc counts collapse map-side (tokens of a doc
+    // are co-located after explode).
+    "q79_oov_rate" -> q { (spark, dir) =>
+      val toks = docs(spark, dir).select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val vocab = toks.groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc).limit(100)
+        .select(col("token"), lit(1).as("__v"))
+      toks.join(broadcast(vocab), Seq("token"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          count(when(col("__v").isNull, 1)).as("n_oov"))
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          pround(col("n_oov").cast("double")
+            / col("n_tokens").cast("double"), 6).as("oov_frac"))
+    },
+
     // Grouped HLL: distinct-token estimate PER LANGUAGE from one
     // corpus pass — registers keyed (lang, register), so the sketch
     // merges per group exactly like it would across partitions,
@@ -807,6 +913,34 @@ object QueriesScale {
     s"""cents(c, w, nrm) AS (
        |  SELECT * FROM (VALUES
        |      $rows) AS t(c, w, nrm))""".stripMargin
+  }
+
+  /** DuckDB HLL register set of `table`.`key` — the q71 pipeline as a
+    * reusable subquery (first 2 md5 hex chars = register, next 12 =
+    * 48-bit tail, rank = leading-zero count + 1).
+    */
+  private def hllRegsSql(table: String, key: String): String =
+    s"""(SELECT register, MAX(rho) AS max_rho FROM (
+       |  SELECT CAST(('0x' || substr(md5(CAST($key AS VARCHAR)), 1, 2))
+       |           AS BIGINT) AS register,
+       |         CASE WHEN CAST(('0x' || substr(md5(CAST($key
+       |                AS VARCHAR)), 3, 12)) AS BIGINT) = 0 THEN 49
+       |              ELSE 49 - length(bin(CAST(('0x' || substr(md5(
+       |                CAST($key AS VARCHAR)), 3, 12)) AS BIGINT)))
+       |              END AS rho
+       |  FROM $table) GROUP BY register)""".stripMargin
+
+  /** Scalar HLL estimate (unrounded) from a register-set CTE name. */
+  private def hllEstSql(regs: String): String = {
+    val c = Sketches.hllNumerator(8)
+    s"""(SELECT CASE WHEN $c / CAST(s_num AS DOUBLE) <= 640.0
+       |            AND nonzero < 256
+       |           THEN 256.0 * ln(256.0 / CAST(256 - nonzero AS DOUBLE))
+       |           ELSE $c / CAST(s_num AS DOUBLE) END
+       |  FROM (SELECT CAST(COUNT(*) AS INT) AS nonzero,
+       |               CAST(SUM(1::BIGINT << (49 - max_rho)) AS BIGINT)
+       |                 + (256 - COUNT(*)) * (1::BIGINT << 49) AS s_num
+       |        FROM $regs))""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
@@ -1332,6 +1466,97 @@ object QueriesScale {
         |SELECT d.doc_id, d.lang, d.source, round(r.rate, 6) AS rate
         |FROM d JOIN r USING (source) JOIN f USING (doc_id)
         |WHERE f.frac < r.rate""".stripMargin,
+
+    // Same integer binning (floor to cents, bit length) and the same
+    // IEEE interpolation arithmetic — every float op is mul/div/cmp
+    // on identical operands, so the estimates match bit-for-bit.
+    "q76_hist_quantiles" -> {
+      def est(p: String): String =
+        s"""round(MAX(CASE WHEN CAST(cum AS DOUBLE)
+           |      < $p * CAST(n AS DOUBLE)
+           |    AND $p * CAST(n AS DOUBLE) <= CAST(cum + cnt AS DOUBLE)
+           |  THEN (CAST(mn AS DOUBLE) + CAST(mx - mn AS DOUBLE)
+           |    * ($p * CAST(n AS DOUBLE) - CAST(cum AS DOUBLE))
+           |    / CAST(cnt AS DOUBLE)) / 100.0 END), 4)""".stripMargin
+      s"""WITH src AS (
+         |  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+         |  FROM lineitem
+         |  WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0),
+         |bins AS (
+         |  SELECT length(bin(c)) AS b, CAST(count(*) AS BIGINT) AS cnt,
+         |         MIN(c) AS mn, MAX(c) AS mx
+         |  FROM src GROUP BY 1),
+         |cu AS (
+         |  SELECT b, cnt, mn, mx,
+         |         COALESCE(SUM(cnt) OVER (ORDER BY b
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |           0) AS cum,
+         |         SUM(cnt) OVER () AS n
+         |  FROM bins)
+         |SELECT ${est("0.5")} AS p50,
+         |       ${est("0.95")} AS p95,
+         |       ${est("0.99")} AS p99
+         |FROM cu""".stripMargin
+    },
+
+    // Register sets rebuilt per table, max-merged for the union;
+    // inclusion-exclusion over the same rounded estimates.
+    "q77_hll_overlap" ->
+      s"""WITH ra AS ${hllRegsSql("orders", "o_custkey")},
+         |rb AS ${hllRegsSql("customer", "c_custkey")},
+         |ru AS (
+         |  SELECT register, MAX(max_rho) AS max_rho
+         |  FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb)
+         |  GROUP BY register),
+         |e AS (
+         |  SELECT round(${hllEstSql("ra")}, 4) AS est_order_custkeys,
+         |         round(${hllEstSql("rb")}, 4) AS est_customers,
+         |         round(${hllEstSql("ru")}, 4) AS est_union)
+         |SELECT est_order_custkeys, est_customers, est_union,
+         |       round(GREATEST(CAST(0 AS DOUBLE),
+         |         est_order_custkeys + est_customers - est_union), 4)
+         |         AS est_overlap
+         |FROM e""".stripMargin,
+
+    // Same distinct-shingle md5s, same min-owner rule.
+    "q78_shingle_novelty" ->
+      s"""WITH $toksSql,
+         |sh AS (
+         |  SELECT doc_id,
+         |         CASE WHEN len(tk) >= 3
+         |              THEN list_transform(generate_series(1, len(tk) - 2),
+         |                     j -> array_to_string(tk[j:j+2], ' '))
+         |              ELSE [array_to_string(tk, ' ')] END AS shl
+         |  FROM toks),
+         |he AS (
+         |  SELECT doc_id, unnest(list_transform(list_distinct(shl),
+         |           s -> md5(s))) AS h
+         |  FROM sh),
+         |fst AS (SELECT h, MIN(doc_id) AS first_doc FROM he GROUP BY h)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |       CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_novel,
+         |       round(CAST(SUM(CASE WHEN first_doc = doc_id THEN 1
+         |                ELSE 0 END) AS DOUBLE)
+         |             / CAST(count(*) AS DOUBLE), 6) AS novelty_frac
+         |FROM he JOIN fst USING (h) GROUP BY doc_id""".stripMargin,
+
+    // Top-100 vocab with q64's (count DESC, token ASC) tiebreak, then
+    // a per-doc left-join count.
+    "q79_oov_rate" ->
+      s"""WITH $toksSql,
+         |ex AS (SELECT doc_id, unnest(tk) AS token FROM toks),
+         |v AS (
+         |  SELECT token FROM ex GROUP BY token
+         |  ORDER BY count(*) DESC, token ASC LIMIT 100)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |       CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_oov,
+         |       round(CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0
+         |                END) AS DOUBLE)
+         |             / CAST(count(*) AS DOUBLE), 6) AS oov_frac
+         |FROM ex LEFT JOIN v ON ex.token = v.token
+         |GROUP BY doc_id""".stripMargin,
 
     // q71's register pipeline with lang as a grouping key — same md5
     // arithmetic, same exact-integer register sums per language.
