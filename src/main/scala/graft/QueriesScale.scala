@@ -811,6 +811,54 @@ object QueriesScale {
       Seq((proundScala(model.coefficients(0), 4),
         proundScala(model.intercept, 4), n))
         .toDF("slope", "intercept", "n")
+    },
+
+    // Range join: for each event, how many same-user events land in
+    // its following 4-hour window (burst / activity-lookahead
+    // feature). Both sides are the full event stream — the naive
+    // inequality join is a per-key nested loop; RangeJoin buckets the
+    // time axis so it plans as ONE equi-join shuffle (PlanAuditSpec
+    // asserts no NestedLoop). Window arithmetic in integer MICROS —
+    // exact and portable (nanos keep sub-micro digits DuckDB's
+    // epoch_us cannot see; q10 has the same convention).
+    "q80_range_join" -> q { (spark, dir) =>
+      import graft.operators.RangeJoin
+      val winUs = 4L * 3600L * 1000000L
+      val ev = t(spark, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          expr("ts DIV 1000").as("us"))
+      val anchors = ev.select(col("user_id"),
+        col("event_id").as("anchor_id"), col("us").as("win_start"),
+        (col("us") + lit(winUs)).as("win_end"))
+      RangeJoin.pointInInterval(
+        ev, anchors, Seq("user_id"),
+        pointCol = "us", startCol = "win_start", endCol = "win_end",
+        bucketWidth = winUs)
+        .groupBy(col("anchor_id"), col("win_start"))
+        .agg((count(lit(1)) - 1).as("n_following"),
+          (max(col("us")) - first(col("win_start"))).as("span_us"))
+        .select(col("anchor_id"), col("n_following"), col("span_us"))
+    },
+
+    // Stopword scrub: drop a fixed function-word list from every
+    // document, emit before/after token counts and the md5 of the
+    // scrubbed text — the C4-style normalization pass before dedup /
+    // tokenizer fitting. Pure per-row work (narrow projection, no
+    // shuffle beyond the scan spread); the stop list is a literal In,
+    // codegen'd — at 100 TB this runs at scan speed.
+    "q81_stopword_scrub" -> q { (spark, dir) =>
+      val stop = Seq("a", "the", "row", "table", "key", "value",
+        "fast", "slow")
+      val toks = TextAnalysis.tokens(col("text"))
+      val kept = filter(toks, tk => not(tk.isInCollection(stop)))
+      docs(spark, dir).select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(kept).cast("long").as("n_kept"),
+        pround((size(toks) - size(kept)).cast("double")
+          / greatest(size(toks), lit(1)).cast("double"), 6)
+          .as("stop_frac"),
+        md5(array_join(kept, " ")).as("scrubbed_md5"))
     }
   )
 
@@ -2027,6 +2075,37 @@ object QueriesScale {
         |       round(regr_intercept(value, CAST(user_id AS DOUBLE)), 4)
         |         AS intercept,
         |       COUNT(*) AS n
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+
+    // DuckDB expresses the range join directly as an inequality join
+    // (fine single-node); Spark's bucketed equi-join must produce the
+    // identical pair set. Same integer-micros convention as q10.
+    "q80_range_join" ->
+      """SELECT a.event_id AS anchor_id,
+        |       CAST(COUNT(*) - 1 AS BIGINT) AS n_following,
+        |       MAX(epoch_us(b.ts)) - epoch_us(a.ts) AS span_us
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND epoch_us(b.ts) >= epoch_us(a.ts)
+        | AND epoch_us(b.ts) <  epoch_us(a.ts) + 14400000000
+        |GROUP BY a.event_id, epoch_us(a.ts)""".stripMargin,
+
+    // Same whitespace tokenizer (shared toks CTE), same literal stop
+    // list, md5 over the space-rejoined remainder.
+    "q81_stopword_scrub" ->
+      s"""WITH $toksSql,
+         |k AS (
+         |  SELECT doc_id, tk,
+         |         list_filter(tk, x -> x NOT IN
+         |           ('a','the','row','table','key','value','fast','slow'))
+         |           AS kept
+         |  FROM toks)
+         |SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+         |       CAST(len(kept) AS BIGINT) AS n_kept,
+         |       round(CAST(len(tk) - len(kept) AS DOUBLE)
+         |             / CAST(GREATEST(len(tk), 1) AS DOUBLE), 6)
+         |         AS stop_frac,
+         |       md5(array_to_string(kept, ' ')) AS scrubbed_md5
+         |FROM k""".stripMargin
   )
 }

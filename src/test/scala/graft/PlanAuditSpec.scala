@@ -74,6 +74,14 @@ class PlanAuditSpec extends SparkSpec {
       p.take(2000))
   }
 
+  test("range join plans a bucketed equi-join, not a nested loop") {
+    // the naive inequality formulation would plan BroadcastNestedLoop;
+    // RangeJoin's bucket explode must keep it a plain equi-join
+    val p = plan("q80_range_join")
+    assert(p.contains("Join") && !p.contains("NestedLoop"),
+      p.take(2000))
+  }
+
   test("q66 tokenizes the corpus exactly once") {
     // r3 verdict item 1: the tf⋈dfreq self-join let Catalyst re-derive
     // dfreq from a second tokenize+explode subtree — the dominant
