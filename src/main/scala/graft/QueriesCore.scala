@@ -441,6 +441,30 @@ object QueriesCore {
           pround(col("right_value"), 4).as("last_click_value"))
     },
 
+    // Forward as-of with tolerance: for each purchase, the NEXT click
+    // at-or-after it, nulled beyond one hour (pandas merge_asof
+    // direction='forward', tolerance). Same one-shuffle union+window
+    // machinery as q35 run in descending time; equal-time clicks are
+    // deduped so the DuckDB ASOF oracle is deterministic.
+    "q82_asof_forward" -> q { (spark, dir) =>
+      import graft.operators.AsOfJoin
+      val ev = t(spark, dir, "events")
+        .withColumn("us", expr("ts DIV 1000"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("us"))
+      val wDedup = Window.partitionBy(col("user_id"), col("us"))
+        .orderBy(col("event_id").desc)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("us"), col("value"))
+        .withColumn("__rn", row_number().over(wDedup))
+        .filter(col("__rn") === 1).drop("__rn")
+      AsOfJoin.forward(purchases, clicks, Seq("user_id"), "us",
+          "event_id", tolerance = Some(3600L * 1000000L))
+        .select(col("event_id"), col("user_id"), col("us"),
+          col("right_us").as("next_click_us"),
+          pround(col("right_value"), 4).as("next_click_value"))
+    },
+
     // Left-anti join: customers that never ordered.
     "q37_anti_join" -> q { (spark, dir) =>
       val customer = t(spark, dir, "customer")
@@ -893,6 +917,28 @@ object QueriesCore {
         |       round(c.value, 4) AS last_click_value
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.us >= c.us""".stripMargin,
+
+    // DuckDB ASOF with the inequality flipped (p.us <= c.us) walks
+    // forward; the tolerance is a post-join CASE — the nearest match
+    // beyond it implies no match within it.
+    "q82_asof_forward" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+        |  WHERE event_type = 'purchase'),
+        |c0 AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS us, value
+        |  FROM events WHERE event_type = 'click'),
+        |c AS (
+        |  SELECT * FROM c0
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY user_id, us ORDER BY event_id DESC) = 1)
+        |SELECT p.event_id, p.user_id, p.us,
+        |       CASE WHEN c.us - p.us <= 3600000000 THEN c.us END
+        |         AS next_click_us,
+        |       CASE WHEN c.us - p.us <= 3600000000
+        |            THEN round(c.value, 4) END AS next_click_value
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.us <= c.us""".stripMargin,
 
     "q37_anti_join" ->
       """SELECT c_custkey, c_mktsegment,

@@ -4,9 +4,10 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Backward as-of join: for each left row, attach the latest right row
-  * whose time is <= the left row's time, per key — the line-movement
-  * primitive ("which odds were live when this bet was placed?") the
+/** As-of joins: for each left row, attach the nearest right row at or
+  * before ([[backward]]) / at or after ([[forward]]) the left row's
+  * time, per key — the line-movement primitive ("which odds were live
+  * when this bet was placed?" / "where did the line move next?") the
   * reference approximates by replaying its append-only snapshot CSV
   * (`docs/README.md:40`, SURVEY §1.4).
   *
@@ -15,8 +16,8 @@ import org.apache.spark.sql.functions._
   *
   *   1. tag right rows side=0, left rows side=1; union on
   *      (keys, time, side, payload-structs);
-  *   2. one window pass per key ordered by (time, side, right-order)
-  *      carries the most recent right payload forward;
+  *   2. one window pass per key, ordered by time toward the direction
+  *      of visibility, carries the most recent right payload;
   *   3. keep side=1 rows.
   *
   * ONE shuffle + sort over left+right — no range join explosion, no
@@ -25,14 +26,38 @@ import org.apache.spark.sql.functions._
   * only when the right side fits in memory; this shape survives both
   * sides at 100 TB.
   *
-  * Ties: a right row at exactly the left row's time IS visible
-  * (side 0 sorts first); equal right times resolve to the greatest
+  * Ties: a right row at exactly the left row's time IS visible in
+  * both directions; equal right times resolve to the greatest
   * `rightOrder` — pass a unique column to pin determinism.
+  *
+  * `tolerance` (pandas `merge_asof` semantics, inclusive): a match
+  * farther than `tolerance` from the left time nulls out — the join
+  * stays left-outer. Requires a numeric time column (the subtraction
+  * must be meaningful); the check is a post-window projection, no
+  * extra shuffle.
   */
 object AsOfJoin {
 
   def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
-               timeCol: String, rightOrder: String): DataFrame = {
+               timeCol: String, rightOrder: String,
+               tolerance: Option[Long] = None): DataFrame =
+    unionWindow(left, right, keys, timeCol, rightOrder, tolerance,
+      forwardDir = false)
+
+  /** Forward as-of: the EARLIEST right row with time >= the left
+    * row's time — same machinery as [[backward]] with the window
+    * ordered descending (the carried "most recent" right row in
+    * descending order is the nearest following one in real time).
+    */
+  def forward(left: DataFrame, right: DataFrame, keys: Seq[String],
+              timeCol: String, rightOrder: String,
+              tolerance: Option[Long] = None): DataFrame =
+    unionWindow(left, right, keys, timeCol, rightOrder, tolerance,
+      forwardDir = true)
+
+  private def unionWindow(left: DataFrame, right: DataFrame,
+      keys: Seq[String], timeCol: String, rightOrder: String,
+      tolerance: Option[Long], forwardDir: Boolean): DataFrame = {
     import org.apache.spark.sql.types.{DateType, NumericType, StringType, StructType, TimestampType}
     val roType = right.schema(rightOrder).dataType
     roType match {
@@ -41,6 +66,12 @@ object AsOfJoin {
       case other => throw new IllegalArgumentException(
         s"rightOrder column '$rightOrder' must be an orderable scalar " +
           s"(got $other) so equal-time ties resolve deterministically")
+    }
+    tolerance.foreach { tol =>
+      require(tol >= 0, s"tolerance must be >= 0, got $tol")
+      require(left.schema(timeCol).dataType.isInstanceOf[NumericType],
+        s"tolerance requires a numeric time column, got " +
+          left.schema(timeCol).dataType)
     }
     val leftPayload = struct(left.columns.map(col): _*)
     val rightValueCols = right.columns
@@ -64,12 +95,29 @@ object AsOfJoin {
         lit(null).cast(rightType).as("__r") :+
         leftPayload.as("__l"): _*)
 
+    // Backward walks time ascending; forward walks it descending so
+    // "last right row seen" is the nearest FOLLOWING one. Within an
+    // equal timestamp the right row must be seen before the left row
+    // (visible in both directions) — side 0 first either way — and
+    // __ro stays ascending so the greatest rightOrder is carried last
+    // and wins ties identically in both directions.
+    val timeOrder = if (forwardDir) col("__t").desc else col("__t").asc
     val w = Window.partitionBy(keyCols: _*)
-      .orderBy(col("__t").asc, col("__side").asc, col("__ro").asc)
+      .orderBy(timeOrder, col("__side").asc, col("__ro").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val carried = taggedRight.unionByName(taggedLeft)
+    val carriedRaw = taggedRight.unionByName(taggedLeft)
       .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
+
+    val carried = tolerance match {
+      case None => carriedRaw
+      case Some(tol) =>
+        val dist = if (forwardDir) col(s"__match.$timeCol") - col("__t")
+                   else col("__t") - col(s"__match.$timeCol")
+        carriedRaw.withColumn("__match",
+          when(dist <= lit(tol), col("__match"))
+            .otherwise(lit(null).cast(rightType)))
+    }
 
     val leftOut = left.columns.map(c => col(s"__l.$c").as(c))
     val rightOut = rightValueCols.map(c =>

@@ -69,6 +69,38 @@ object StreamingIngest {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("total_value"))
 
+  /** Stream-stream event-time interval join: left rows match right
+    * rows with the same key whose event time falls in
+    * `[left.ts, left.ts + window)` — the streaming twin of
+    * [[graft.operators.RangeJoin]] (q80's burst lookahead, live).
+    *
+    * Both sides carry watermarks and the join condition bounds right's
+    * event time RELATIVE to left's, which is exactly what Structured
+    * Streaming needs to reason about state expiry: a buffered left row
+    * can be dropped once the right watermark passes
+    * `left.ts + window`, so state stays bounded on unbounded streams
+    * — an unconstrained stream-stream join would buffer both streams
+    * forever.
+    *
+    * Column contract: `left` has (`ts`, key, payload...), `right` the
+    * same; right's columns are returned suffixed so the caller can
+    * union/aggregate without ambiguity.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   windowSpec: String = "4 hours",
+                   watermark: String = "1 hour",
+                   tsCol: String = "ts"): DataFrame = {
+    val l = left.withWatermark(tsCol, watermark).alias("l")
+    val r = right.columns.foldLeft(right)((df, c) =>
+      df.withColumnRenamed(c, s"r_$c"))
+      .withWatermark(s"r_$tsCol", watermark).alias("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.r_$key") &&
+        col(s"r.r_$tsCol") >= col(s"l.$tsCol") &&
+        col(s"r.r_$tsCol") < col(s"l.$tsCol") +
+          expr(s"INTERVAL $windowSpec"))
+  }
+
   /** Run a streaming query to completion over whatever is currently in
     * the source (test/ingest-batch helper).
     */

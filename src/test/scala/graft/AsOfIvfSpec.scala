@@ -24,6 +24,63 @@ class AsOfIvfSpec extends SparkSpec {
     assert(joined(3L).isEmpty)        // no odds yet at t=50
   }
 
+  test("forward as-of attaches earliest right row at-or-after") {
+    val bets = Seq((1L, "g1", 100L), (2L, "g1", 250L), (3L, "g2", 999L))
+      .toDF("bet_id", "game", "t")
+    val odds = Seq((10L, "g1", 100L, 1.9), (11L, "g1", 200L, 2.0),
+      (12L, "g1", 300L, 2.1), (13L, "g2", 60L, 1.5))
+      .toDF("line_id", "game", "t", "price")
+    val joined = AsOfJoin.forward(bets, odds, Seq("game"), "t",
+      "line_id").collect().map(r =>
+        r.getAs[Long]("bet_id") ->
+          (if (r.isNullAt(r.fieldIndex("right_price"))) None
+           else Some(r.getAs[Double]("right_price")))).toMap
+    assert(joined(1L).contains(1.9))  // exact-time match visible
+    assert(joined(2L).contains(2.1))  // earliest at-or-after 250
+    assert(joined(3L).isEmpty)        // no odds after t=999
+  }
+
+  test("forward ties at equal right times resolve like backward") {
+    val l = Seq((1L, "k", 10L)).toDF("id", "key", "t")
+    val r = Seq((5L, "k", 10L, 1.0), (6L, "k", 10L, 2.0))
+      .toDF("rid", "key", "t", "v")
+    val out = AsOfJoin.forward(l, r, Seq("key"), "t", "rid").collect()
+    assert(out.head.getAs[Double]("right_v") == 2.0)
+  }
+
+  test("tolerance nulls matches beyond the window, inclusive at it") {
+    val l = Seq((1L, "k", 100L), (2L, "k", 300L), (3L, "k", 301L))
+      .toDF("id", "key", "t")
+    val r = Seq((5L, "k", 100L, 1.0)).toDF("rid", "key", "t", "v")
+    def prices(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(row => row.getAs[Long]("id") ->
+        (if (row.isNullAt(row.fieldIndex("right_v"))) None
+         else Some(row.getAs[Double]("right_v")))).toMap
+    val back = prices(AsOfJoin.backward(l, r, Seq("key"), "t", "rid",
+      tolerance = Some(200L)))
+    assert(back(1L).contains(1.0))  // distance 0
+    assert(back(2L).contains(1.0))  // distance 200 == tolerance: kept
+    assert(back(3L).isEmpty)        // distance 201: nulled
+    val fl = Seq((1L, "k", 100L), (2L, "k", 0L)).toDF("id", "key", "t")
+    val fwd = prices(AsOfJoin.forward(fl, r, Seq("key"), "t", "rid",
+      tolerance = Some(50L)))
+    assert(fwd(1L).contains(1.0))   // distance 0
+    assert(fwd(2L).isEmpty)         // distance 100 > 50: nulled
+  }
+
+  test("tolerance rejects a non-numeric time column") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val l = Seq((1L, "k", ts("2025-01-01 00:00:00")))
+      .toDF("id", "key", "t")
+    val r = Seq((5L, "k", ts("2025-01-01 00:00:00"), 1.0))
+      .toDF("rid", "key", "t", "v")
+    val ex = intercept[IllegalArgumentException] {
+      AsOfJoin.backward(l, r, Seq("key"), "t", "rid",
+        tolerance = Some(10L))
+    }
+    assert(ex.getMessage.contains("numeric time column"))
+  }
+
   test("as-of ties at equal right times resolve to highest order col") {
     val l = Seq((1L, "k", 10L)).toDF("id", "key", "t")
     val r = Seq((5L, "k", 10L, 1.0), (6L, "k", 10L, 2.0))

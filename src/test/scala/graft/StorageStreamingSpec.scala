@@ -71,6 +71,32 @@ class StorageStreamingSpec extends SparkSpec {
     assert(out == Seq("a", "b"))
   }
 
+  test("stream-stream interval join matches in-window rows, bounded state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val anchors = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val hits = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val l = anchors.toDF().toDF("ts", "user_id", "anchor_id")
+    val r = hits.toDF().toDF("ts", "user_id", "hit_id")
+    val joined = graft.streaming.StreamingIngest
+      .intervalJoin(l, r, "user_id", windowSpec = "1 hour",
+        watermark = "10 minutes")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ivj_out").start()
+    anchors.addData((t("2025-01-01 00:00:00"), 7L, 1L))
+    hits.addData(
+      (t("2025-01-01 00:00:00"), 7L, 10L),  // at anchor time: in
+      (t("2025-01-01 00:59:59"), 7L, 11L),  // just inside window
+      (t("2025-01-01 01:00:00"), 7L, 12L),  // at window end: out
+      (t("2025-01-01 00:30:00"), 8L, 13L))  // other user: out
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ivj_out")
+      .select("r_hit_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(10L, 11L))
+  }
+
   test("bucketed tables join without an exchange") {
     val a = (1L to 500L).map(i => (i, s"a$i")).toDF("k", "va")
     val b = (1L to 500L).map(i => (i, i * 2.0)).toDF("k", "vb")
