@@ -840,6 +840,63 @@ object QueriesScale {
         .select(col("anchor_id"), col("n_following"), col("span_us"))
     },
 
+    // Lexical diversity: per-doc type-token ratio and Simpson index —
+    // the repetition/quality signals a corpus filter thresholds on.
+    // DELIBERATELY log-free: entropy's Σ p·log p is a float sum whose
+    // partition-order nondeterminism (and log ULP drift across
+    // engines) breaks hash compares; Simpson's Σ c(c-1) / n(n-1) is
+    // pure integer arithmetic until ONE final division on identical
+    // operands — bit-portable at any scale. Two aggregations, both
+    // partial-agg friendly; nothing wider than (doc, token) moves.
+    "q83_lexical_diversity" -> q { (spark, dir) =>
+      val cnt = docs(spark, dir)
+        .select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("c"))
+      cnt.groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n"),
+          count(lit(1)).as("n_distinct_tokens"),
+          sum(col("c") * (col("c") - 1)).as("rep"))
+        .select(col("doc_id"),
+          col("n").cast("long").as("n_tokens"),
+          col("n_distinct_tokens"),
+          pround(col("n_distinct_tokens").cast("double")
+            / col("n").cast("double"), 6).as("ttr"),
+          when(col("n") > 1,
+            pround(lit(1.0) - col("rep").cast("double")
+              / (col("n") * (col("n") - 1)).cast("double"), 6))
+            .as("simpson"))
+    },
+
+    // Token-rank commonness score: per-doc mean corpus-frequency RANK
+    // of its tokens against a broadcast top-20 vocabulary (OOV = rank
+    // 21) — the CCNet-style "how ordinary is this document's
+    // vocabulary" prior, reformulated rank-integer so the per-doc sum
+    // is order-free and exact (Σ log p would hit the same float-sum
+    // trap q83 avoids). Vocab ranks broadcast; per-doc sums collapse
+    // map-side.
+    "q84_token_rank_score" -> q { (spark, dir) =>
+      val toks = docs(spark, dir).select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val wRank = Window.orderBy(col("n").desc, col("token").asc)
+      val vocab = toks.groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc).limit(20)
+        .withColumn("rank", row_number().over(wRank).cast("long"))
+        .select(col("token"), col("rank"))
+      toks.join(broadcast(vocab), Seq("token"), "left")
+        .withColumn("r", coalesce(col("rank"), lit(21L)))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("r")).as("sum_rank"),
+          count(when(col("rank").isNull, 1)).as("n_oov"))
+        .select(col("doc_id"), col("n_tokens"), col("sum_rank"),
+          col("n_oov"),
+          pround(col("sum_rank").cast("double")
+            / col("n_tokens").cast("double"), 6).as("avg_rank"))
+    },
+
     // Stopword scrub: drop a fixed function-word list from every
     // document, emit before/after token counts and the md5 of the
     // scrubbed text — the C4-style normalization pass before dedup /
@@ -2089,6 +2146,47 @@ object QueriesScale {
         | AND epoch_us(b.ts) >= epoch_us(a.ts)
         | AND epoch_us(b.ts) <  epoch_us(a.ts) + 14400000000
         |GROUP BY a.event_id, epoch_us(a.ts)""".stripMargin,
+
+    // Integer Simpson arithmetic, one final division per doc — the
+    // operands are identical on both engines so the round(…, 6)
+    // results are bit-equal.
+    "q83_lexical_diversity" ->
+      s"""WITH $toksSql,
+         |ex AS (SELECT doc_id, unnest(tk) AS token FROM toks),
+         |c AS (
+         |  SELECT doc_id, token, count(*) AS c
+         |  FROM ex GROUP BY doc_id, token),
+         |d AS (
+         |  SELECT doc_id, SUM(c) AS n, COUNT(*) AS n_distinct_tokens,
+         |         SUM(c * (c - 1)) AS rep
+         |  FROM c GROUP BY doc_id)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+         |       CAST(n_distinct_tokens AS BIGINT) AS n_distinct_tokens,
+         |       round(CAST(n_distinct_tokens AS DOUBLE)
+         |             / CAST(n AS DOUBLE), 6) AS ttr,
+         |       CASE WHEN n > 1 THEN
+         |         round(1 - CAST(rep AS DOUBLE)
+         |               / CAST(n * (n - 1) AS DOUBLE), 6) END AS simpson
+         |FROM d""".stripMargin,
+
+    // Same top-20 vocab (count DESC, token ASC tiebreak), OOV rank 21,
+    // integer rank sums.
+    "q84_token_rank_score" ->
+      s"""WITH $toksSql,
+         |ex AS (SELECT doc_id, unnest(tk) AS token FROM toks),
+         |v AS (
+         |  SELECT token, row_number() OVER (
+         |           ORDER BY count(*) DESC, token ASC) AS rank
+         |  FROM ex GROUP BY token
+         |  ORDER BY count(*) DESC, token ASC LIMIT 20)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |       CAST(SUM(COALESCE(v.rank, 21)) AS BIGINT) AS sum_rank,
+         |       CAST(SUM(CASE WHEN v.rank IS NULL THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_oov,
+         |       round(CAST(SUM(COALESCE(v.rank, 21)) AS DOUBLE)
+         |             / CAST(count(*) AS DOUBLE), 6) AS avg_rank
+         |FROM ex LEFT JOIN v ON ex.token = v.token
+         |GROUP BY doc_id""".stripMargin,
 
     // Same whitespace tokenizer (shared toks CTE), same literal stop
     // list, md5 over the space-rejoined remainder.

@@ -45,10 +45,19 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** `broadcastIntervals`: for a dim-like interval set (maintenance
+    * windows, campaign periods, eval-run spans) force a broadcast of
+    * the exploded intervals so the (huge) point side never shuffles —
+    * the 100 TB-events ⋈ 10k-intervals shape. Off by default: AQE
+    * already picks a broadcast when the exploded side measures small,
+    * and a forced broadcast of a genuinely large interval set is an
+    * OOM, not an optimization.
+    */
   def pointInInterval(points: DataFrame, intervals: DataFrame,
       keys: Seq[String], pointCol: String, startCol: String,
       endCol: String, bucketWidth: Long,
-      maxBucketsPerInterval: Int = 4): DataFrame = {
+      maxBucketsPerInterval: Int = 4,
+      broadcastIntervals: Boolean = false): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be > 0, got $bucketWidth")
     require(maxBucketsPerInterval >= 1,
       s"maxBucketsPerInterval must be >= 1, got $maxBucketsPerInterval")
@@ -82,7 +91,7 @@ object RangeJoin {
         .otherwise(sequence(col("__b0"), col("__b1")))))
       .drop("__b0", "__b1")
 
-    p.join(iv, keys :+ "__b")
+    p.join(if (broadcastIntervals) broadcast(iv) else iv, keys :+ "__b")
       .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("__b")
   }

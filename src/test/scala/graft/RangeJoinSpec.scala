@@ -93,6 +93,54 @@ class RangeJoinSpec extends SparkSpec {
     assert(ex.getMessage.contains("non-key column"))
   }
 
+  test("broadcastIntervals matches the shuffle variant, broadcast plan") {
+    val ps = points((0 until 100).map(i =>
+      (s"k${i % 3}", i.toLong, (i * 37L + 11) % 500)): _*)
+    val ivs = intervals((0 until 30).map(i =>
+      (s"k${i % 3}", i.toLong, (i * 53L) % 480, (i * 53L) % 480 + 80L)): _*)
+    val bc = RangeJoin.pointInInterval(
+      ps, ivs, Seq("k"), "p", "s", "e", bucketWidth = 50L,
+      broadcastIntervals = true)
+    val shuffle = RangeJoin.pointInInterval(
+      ps, ivs, Seq("k"), "p", "s", "e", bucketWidth = 50L)
+    assert(pairs(bc) == pairs(shuffle))
+    assert(pairs(bc).nonEmpty)
+    assert(bc.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+  }
+
+  test("property: bucketed join == naive join over generated frames") {
+    // ScalaCheck sweep: random keys/values/widths (including negatives
+    // and boundary-straddling intervals) — the bucketed formulation
+    // must reproduce the naive inequality join exactly for every
+    // width, not just the hand-picked fixtures above.
+    import org.scalacheck.Gen
+    val caseGen = for {
+      width <- Gen.oneOf(7L, 50L, 64L, 100L, 333L)
+      nP <- Gen.chooseNum(0, 40)
+      nI <- Gen.chooseNum(0, 15)
+      ps <- Gen.listOfN(nP, for {
+        k <- Gen.oneOf("a", "b"); v <- Gen.chooseNum(-400L, 400L)
+      } yield (k, v))
+      ivs <- Gen.listOfN(nI, for {
+        k <- Gen.oneOf("a", "b"); s <- Gen.chooseNum(-400L, 400L)
+        len <- Gen.chooseNum(0L, 3 * width)
+      } yield (k, s, s + len))
+    } yield (width, ps, ivs)
+    Iterator.continually(caseGen.sample).flatten.take(8).foreach {
+      case (width, psRows, ivRows) =>
+        val ps = points(psRows.zipWithIndex.map { case ((k, v), i) =>
+          (k, i.toLong, v) }: _*)
+        val ivs = intervals(ivRows.zipWithIndex.map { case ((k, s, e), i) =>
+          (k, i.toLong, s, e) }: _*)
+        val got = pairs(RangeJoin.pointInInterval(
+          ps, ivs, Seq("k"), "p", "s", "e", bucketWidth = width))
+        val want = pairs(ps.join(ivs, Seq("k"))
+          .filter(col("p") >= col("s") && col("p") < col("e")))
+        assert(got == want, s"width=$width ps=$psRows ivs=$ivRows")
+    }
+  }
+
   test("the plan is an equi-join, not a nested loop") {
     val plan = RangeJoin.pointInInterval(
       points(("k", 1L, 100L)), intervals(("k", 10L, 0L, 200L)),
