@@ -110,7 +110,20 @@ object GraftExtensions {
     }),
     ("graft_dot", 2,
       exprs => VectorExpressions.DotProduct(exprs(0), exprs(1))),
-    ("graft_l2norm", 1, exprs => VectorExpressions.L2Norm(exprs.head)))
+    ("graft_l2norm", 1, exprs => VectorExpressions.L2Norm(exprs.head)),
+    ("graft_langid", 1, exprs => graft.text.LangIdExpression.LangId(
+      exprs.head, graft.text.TextAnalysis.defaultMarkers)),
+    ("graft_text_stats", 1, exprs =>
+      graft.text.TextStatsExpression.TextStats(
+        exprs.head, graft.text.TextAnalysis.defaultStopwords)),
+    ("graft_winnowing", 3, exprs => (exprs(1), exprs(2)) match {
+      case (Literal(k: Int, org.apache.spark.sql.types.IntegerType),
+            Literal(w: Int, org.apache.spark.sql.types.IntegerType)) =>
+        graft.text.WinnowingExpression.WinnowingFingerprints(
+          exprs(0), k, w)
+      case other => throw new IllegalArgumentException(
+        s"graft_winnowing: k and w must be int literals, got $other")
+    }))
 
   /** Imperative registration on an existing session (e.g. one the
     * driver built without `spark.sql.extensions`).

@@ -134,6 +134,54 @@ class AsOfIvfSpec extends SparkSpec {
     assert(out.head.getAs[Double]("right_v") == 2.0)
   }
 
+  test("property: both directions match a Scala model over random frames") {
+    // model: backward = max (t, ro) with rt <= lt; forward = min t
+    // (then max ro within it) with rt >= lt; tolerance nulls beyond.
+    import org.scalacheck.Gen
+    val frameGen = for {
+      nL <- Gen.chooseNum(1, 12)
+      nR <- Gen.chooseNum(0, 12)
+      ls <- Gen.listOfN(nL, for {
+        k <- Gen.oneOf("a", "b"); t <- Gen.chooseNum(0L, 40L)
+      } yield (k, t))
+      rs <- Gen.listOfN(nR, for {
+        k <- Gen.oneOf("a", "b"); t <- Gen.chooseNum(0L, 40L)
+        v <- Gen.chooseNum(1, 999)
+      } yield (k, t, v.toDouble))
+      tol <- Gen.oneOf(None, Some(0L), Some(5L), Some(100L))
+    } yield (ls, rs, tol)
+    Iterator.continually(frameGen.sample).flatten.take(10).foreach {
+      case (ls, rs, tol) =>
+        val l = ls.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+          .toDF("id", "key", "t")
+        val r = rs.zipWithIndex.map { case ((k, t, v), i) =>
+          (i.toLong, k, t, v) }.toDF("rid", "key", "t", "v")
+        def model(fwd: Boolean): Map[Long, Option[Long]] =
+          ls.zipWithIndex.map { case ((k, t), i) =>
+            val elig = rs.zipWithIndex.filter { case ((rk, rt, _), _) =>
+              rk == k && (if (fwd) rt >= t else rt <= t) &&
+                tol.forall(x => math.abs(rt - t) <= x) }
+            val pick = if (elig.isEmpty) None
+              else Some(if (fwd) {
+                val tmin = elig.map(_._1._2).min
+                elig.filter(_._1._2 == tmin).map(_._2).max.toLong
+              } else {
+                val tmax = elig.map(_._1._2).max
+                elig.filter(_._1._2 == tmax).map(_._2).max.toLong
+              })
+            i.toLong -> pick
+          }.toMap
+        def got(df: org.apache.spark.sql.DataFrame): Map[Long, Option[Long]] =
+          df.collect().map(row => row.getAs[Long]("id") ->
+            (if (row.isNullAt(row.fieldIndex("right_rid"))) None
+             else Some(row.getAs[Long]("right_rid")))).toMap
+        assert(got(AsOfJoin.backward(l, r, Seq("key"), "t", "rid", tol))
+          == model(fwd = false), s"backward ls=$ls rs=$rs tol=$tol")
+        assert(got(AsOfJoin.forward(l, r, Seq("key"), "t", "rid", tol))
+          == model(fwd = true), s"forward ls=$ls rs=$rs tol=$tol")
+    }
+  }
+
   test("as-of rejects an unorderable order column") {
     val l = Seq((1L, "k", 10L)).toDF("id", "key", "t")
     val r = Seq((5L, "k", 10L, Array(1.0), 1.0))

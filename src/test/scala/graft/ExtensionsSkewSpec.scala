@@ -89,6 +89,29 @@ class ExtensionsSkewSpec extends SparkSpec {
     assert(sig == sigCol && sig.length == 8)
   }
 
+  test("graft_langid / text_stats / winnowing from SQL match Column API") {
+    GraftExtensions.register(spark)
+    val sample = "the of and to in is it a the of"
+    val sqlRow = spark.sql(
+      s"""SELECT graft_langid('$sample') AS lang,
+         |       graft_text_stats('$sample').n_tokens AS n,
+         |       graft_winnowing('$sample', 3, 4) AS fp""".stripMargin)
+      .collect().head
+    val colRow = Seq(sample).toDF("t").select(
+      graft.text.TextAnalysis.langId($"t").as("lang"),
+      graft.text.TextStatsExpression.textStats($"t")
+        .getField("n_tokens").as("n"),
+      graft.text.WinnowingExpression
+        .winnowingFingerprints($"t", 3, 4).as("fp"))
+      .collect().head
+    assert(sqlRow.getAs[String]("lang") == colRow.getAs[String]("lang"))
+    assert(sqlRow.getAs[String]("lang") == "en")
+    assert(sqlRow.getAs[Long]("n") == colRow.getAs[Long]("n"))
+    assert(sqlRow.getSeq[String](sqlRow.fieldIndex("fp")) ==
+      colRow.getSeq[String](colRow.fieldIndex("fp")))
+    assert(sqlRow.getSeq[String](sqlRow.fieldIndex("fp")).nonEmpty)
+  }
+
   test("wrong arity raises a helpful error") {
     GraftExtensions.register(spark)
     val e = intercept[Exception](
