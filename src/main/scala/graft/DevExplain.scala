@@ -19,6 +19,8 @@ object DevExplain {
         "BroadcastHashJoin" -> "bcast",
         "SortMergeJoin" -> "smj",
         "Exchange" -> "xchg",
+        "ReusedExchange" -> "reuse",
+        "(?m)^\\W*\\bGenerate\\b" -> "gen",
         "\\*\\(" -> "wsc",
         "BroadcastNestedLoopJoin" -> "bnlj",
         "CartesianProduct" -> "cart",

@@ -700,18 +700,19 @@ object QueriesScale {
 
     // Shingle novelty: per doc, the fraction of its distinct shingles
     // whose FIRST owner (min doc_id) is the doc itself — the "how
-    // much of this crawl batch is new content" score. One shingle-
-    // keyed aggregation; the ownership join reuses the same hash
-    // partitioning (no second corpus-wide exchange of payloads —
-    // only (doc_id, hash) pairs ever move).
+    // much of this crawl batch is new content" score. min-owner is a
+    // WINDOW over the shingle hash, not a groupBy+self-join: the join
+    // formulation made Catalyst re-derive the shingle explode on both
+    // sides (corpus hashed twice — the q66 defect class); the window
+    // hashes once and moves only (doc_id, hash) pairs through one
+    // exchange (PlanAuditSpec asserts gen=1).
     "q78_shingle_novelty" -> q { (spark, dir) =>
       import graft.dedup.HashExpressions
       val he = docs(spark, dir).select(col("doc_id"),
         explode(HashExpressions.distinctShingleHashes(col("text"), 3))
           .as("h"))
-      val first = he.groupBy(col("h"))
-        .agg(min(col("doc_id")).as("first_doc"))
-      he.join(first, Seq("h"))
+      he.withColumn("first_doc",
+          min(col("doc_id")).over(Window.partitionBy(col("h"))))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_shingles"),
           count(when(col("first_doc") === col("doc_id"), 1))
@@ -723,20 +724,40 @@ object QueriesScale {
 
     // Out-of-vocabulary rate per doc against the top-100 corpus
     // vocabulary (q64's TakeOrdered, full tiebreak) — the tokenizer-
-    // coverage number a training pipeline watches. The vocab
-    // broadcasts; per-doc counts collapse map-side (tokens of a doc
-    // are co-located after explode).
+    // coverage number a training pipeline watches. Tokenizes ONCE:
+    // tokens collapse map-side to (doc_id, token) counts (docs are
+    // doc_id-partitioned, no exchange), and BOTH the vocab and the
+    // per-doc stats derive from that compact frame — the global
+    // exchange carries distinct pairs, never the token stream, and
+    // the explode feeds exactly one consumer (PlanAuditSpec).
     "q79_oov_rate" -> q { (spark, dir) =>
-      val toks = docs(spark, dir).select(col("doc_id"),
-        explode(TextAnalysis.tokens(col("text"))).as("token"))
-      val vocab = toks.groupBy(col("token"))
-        .agg(count(lit(1)).as("n"))
+      // the repartition(token) barrier makes the exchange the shared
+      // physical subtree — vocab and probe both consume it via
+      // ReusedExchange, so scan+explode+count run ONCE (without it,
+      // exchange reuse cuts below the explode and the tokenize CPU
+      // doubles)
+      val cnt = docs(spark, dir)
+        .select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("c"))
+        .repartition(col("token"))
+      // min(doc_id) is a pruning guard, not a result (the isNotNull
+      // filter is always true at runtime — doc groups are nonempty —
+      // but not provably so, which keeps the aggregate alive):
+      // without it the optimizer prunes doc_id below this branch's
+      // exchange, the two exchange subtrees stop being identical, and
+      // ReuseExchange can't dedup them — the explode would run twice
+      val vocab = cnt.groupBy(col("token"))
+        .agg(sum(col("c")).as("n"), min(col("doc_id")).as("__pg"))
+        .filter(col("__pg").isNotNull)
         .orderBy(col("n").desc, col("token").asc).limit(100)
         .select(col("token"), lit(1).as("__v"))
-      toks.join(broadcast(vocab), Seq("token"), "left")
+      cnt.join(broadcast(vocab), Seq("token"), "left")
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tokens"),
-          count(when(col("__v").isNull, 1)).as("n_oov"))
+        .agg(sum(col("c")).cast("long").as("n_tokens"),
+          coalesce(sum(when(col("__v").isNull, col("c"))), lit(0L))
+            .cast("long").as("n_oov"))
         .select(col("doc_id"), col("n_tokens"), col("n_oov"),
           pround(col("n_oov").cast("double")
             / col("n_tokens").cast("double"), 6).as("oov_frac"))
@@ -877,20 +898,31 @@ object QueriesScale {
     // trap q83 avoids). Vocab ranks broadcast; per-doc sums collapse
     // map-side.
     "q84_token_rank_score" -> q { (spark, dir) =>
-      val toks = docs(spark, dir).select(col("doc_id"),
-        explode(TextAnalysis.tokens(col("text"))).as("token"))
+      // tokenize ONCE: both the vocab and the per-doc sums derive
+      // from the map-side (doc_id, token) counts; the repartition
+      // barrier shares the exchange between them (see q79)
+      val cnt = docs(spark, dir)
+        .select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("c"))
+        .repartition(col("token"))
       val wRank = Window.orderBy(col("n").desc, col("token").asc)
-      val vocab = toks.groupBy(col("token"))
-        .agg(count(lit(1)).as("n"))
+      // min(doc_id) + isNotNull = pruning guard so both branches
+      // share one exchange (see q79)
+      val vocab = cnt.groupBy(col("token"))
+        .agg(sum(col("c")).as("n"), min(col("doc_id")).as("__pg"))
+        .filter(col("__pg").isNotNull)
         .orderBy(col("n").desc, col("token").asc).limit(20)
         .withColumn("rank", row_number().over(wRank).cast("long"))
         .select(col("token"), col("rank"))
-      toks.join(broadcast(vocab), Seq("token"), "left")
+      cnt.join(broadcast(vocab), Seq("token"), "left")
         .withColumn("r", coalesce(col("rank"), lit(21L)))
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tokens"),
-          sum(col("r")).as("sum_rank"),
-          count(when(col("rank").isNull, 1)).as("n_oov"))
+        .agg(sum(col("c")).cast("long").as("n_tokens"),
+          sum(col("r") * col("c")).cast("long").as("sum_rank"),
+          coalesce(sum(when(col("rank").isNull, col("c"))), lit(0L))
+            .cast("long").as("n_oov"))
         .select(col("doc_id"), col("n_tokens"), col("sum_rank"),
           col("n_oov"),
           pround(col("sum_rank").cast("double")

@@ -82,17 +82,33 @@ class PlanAuditSpec extends SparkSpec {
       p.take(2000))
   }
 
-  test("q66 tokenizes the corpus exactly once") {
-    // r3 verdict item 1: the tf⋈dfreq self-join let Catalyst re-derive
-    // dfreq from a second tokenize+explode subtree — the dominant
-    // stage on 100 TB of text ran twice. df is now a window count
-    // physically consuming the tf aggregate; the plan must hold ONE
-    // explode over documents.
-    val p = plan("q66_tfidf")
-    val nGen = "(?m)^\\W*\\bGenerate\\b".r.findAllIn(p).length
-    assert(nGen == 1,
-      s"q66 expected exactly 1 Generate (explode), got $nGen:\n" +
-        p.take(3000))
+  test("corpus queries tokenize/hash the text exactly once") {
+    // r3 verdict item 1 (q66), generalized: any aggregate-then-probe
+    // query that references its exploded token/shingle frame twice
+    // lets Catalyst re-derive the explode subtree on both sides — the
+    // dominant stage on 100 TB of text runs twice. q66's df is a
+    // window count over the tf aggregate; q78's min-owner is a window
+    // over the shingle hash (not a self-join); q79/q84 derive vocab
+    // AND per-doc stats from the map-side (doc_id, token) counts.
+    // Each plan must hold ONE Generate over documents. Asserted with
+    // AQE off: the static ReuseExchange rule then dedups the shared
+    // subtree in the printed plan; under AQE the same canonicalized
+    // reuse happens at runtime (stage-level), but the pre-execution
+    // plan string still shows both copies.
+    val conf = spark.conf
+    val saved = conf.getOption("spark.sql.adaptive.enabled")
+    try {
+      conf.set("spark.sql.adaptive.enabled", "false")
+      Seq("q66_tfidf", "q78_shingle_novelty", "q79_oov_rate",
+        "q84_token_rank_score").foreach { name =>
+        val p = plan(name)
+        val nGen = "(?m)^\\W*\\bGenerate\\b".r.findAllIn(p).length
+        assert(nGen == 1,
+          s"$name expected exactly 1 Generate (explode), got $nGen:\n" +
+            p.take(3000))
+      }
+    } finally saved.fold(conf.unset("spark.sql.adaptive.enabled"))(
+      conf.set("spark.sql.adaptive.enabled", _))
   }
 
   test("langId is one native expression, not an inlined CASE pipeline") {
