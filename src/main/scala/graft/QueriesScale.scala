@@ -583,6 +583,13 @@ object QueriesScale {
     // cells — the shuffle is O(d·w), not O(corpus)), then a probe
     // vocabulary (deterministic 2% doc slice) is estimated from the
     // broadcast counters. CMS never undercounts; ties break on token.
+    // Plan note: this is a deliberate TWO-pass read (gen=2 in
+    // DevExplain) — the counter build consumes every token map-side
+    // (no corpus exchange), the probe pass re-scans only to explode
+    // the 2% sampled docs. Funnelling both through one shared
+    // exchange would shuffle the raw token stream corpus-wide just to
+    // save the second scan — a worse trade at any scale. Not the
+    // q66/q79 defect class (same aggregate derived twice).
     "q73_cms_heavy_hitters" -> q { (spark, dir) =>
       import graft.sketch.Sketches
       import graft.sampling.Sampling
