@@ -936,6 +936,54 @@ object QueriesScale {
             / col("n_tokens").cast("double"), 6).as("avg_rank"))
     },
 
+    // Capstone: the END-TO-END training-data build, composing the
+    // pipeline stages the catalog checks one-by-one — quality filter
+    // (>=20 tokens) + language ID (drop 'und') + exact dedup
+    // (first-doc-per-fingerprint) + deterministic split assignment +
+    // 64/48 token chunking + capacity-256 sequence packing per
+    // (split, bucket) — into one plan, accounted per split. No joins:
+    // ONE scan computes the native text expressions (gen=1 in
+    // DevExplain), a fingerprint window dedups, the chunk explode
+    // feeds a (split, bucket) cumsum window, and a 3-row aggregate
+    // lands (its two countDistincts add an Expand — rows there are
+    // chunk-level ids, not text).
+    "q85_training_data_build" -> q { (spark, dir) =>
+      import graft.text.TextStatsExpression.textStats
+      import graft.sampling.Sampling
+      val capacity = 256
+      val wDedup = Window.partitionBy(col("fingerprint"))
+        .orderBy(col("doc_id").asc)
+      val cleaned = docs(spark, dir)
+        .withColumn("st", textStats(col("text")))
+        .withColumn("predicted_lang", TextAnalysis.langId(col("text")))
+        .withColumn("fingerprint", TextAnalysis.fingerprint(col("text")))
+        .filter(col("st.n_tokens") >= 20 &&
+          col("predicted_lang") =!= "und")
+        .withColumn("__rn", row_number().over(wDedup))
+        .filter(col("__rn") === 1)
+        .select(col("doc_id"), col("text"),
+          Sampling.assignSplit(col("doc_id"),
+            Seq("train" -> 0.9, "val" -> 0.95, "test" -> 1.0),
+            salt = "split1").as("split"))
+      val ck = cleaned
+        .select(col("doc_id"), col("split"),
+          explode(TextAnalysis.tokenChunks(col("text"), 64, 48)).as("c"))
+        .select(col("doc_id"), col("split"),
+          col("c.chunk_idx").as("chunk_idx"),
+          (col("doc_id") % 32).cast("int").as("bucket"),
+          size(col("c.chunk_tokens")).cast("long").as("n"))
+      val wPack = Window.partitionBy(col("split"), col("bucket"))
+        .orderBy(col("doc_id").asc, col("chunk_idx").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ck.withColumn("cum", coalesce(sum(col("n")).over(wPack), lit(0L)))
+        .withColumn("seq_id", expr(s"cum DIV ${capacity}L"))
+        .groupBy(col("split"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_chunks"),
+          sum(col("n")).cast("long").as("n_chunk_tokens"),
+          countDistinct(col("bucket"), col("seq_id")).as("n_sequences"))
+    },
+
     // Stopword scrub: drop a fixed function-word list from every
     // document, emit before/after token counts and the md5 of the
     // scrubbed text — the C4-style normalization pass before dedup /
@@ -2226,6 +2274,85 @@ object QueriesScale {
          |             / CAST(count(*) AS DOUBLE), 6) AS avg_rank
          |FROM ex LEFT JOIN v ON ex.token = v.token
          |GROUP BY doc_id""".stripMargin,
+
+    // The capstone composes the ALREADY-PROVEN q41 (clean+lang+dedup),
+    // q63 (split), and q59 (chunk+pack cumsum) SQL pieces, then
+    // aggregates per split.
+    "q85_training_data_build" ->
+      s"""WITH $toksSql,
+         |t AS (
+         |  SELECT doc_id, len(tk) AS n_tokens,
+         |         ' ' || lower(text) || ' ' AS pt,
+         |         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+         |           AS fingerprint
+         |  FROM toks),
+         |s AS (
+         |  SELECT doc_id, n_tokens, fingerprint,
+         |    (length(pt) - length(replace(pt, ' the ', ''))) / 5
+         |    + (length(pt) - length(replace(pt, ' and ', ''))) / 5
+         |    + (length(pt) - length(replace(pt, ' of ', ''))) / 4 AS s_en,
+         |    (length(pt) - length(replace(pt, ' el ', ''))) / 4
+         |    + (length(pt) - length(replace(pt, ' la ', ''))) / 4
+         |    + (length(pt) - length(replace(pt, ' que ', ''))) / 5 AS s_es,
+         |    (length(pt) - length(replace(pt, ' le ', ''))) / 4
+         |    + (length(pt) - length(replace(pt, ' la ', ''))) / 4
+         |    + (length(pt) - length(replace(pt, ' et ', ''))) / 4 AS s_fr,
+         |    (length(pt) - length(replace(pt, ' der ', ''))) / 5
+         |    + (length(pt) - length(replace(pt, ' und ', ''))) / 5
+         |    + (length(pt) - length(replace(pt, ' die ', ''))) / 5 AS s_de
+         |  FROM t),
+         |lang AS (
+         |  SELECT doc_id, n_tokens, fingerprint,
+         |         CASE WHEN GREATEST(s_en, s_es, s_fr, s_de) <= 0
+         |              THEN 'und'
+         |              WHEN s_en = GREATEST(s_en, s_es, s_fr, s_de)
+         |              THEN 'en'
+         |              WHEN s_es = GREATEST(s_en, s_es, s_fr, s_de)
+         |              THEN 'es'
+         |              WHEN s_fr = GREATEST(s_en, s_es, s_fr, s_de)
+         |              THEN 'fr'
+         |              WHEN s_de = GREATEST(s_en, s_es, s_fr, s_de)
+         |              THEN 'de'
+         |              ELSE 'und' END AS predicted_lang
+         |  FROM s),
+         |cleaned AS (
+         |  SELECT doc_id FROM lang
+         |  WHERE n_tokens >= 20 AND predicted_lang <> 'und'
+         |  QUALIFY row_number() OVER (
+         |    PARTITION BY fingerprint ORDER BY doc_id ASC) = 1),
+         |cl AS (
+         |  SELECT c.doc_id, tk,
+         |         CASE WHEN CAST(('0x' || substr(md5('split1'
+         |                || CAST(c.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |                / 4294967296.0 < 0.9 THEN 'train'
+         |              WHEN CAST(('0x' || substr(md5('split1'
+         |                || CAST(c.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |                / 4294967296.0 < 0.95 THEN 'val'
+         |              ELSE 'test' END AS split
+         |  FROM cleaned c JOIN toks USING (doc_id)),
+         |ch AS (
+         |  SELECT doc_id, split, tk,
+         |         unnest(generate_series(1, greatest(len(tk), 1), 48))
+         |           AS st
+         |  FROM cl),
+         |ck AS (
+         |  SELECT doc_id, split, CAST((st - 1) // 48 AS INT) AS chunk_idx,
+         |         CAST(doc_id % 32 AS INT) AS bucket,
+         |         CAST(len(tk[st : st + 63]) AS BIGINT) AS n
+         |  FROM ch),
+         |c AS (
+         |  SELECT doc_id, split, bucket, n,
+         |         COALESCE(SUM(n) OVER (PARTITION BY split, bucket
+         |           ORDER BY doc_id, chunk_idx
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |           0) // 256 AS seq_id
+         |  FROM ck)
+         |SELECT split, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         |       CAST(SUM(n) AS BIGINT) AS n_chunk_tokens,
+         |       CAST(COUNT(DISTINCT (bucket, seq_id)) AS BIGINT)
+         |         AS n_sequences
+         |FROM c GROUP BY split""".stripMargin,
 
     // Same whitespace tokenizer (shared toks CTE), same literal stop
     // list, md5 over the space-rejoined remainder.
