@@ -984,6 +984,32 @@ object QueriesScale {
           countDistinct(col("bucket"), col("seq_id")).as("n_sequences"))
     },
 
+    // Cross-source overlap matrix: for every source pair, how many
+    // distinct 3-shingles they share — the provenance/leakage view of
+    // near-dup ("which feeds copy from which"; exact fingerprints
+    // never cross sources in this corpus, shingles do). The
+    // (source, hash) frame is distinct-collapsed BEFORE the
+    // self-join — each hash survives at most |sources| times, so the
+    // join fan-out is bounded by |sources| per key regardless of
+    // corpus size — and the repartition(h) barrier makes the join's
+    // two sides one ReusedExchange: text is shingle-hashed once.
+    "q86_cross_source_overlap" -> q { (spark, dir) =>
+      import graft.dedup.HashExpressions
+      val sh = docs(spark, dir)
+        .select(col("source"),
+          explode(HashExpressions.distinctShingleHashes(col("text"), 3))
+            .as("h"))
+        .distinct()
+        .repartition(col("h"))
+      sh.join(sh.select(col("h"), col("source").as("source_b")),
+          Seq("h"))
+        .filter(col("source") < col("source_b"))
+        .groupBy(col("source").as("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_shared_shingles"))
+        .select(col("source_a"), col("source_b"),
+          col("n_shared_shingles"))
+    },
+
     // Stopword scrub: drop a fixed function-word list from every
     // document, emit before/after token counts and the md5 of the
     // scrubbed text — the C4-style normalization pass before dedup /
@@ -2353,6 +2379,30 @@ object QueriesScale {
          |       CAST(COUNT(DISTINCT (bucket, seq_id)) AS BIGINT)
          |         AS n_sequences
          |FROM c GROUP BY split""".stripMargin,
+
+    // q78's shingle md5s, distinct per source, self-joined s1 < s2.
+    "q86_cross_source_overlap" ->
+      """WITH t0 AS (
+        |  SELECT source,
+        |         list_filter(regexp_split_to_array(text, '\s+'),
+        |                     x -> x <> '') AS tk
+        |  FROM documents),
+        |sh0 AS (
+        |  SELECT source,
+        |         CASE WHEN len(tk) >= 3
+        |              THEN list_transform(generate_series(1, len(tk) - 2),
+        |                     j -> array_to_string(tk[j:j+2], ' '))
+        |              ELSE [array_to_string(tk, ' ')] END AS shl
+        |  FROM t0),
+        |sh AS (
+        |  SELECT DISTINCT source,
+        |         unnest(list_transform(shl, s -> md5(s))) AS h
+        |  FROM sh0)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |       CAST(COUNT(*) AS BIGINT) AS n_shared_shingles
+        |FROM sh a JOIN sh b
+        |  ON a.h = b.h AND a.source < b.source
+        |GROUP BY a.source, b.source""".stripMargin,
 
     // Same whitespace tokenizer (shared toks CTE), same literal stop
     // list, md5 over the space-rejoined remainder.
