@@ -97,26 +97,91 @@ object Dedup {
   /** MinHash-LSH candidate pairs with estimated Jaccard = fraction of
     * equal signature components. The join key is (band_idx, band_hash)
     * — at scale this shuffles each doc `bands` times instead of
-    * comparing all pairs; bucket skew is bounded because identical
-    * bands imply near-identical docs.
+    * comparing all pairs.
+    *
+    * Identical-document hardening (r4 verdict item 2): docs with
+    * IDENTICAL signatures collide in every band, so a cluster of m
+    * exact dups would put bands·m² rows through the band join and the
+    * distinct exchange (a real 100 TB hazard — crawl corpora hold
+    * million-copy boilerplate clusters). Signatures are therefore
+    * collapsed to ONE representative per distinct signature before the
+    * band self-join; member pairs re-expand afterward at output
+    * cardinality. Semantics are unchanged: est_jaccard is a function
+    * of the two signatures only, so every member of a signature group
+    * scores identically to its representative, and within-group pairs
+    * are exactly est_jaccard = 1.0. Worst case drops from
+    * quadratic-in-cluster band work to linear (plus the inherently
+    * output-sized pair list).
     */
   def minhashPairs(docs: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text", k: Int = 16,
                    bands: Int = 4, shingleSize: Int = 3,
                    threshold: Double = 0.5): DataFrame = {
-    val sigs = withMinhash(docs, idCol, textCol, k, bands, shingleSize)
-    val a = sigs.select(col(idCol).as("id_a"), col("sig").as("sig_a"),
+    require(k % bands == 0, "k must be divisible by bands")
+    val r = k / bands
+    // First repartition: parallelize signature hashing (input may
+    // arrive as few splits). Second: a materialization barrier keyed
+    // on sig_fp — the grouped aggregate below then needs no further
+    // shuffle, and every downstream consumer (members + groups) reads
+    // the SAME exchange, so the signature is computed once per doc.
+    // Text is dropped before the barrier: the exchange carries
+    // (id, sig, sig_fp), never document payloads.
+    val sigs = docs
+      .select(col(idCol), col(textCol))
+      .repartition(col(idCol))
+      .withColumn("sig", minhashSignature(col(textCol), k, shingleSize))
+      .withColumn("sig_fp", md5(concat_ws("|", col("sig"))))
+      .select(col(idCol), col("sig"), col("sig_fp"))
+      .repartition(col("sig_fp"))
+    val members = sigs.select(col("sig_fp"), col(idCol))
+    // one row per DISTINCT signature; all members share sig, so
+    // first(sig) is deterministic in value
+    val groups = sigs.groupBy(col("sig_fp"))
+      .agg(min(col(idCol)).as("rep_id"), first(col("sig")).as("sig"))
+    val banded = groups
+      .withColumn("band",
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band_idx"),
+            md5(concat_ws("|", slice(col("sig"), b * r + 1, lit(r))))
+              .as("band_hash")))))
+      .select(col("sig_fp"), col("rep_id"), col("sig"),
+        col("band.band_idx"), col("band.band_hash"))
+    val a = banded.select(col("sig_fp").as("fp_a"),
+      col("rep_id").as("rid_a"), col("sig").as("sig_a"),
       col("band_idx"), col("band_hash"))
-    val b = sigs.select(col(idCol).as("id_b"), col("sig").as("sig_b"),
+    val b = banded.select(col("sig_fp").as("fp_b"),
+      col("rep_id").as("rid_b"), col("sig").as("sig_b"),
       col("band_idx"), col("band_hash"))
-    a.join(b, Seq("band_idx", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
+    // rid_a < rid_b: each unordered pair of DISTINCT signature groups
+    // once (rep ids are unique per group); same-group collisions are
+    // excluded here and handled exactly below
+    val repPairs = a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("rid_a") < col("rid_b"))
+      .select(col("fp_a"), col("fp_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => x === y), p => p)).cast("double") / k)
           .as("est_jaccard"))
       .distinct()
       .filter(col("est_jaccard") >= threshold)
+    // cross-group expansion: every (member of A, member of B) combo,
+    // oriented smaller-id-first — pure fan-out joins, output-sized
+    val cross = repPairs
+      .join(members.select(col("sig_fp").as("fp_a"),
+        col(idCol).as("__ia")), Seq("fp_a"))
+      .join(members.select(col("sig_fp").as("fp_b"),
+        col(idCol).as("__ib")), Seq("fp_b"))
+      .select(least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"),
+        col("est_jaccard"))
+    // within-group pairs: identical signatures agree on every
+    // component, so est_jaccard is exactly k/k = 1.0
+    val within = members.select(col("sig_fp"), col(idCol).as("id_a"))
+      .join(members.select(col("sig_fp"), col(idCol).as("id_b")),
+        Seq("sig_fp"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(1.0).as("est_jaccard"))
+      .filter(lit(1.0) >= threshold)
+    cross.union(within)
   }
 
   /** 64-bit SimHash as a 16-hex-char string. Per token: 64 bits from
