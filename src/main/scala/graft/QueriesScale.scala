@@ -192,6 +192,48 @@ object QueriesScale {
         Dedup.simhashPairs(docs(spark, dir), maxHamming = 12))
     },
 
+    // Quality-aware survivor selection (r4 verdict item 4): the
+    // production keep-policy composed from cluster resolution (q50)
+    // and the q21 quality score — per duplicate cluster keep the
+    // HIGHEST-quality member, not the min id; docs in no cluster are
+    // their own singleton. Argmax tiebreak pinned: 6-dp-rounded score
+    // desc, then doc_id asc — deterministic in both engines. Scale
+    // shape: the cluster table is a sliver (dup members only) LEFT-
+    // joined to per-doc scores on doc_id; the pick is one window over
+    // cluster_id; no text moves after scoring.
+    "q88_quality_survivors" -> q { (spark, dir) =>
+      import graft.text.TextStatsExpression.textStats
+      val d = docs(spark, dir)
+      val clusters = Dedup.duplicateClusters(
+        Dedup.simhashPairs(d, maxHamming = 12))
+      val stopRatio = when(col("st.n_tokens") > 0,
+        col("st.n_stop").cast("double") / col("st.n_tokens"))
+      val punctRatio = when(col("st.n_chars") > 0,
+        col("st.n_punct").cast("double") / col("st.n_chars"))
+      val lenScore =
+        least(col("st.n_tokens").cast("double") / 100.0, lit(1.0))
+      val scored = d.withColumn("st", textStats(col("text")))
+        .select(col("doc_id"),
+          pround(lit(0.5) * lenScore
+            + lit(0.3) * (lit(1.0) - abs(coalesce(stopRatio, lit(0.0))
+              - 0.4))
+            + lit(0.2) * (lit(1.0) - coalesce(punctRatio, lit(0.0))), 6)
+            .as("quality_score"))
+      val labeled = scored.join(clusters, Seq("doc_id"), "left")
+        .withColumn("cluster_id",
+          coalesce(col("cluster_id"), col("doc_id")))
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("quality_score").desc, col("doc_id").asc)
+      labeled
+        .withColumn("__rn", row_number().over(w))
+        .withColumn("__n",
+          count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+        .filter(col("__rn") === 1)
+        .select(col("cluster_id"), col("doc_id").as("keep_id"),
+          col("quality_score").as("keep_quality"),
+          col("__n").cast("long").as("n_members"))
+    },
+
     // Token-window chunking for training-data prep: 64-token windows
     // every 48 tokens (16-token overlap), one row per chunk.
     "q51_token_chunks" -> q { (spark, dir) => chunks(spark, dir) },
@@ -386,6 +428,49 @@ object QueriesScale {
       Pq.ivfAdcTopK(v, v.filter(col("vec_id") % 40 === 0),
         Similarity.gridCentroids(8, 64), Pq.codebookLiteral(8, 16, 8),
         k = 5, nprobe = 4)
+    },
+
+    // ANN recall@k evaluation (r4 verdict item 3): the eval loop every
+    // real ANN deployment runs — score the compressed/bucketed indexes
+    // (IVF exact-rescore, IVF-PQ ADC) against the brute-force truth
+    // set on the same query sample, one summary row per method.
+    // Scale shape: recall eval always runs on a SAMPLED query set (the
+    // %40 slice here); the truth pass is brute-force BY DESIGN — that
+    // cost is the eval's point, is proportional to |sample|·|corpus|,
+    // and broadcasts the queries so the corpus never shuffles. The
+    // hit-counting joins are k·|sample|-sized.
+    // Expected readings, pinned in AnnRecallSpec: ivf ≈ 0.62 (nprobe
+    // 4 of 8 cells, exact rescore); ivf_pq ≈ 0.0 — NOT a bug: the
+    // oracle-portable stand-in codebook is deterministic, i.e.
+    // UNTRAINED, and the eval correctly detects that it quantizes to
+    // noise. That detection is this query's purpose. The same ADC
+    // machinery with TRAINED codebooks (Pq.fitCodebooks, the
+    // production path) reaches a real recall floor — pinned against
+    // the exact-L2 truth in AnnRecallSpec.
+    "q87_ann_recall" -> q { (spark, dir) =>
+      val v = vecs(spark, dir)
+      val qv = v.filter(col("vec_id") % 40 === 0)
+      val k = 5
+      val truth = Similarity
+        .bruteForceTopK(v, qv, k, roundSim = Some(6))
+        .select(col("query_id"), col("neighbor_id"))
+      val ivf = Similarity.ivfTopK(v, qv, Similarity.gridCentroids(8, 64),
+        k = k, nprobe = 4, roundSim = Some(6))
+      val ivfPq = Pq.ivfAdcTopK(v, qv, Similarity.gridCentroids(8, 64),
+        Pq.codebookLiteral(8, 16, 8), k = k, nprobe = 4)
+      def recallOf(approx: DataFrame, method: String): DataFrame =
+        truth
+          .join(approx.select(col("query_id"), col("neighbor_id"))
+            .withColumn("__h", lit(1)),
+            Seq("query_id", "neighbor_id"), "left")
+          .agg(countDistinct(col("query_id")).cast("long").as("n_queries"),
+            count(lit(1)).cast("long").as("n_truth"),
+            count(col("__h")).cast("long").as("n_hits"))
+          .select(lit(method).as("method"), col("n_queries"),
+            col("n_truth"), col("n_hits"),
+            pround(col("n_hits").cast("double")
+              / col("n_truth").cast("double"), 6).as("recall_at_k"))
+      recallOf(ivf, "ivf").union(recallOf(ivfPq, "ivf_pq"))
     },
 
     // Train/val/test assignment: per-key hash split (90/5/5) — stable
@@ -754,7 +839,12 @@ object QueriesScale {
       // but not provably so, which keeps the aggregate alive):
       // without it the optimizer prunes doc_id below this branch's
       // exchange, the two exchange subtrees stop being identical, and
-      // ReuseExchange can't dedup them — the explode would run twice
+      // ReuseExchange can't dedup them — the explode would run twice.
+      // SPARK-VERSION SENSITIVE (r4 advice): this relies on Catalyst
+      // NOT inferring min(non-nullable) is non-null; an upgrade that
+      // adds the inference would silently drop the reuse (perf only —
+      // results unchanged). PlanAuditSpec's gen==1 assertion is the
+      // tripwire: re-pin the guard there first after a Spark bump.
       val vocab = cnt.groupBy(col("token"))
         .agg(sum(col("c")).as("n"), min(col("doc_id")).as("__pg"))
         .filter(col("__pg").isNotNull)
@@ -1354,6 +1444,53 @@ object QueriesScale {
          |m AS (SELECT u, MIN(v) AS mv FROM r GROUP BY u)
          |SELECT u AS doc_id, LEAST(u, mv) AS cluster_id FROM m""".stripMargin,
 
+    "q88_quality_survivors" ->
+      s"""WITH RECURSIVE $simhashPairsSql,
+         |e AS (
+         |  SELECT id_a AS u, id_b AS v FROM pairs WHERE hamming <= 12
+         |  UNION
+         |  SELECT id_b, id_a FROM pairs WHERE hamming <= 12),
+         |r(u, v) AS (
+         |  SELECT u, v FROM e
+         |  UNION
+         |  SELECT r.u, e.v FROM r JOIN e ON r.v = e.u),
+         |m AS (SELECT u, MIN(v) AS mv FROM r GROUP BY u),
+         |cl AS (SELECT u AS doc_id, LEAST(u, mv) AS cluster_id FROM m),
+         |sc AS (
+         |  SELECT doc_id,
+         |         CASE WHEN len(tk) > 0
+         |              THEN CAST(len(list_filter(tk, x -> list_contains(
+         |                     ['the','a','an','and','or','of','to','in',
+         |                      'is','it'], lower(x)))) AS DOUBLE) / len(tk)
+         |              END AS stop_ratio,
+         |         CASE WHEN length(text) > 0
+         |              THEN CAST(length(regexp_replace(text,
+         |                     '[^[:punct:]]', '', 'g')) AS DOUBLE)
+         |                   / length(text)
+         |              END AS punct_ratio,
+         |         len(tk) AS n_tokens
+         |  FROM toks),
+         |qual AS (
+         |  SELECT doc_id,
+         |         round(0.5 * LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+         |             + 0.3 * (1.0 - abs(COALESCE(stop_ratio, 0.0) - 0.4))
+         |             + 0.2 * (1.0 - COALESCE(punct_ratio, 0.0)), 6)
+         |           AS quality_score
+         |  FROM sc),
+         |lab AS (
+         |  SELECT q.doc_id, COALESCE(cl.cluster_id, q.doc_id) AS cluster_id,
+         |         q.quality_score
+         |  FROM qual q LEFT JOIN cl ON q.doc_id = cl.doc_id),
+         |win AS (
+         |  SELECT cluster_id, doc_id, quality_score,
+         |         row_number() OVER (PARTITION BY cluster_id
+         |           ORDER BY quality_score DESC, doc_id ASC) AS rn,
+         |         COUNT(*) OVER (PARTITION BY cluster_id) AS n
+         |  FROM lab)
+         |SELECT cluster_id, doc_id AS keep_id, quality_score AS keep_quality,
+         |       CAST(n AS BIGINT) AS n_members
+         |FROM win WHERE rn = 1""".stripMargin,
+
     "q51_token_chunks" ->
       s"""WITH $toksSql,
          |ch AS (
@@ -1930,6 +2067,100 @@ object QueriesScale {
          |WINDOW w AS (PARTITION BY query_id
          |             ORDER BY adc_dist ASC, neighbor_id ASC)
          |QUALIFY row_number() OVER w <= 5""".stripMargin,
+
+    "q87_ann_recall" ->
+      s"""WITH ${centsSql(8)},
+         |cb AS (SELECT $pqCbSql AS c),
+         |$vNormSql,
+         |truth AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c2.vec_id AS neighbor_id,
+         |           round(list_sum(list_transform(generate_series(1, 64),
+         |               i -> CAST(q.embedding[i] AS DOUBLE)
+         |                    * CAST(c2.embedding[i] AS DOUBLE)))
+         |             / (q.nrm * c2.nrm), 6) AS cosine_sim
+         |    FROM v q JOIN v c2
+         |      ON q.vec_id % 40 = 0 AND c2.vec_id <> q.vec_id)
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine_sim DESC, neighbor_id ASC) <= 5),
+         |scored AS (
+         |  SELECT e.vec_id, c.c AS cell,
+         |         list_sum(list_transform(
+         |             generate_series(1, len(e.embedding)),
+         |             i -> CAST(e.embedding[i] AS DOUBLE) * c.w[i]))
+         |           / c.nrm AS s
+         |  FROM embeddings e CROSS JOIN cents c),
+         |assign AS (
+         |  SELECT vec_id, list_position(ls, list_max(ls)) - 1 AS cell
+         |  FROM (SELECT vec_id, list(s ORDER BY cell) AS ls
+         |        FROM scored GROUP BY vec_id)),
+         |probes AS (
+         |  SELECT vec_id AS query_id, cell
+         |  FROM scored WHERE vec_id % 40 = 0
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY s DESC, cell ASC) <= 4),
+         |ivf AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT pr.query_id, a.vec_id AS neighbor_id,
+         |           round(list_sum(list_transform(generate_series(1, 64),
+         |               i -> CAST(qv.embedding[i] AS DOUBLE)
+         |                    * CAST(cv.embedding[i] AS DOUBLE)))
+         |             / (qv.nrm * cv.nrm), 6) AS cosine_sim
+         |    FROM probes pr
+         |    JOIN assign a ON a.cell = pr.cell AND a.vec_id <> pr.query_id
+         |    JOIN v qv ON qv.vec_id = pr.query_id
+         |    JOIN v cv ON cv.vec_id = a.vec_id)
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine_sim DESC, neighbor_id ASC) <= 5),
+         |d AS (
+         |  SELECT vec_id,
+         |         list_transform(generate_series(0, 7), s ->
+         |           list_transform(generate_series(1, 16), t ->
+         |             round(list_sum(list_transform(generate_series(1, 8),
+         |               j -> (CAST(embedding[8*s + j] AS DOUBLE)
+         |                      - c[s+1][t][j])
+         |                    * (CAST(embedding[8*s + j] AS DOUBLE)
+         |                      - c[s+1][t][j]))), 9))) AS dists
+         |  FROM embeddings CROSS JOIN cb),
+         |codes AS (
+         |  SELECT vec_id,
+         |         list_transform(dists, dl ->
+         |           CAST(list_position(dl, list_min(dl)) - 1 AS INT))
+         |           AS pq_codes
+         |  FROM d),
+         |ivfpq AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT pr.query_id, a.vec_id AS neighbor_id,
+         |           round(list_sum(list_transform(generate_series(0, 7), s ->
+         |             list_sum(list_transform(generate_series(1, 8), j ->
+         |               (CAST(qv.embedding[8*s + j] AS DOUBLE)
+         |                 - c[s+1][cd.pq_codes[s+1] + 1][j])
+         |               * (CAST(qv.embedding[8*s + j] AS DOUBLE)
+         |                 - c[s+1][cd.pq_codes[s+1] + 1][j]))))), 6)
+         |             AS adc_dist
+         |    FROM probes pr
+         |    JOIN assign a ON a.cell = pr.cell AND a.vec_id <> pr.query_id
+         |    JOIN codes cd ON cd.vec_id = a.vec_id
+         |    JOIN embeddings qv ON qv.vec_id = pr.query_id
+         |    CROSS JOIN cb)
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adc_dist ASC, neighbor_id ASC) <= 5),
+         |stats AS (
+         |  SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+         |         CAST(COUNT(*) AS BIGINT) AS n_truth
+         |  FROM truth),
+         |summary AS (
+         |  SELECT 'ivf' AS method,
+         |         (SELECT CAST(COUNT(*) AS BIGINT) FROM truth t
+         |            JOIN ivf a USING (query_id, neighbor_id)) AS n_hits
+         |  UNION ALL
+         |  SELECT 'ivf_pq' AS method,
+         |         (SELECT CAST(COUNT(*) AS BIGINT) FROM truth t
+         |            JOIN ivfpq a USING (query_id, neighbor_id)) AS n_hits)
+         |SELECT m.method, s.n_queries, s.n_truth, m.n_hits,
+         |       round(CAST(m.n_hits AS DOUBLE)
+         |             / CAST(s.n_truth AS DOUBLE), 6) AS recall_at_k
+         |FROM summary m CROSS JOIN stats s""".stripMargin,
 
     "q58_pq_adc_topk" ->
       s"""WITH cb AS (SELECT $pqCbSql AS c),

@@ -43,16 +43,51 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id",
-                     vecCol: String = "embedding"): DataFrame = {
+                     vecCol: String = "embedding",
+                     roundSim: Option[Int] = None): DataFrame = {
+    import graft.functions.PortableRound.pround
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).as("__qvec"))
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("__cvec"))
+    val sim = cosine(col("__qvec"), col("__cvec"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("__qvec"), col("__cvec")).as("cosine_sim"))
+        // roundSim: rank on the ROUNDED score so an engine-portable
+        // oracle (and a recall eval against it) orders identically
+        roundSim.fold(sim)(pround(sim, _)).as("cosine_sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Brute-force exact squared-L2 top-k — the ground-truth pass for
+    * evaluating L2-metric indexes (PQ/ADC); same broadcast-queries
+    * shape as the cosine variant: the corpus never shuffles and only
+    * k rows per query survive the window. `roundDist` rounds BEFORE
+    * ranking (with the id tiebreak) for engine-portable order.
+    */
+  def bruteForceTopKL2(corpus: DataFrame, queries: DataFrame, k: Int,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding",
+                       roundDist: Option[Int] = None): DataFrame = {
+    import graft.functions.PortableRound.pround
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qvec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cvec"))
+    // ||q-c||^2 as a single codegen'd fold over the zipped arrays
+    val d2 = aggregate(
+      zip_with(col("__qvec"), col("__cvec"),
+        (x, y) => (x.cast("double") - y.cast("double"))
+          * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, z) => acc + z)
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        roundDist.fold(d2)(pround(d2, _)).as("l2_dist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("l2_dist").asc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }

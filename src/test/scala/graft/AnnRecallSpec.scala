@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sim.{Pq, Similarity}
+
+/** ANN recall@k floors (r4 verdict item 3): the q87 catalog query
+  * reports recall of the oracle-portable (deterministic-parameter)
+  * index variants; this spec pins those readings AND proves the
+  * TRAINED production path reaches a real floor — the two halves of
+  * an ANN deployment's eval loop.
+  *
+  * All parameters are deterministic (fixed data, fixed seeds, pinned
+  * tiebreaks), so every recall here is a constant, not a flaky
+  * sample: floors sit just under the measured values.
+  */
+class AnnRecallSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+  private def vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+    .repartition(col("vec_id"))
+
+  test("q87 pins IVF recall >= 0.5 and exposes the untrained codebook") {
+    val rows = SparkEntry.queries("q87_ann_recall")(spark, dir)
+      .collect()
+      .map(r => r.getAs[String]("method") ->
+        (r.getAs[Long]("n_truth"), r.getAs[Long]("n_hits"),
+          r.getAs[Double]("recall_at_k"))).toMap
+    assert(rows.keySet == Set("ivf", "ivf_pq"))
+    val (nt, nh, rec) = rows("ivf")
+    assert(nt == 65 && approx(nh.toDouble / nt, rec, 1e-6))
+    assert(rec >= 0.5, s"ivf recall $rec below floor") // measured 0.615
+    // the deterministic stand-in codebook is untrained — the eval
+    // must DETECT that it quantizes to noise (recall ~0), which is
+    // the reading that tells an operator to ship trained codebooks
+    assert(rows("ivf_pq")._3 <= 0.1)
+  }
+
+  test("TRAINED codebooks reach a real ADC recall floor (L2 truth)") {
+    val v = vecs
+    val qv = v.filter(col("vec_id") % 40 === 0)
+    val k = 5
+    val truth = Similarity
+      .bruteForceTopKL2(v, qv, k, roundDist = Some(6))
+      .select(col("query_id"), col("neighbor_id"))
+    // production path: offline KMeans codebooks (seed pinned), ADC
+    // over the full code table — isolates quantization loss from
+    // routing loss
+    val cb = Pq.fitCodebooks(v, m = 8, k = 16, seed = 42L)
+    val codes = v
+      .withColumn("__d", Pq.distances(col("embedding"), cb))
+      .select(col("vec_id"), Pq.codes(col("__d")).as("pq_codes"))
+    val approx = Pq.adcTopK(codes, qv, cb, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val nTruth = truth.count()
+    val nHits = truth.join(approx, Seq("query_id", "neighbor_id")).count()
+    val recall = nHits.toDouble / nTruth
+    // measured ~0.28 with MLlib KMeans seed 42 (aggressive 32x
+    // compression: 64 float dims -> 8 byte codes); floor well under
+    assert(nTruth == 65)
+    assert(recall >= 0.15,
+      s"trained-ADC recall $recall below floor ($nHits/$nTruth)")
+  }
+
+  test("bruteForceTopKL2 agrees with hand-computed distances") {
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, Array(0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f)),
+      (3L, Array(3.0f, 4.0f)),
+      (4L, Array(0.0f, 2.0f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopKL2(tiny,
+      tiny.filter($"vec_id" === 1L), k = 2, roundDist = Some(6))
+      .orderBy("rank").collect()
+    assert(top.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(2L, 4L))
+    assert(top(0).getAs[Double]("l2_dist") == 1.0)
+    assert(top(1).getAs[Double]("l2_dist") == 4.0)
+  }
+}
