@@ -1,0 +1,128 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingIngest
+
+/** Streaming-vs-batch equivalence (r4 verdict item 6): the streaming
+  * paths (`windowedCounts`, `sessionCounts`, `intervalJoin`) executed
+  * as REAL micro-batch runs over the driver's events table must
+  * produce exactly what the oracle-checked batch plans (q09/q10 and a
+  * static interval join) produce. This is the guarantee a lambda-less
+  * architecture rests on: one semantics, two execution modes.
+  */
+class StreamBatchEquivSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** events with ts at MICROsecond timestamp precision — the same
+    * truncation the batch q09/q10 plans apply (`ts DIV 1000` on the
+    * raw nano longs), staged to a parquet dir a file-source stream
+    * can read.
+    */
+  private lazy val staged: String = {
+    val out = Files.createTempDirectory("graft_stream_equiv").toString
+    spark.read.parquet(s"$dir/events.parquet")
+      .select(expr("timestamp_micros(ts DIV 1000)").as("ts"),
+        col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .write.mode("overwrite").parquet(out)
+    out
+  }
+
+  private def streamed: DataFrame = spark.readStream
+    .schema("ts timestamp, event_id bigint, user_id bigint, " +
+      "event_type string, value double")
+    .parquet(staged)
+
+  private def runComplete(df: DataFrame, name: String): DataFrame = {
+    val q = df.writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(name)
+  }
+
+  test("windowedCounts micro-batch == batch q09 hourly aggregate") {
+    val got = runComplete(
+      StreamingIngest.windowedCounts(streamed,
+        watermark = "10 minutes", window_ = "1 hour"), "wc_equiv")
+      .select(expr("unix_micros(window_start)").as("hour_us"),
+        col("event_type"), col("n"),
+        graft.functions.PortableRound.pround(col("total_value"), 4)
+          .as("total_value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val want = SparkEntry.queries("q09_hourly_windows")(spark, dir)
+      .select(col("hour_us"), col("event_type"), col("n"),
+        col("total_value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(want.nonEmpty)
+    assert(got == want)
+  }
+
+  test("sessionCounts micro-batch == batch q10 gaps-and-islands") {
+    // session_window end = last event + gap, so duration = (end -
+    // gap) - start; compare per-user session sequences
+    val gapUs = 1800L * 1000000L
+    val got = runComplete(
+      StreamingIngest.sessionCounts(streamed, gap = "30 minutes"),
+      "sc_equiv")
+      .select(col("user_id"),
+        expr("unix_micros(session_start)").as("start_us"),
+        col("n_events"),
+        (expr("unix_micros(session_end)") - gapUs
+          - expr("unix_micros(session_start)")).as("duration_us"),
+        graft.functions.PortableRound.pround(col("total_value"), 4)
+          .as("total_value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .sortBy(_._1)
+      .map { case ((u, _), v) => u -> v }
+    val want = SparkEntry.queries("q10_sessionize")(spark, dir)
+      // session_id is 1-based in event-time order per user, so it
+      // sorts identically to the streaming session_start
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_id")) ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("duration_us"),
+          r.getAs[Double]("total_value")))
+      .sortBy(_._1)
+      .map { case ((u, _), v) => u -> v }
+    assert(want.nonEmpty)
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("intervalJoin micro-batch == static join with the same predicate") {
+    val leftS = streamed.filter(col("event_type") === "purchase")
+      .select(col("ts"), col("user_id"), col("event_id"))
+    val rightS = streamed
+      .select(col("ts"), col("user_id"), col("event_id"))
+    val q = StreamingIngest
+      .intervalJoin(leftS, rightS, "user_id", windowSpec = "1 hour",
+        watermark = "10 minutes")
+      .select(col("event_id"), col("r_event_id"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ivj_equiv").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ivj_equiv").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val ev = spark.read.parquet(staged)
+    val l = ev.filter(col("event_type") === "purchase")
+      .select(col("ts").as("l_ts"), col("user_id"),
+        col("event_id").as("l_id"))
+    val r = ev.select(col("ts").as("r_ts"), col("user_id"),
+      col("event_id").as("r_id"))
+    val want = l.join(r, Seq("user_id"))
+      .filter(col("r_ts") >= col("l_ts") &&
+        col("r_ts") < col("l_ts") + expr("INTERVAL 1 hour"))
+      .select(col("l_id"), col("r_id"))
+      .collect().map(r2 => (r2.getLong(0), r2.getLong(1))).toSet
+    assert(want.nonEmpty)
+    assert(got == want)
+  }
+}
