@@ -18,9 +18,14 @@ object DevExplain {
       val markers = Seq(
         "BroadcastHashJoin" -> "bcast",
         "SortMergeJoin" -> "smj",
-        "Exchange" -> "xchg",
+        // lookbehind: "ReusedExchange"/"BroadcastExchange" must not
+        // inflate the real-exchange tally (r4 advice)
+        "(?<!Reused)(?<!Broadcast)Exchange" -> "xchg",
         "ReusedExchange" -> "reuse",
-        "(?m)^\\W*\\bGenerate\\b" -> "gen",
+        "BroadcastExchange" -> "bxchg",
+        // optional whole-stage-codegen prefix "*(3) " — a Generate
+        // inside codegen must still count (r4 advice)
+        "(?m)^\\W*(\\*\\(\\d+\\)\\s*)?Generate\\b" -> "gen",
         "\\*\\(" -> "wsc",
         "BroadcastNestedLoopJoin" -> "bnlj",
         "CartesianProduct" -> "cart",

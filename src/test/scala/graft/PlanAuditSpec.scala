@@ -102,7 +102,11 @@ class PlanAuditSpec extends SparkSpec {
       Seq("q66_tfidf", "q78_shingle_novelty", "q79_oov_rate",
         "q84_token_rank_score").foreach { name =>
         val p = plan(name)
-        val nGen = "(?m)^\\W*\\bGenerate\\b".r.findAllIn(p).length
+        // optional "*(3) " codegen prefix: a Generate fused into a
+        // WholeStageCodegen span must still count (r4 advice — the
+        // bare ^\W* form cannot cross the stage-id digit)
+        val nGen =
+          "(?m)^\\W*(\\*\\(\\d+\\)\\s*)?Generate\\b".r.findAllIn(p).length
         assert(nGen == 1,
           s"$name expected exactly 1 Generate (explode), got $nGen:\n" +
             p.take(3000))
