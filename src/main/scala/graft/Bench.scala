@@ -89,26 +89,45 @@ object Bench {
       case xs  => Some(n -> (xs.max - xs.min))
     }).toMap
     val failed = names.filterNot(med.contains)
-    // r3 postmortem: the driver's output capture keeps a bounded TAIL
-    // window, and the committed artifact lost the headline total and
-    // every median to truncation (only the trailing spread map
-    // survived). Layout is now truncation-resilient:
-    //   stdout line 1: tiny headline-total JSON (survives head capture)
-    //   stdout line 2: total + all per-query MEDIANS, 4-decimal
-    //     rounded (~1.9 KB — fits a 2 KB tail window whole), with the
-    //     total repeated AFTER the query map so a mid-line cut still
-    //     leaves the number that matters
-    //   stderr: the per-query spread diagnostic (not part of the
-    //     captured artifact)
+    // r3+r4 postmortem: the driver keeps a bounded (~2 KB) TAIL window
+    // of COMBINED stdout+stderr. r3 lost the headline to stdout
+    // truncation; r4 moved the headline to stdout line 1 but left the
+    // spread diagnostic on stderr printed LAST, so the combined tail
+    // contained only spreads — two rounds with no recorded medians.
+    // Rule now: NOTHING prints after the final stdout line. All
+    // summary output goes to stdout, ordered least- to most-important
+    // so tail truncation eats diagnostics before data:
+    //   line 1: per-query SPREADS (max-min over rounds) — the stall
+    //     detector, self-evidently labeled "metric":"spread"
+    //   line 2: per-query MEDIANS with the headline total repeated
+    //     AFTER the query map (a mid-line head-cut still leaves it)
+    //   line 3 (FINAL): tiny complete headline JSON (~250 B) — always
+    //     fits the tail window whole, so "parsed" is never null
     def r4(x: Double): String = "%.4f".format(x)
     def jmap(m: Map[String, Double]): String = names.flatMap(n =>
       m.get(n).map(v => "\"" + n + "\":" + r4(v)))
       .mkString("{", ",", "}")
     val total = med.values.sum
+    val maxSpread = if (spread.isEmpty) 0.0 else spread.values.max
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","stat":"median_of_$rounds","n_queries":${med.size},"failed":$failedJson,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","stat":"median_of_$rounds","queries":${jmap(med)},"total_sec":${r4(total)},"failed":$failedJson,"sf":"$sfDir"}""")
-    System.err.println(s"""[bench] spread (max-min over $rounds rounds): ${jmap(spread)}""")
+    val spreadLine = s"""{"metric":"spread","unit":"sec","stat":"max_min_of_$rounds","queries":${jmap(spread)},"max_spread_sec":${r4(maxSpread)}}"""
+    val medianLine = s"""{"metric":"total","value":${r4(total)},"unit":"sec","stat":"median_of_$rounds","queries":${jmap(med)},"total_sec":${r4(total)},"failed":$failedJson,"sf":"$sfDir"}"""
+    val headline = s"""{"metric":"total","value":${r4(total)},"unit":"sec","stat":"median_of_$rounds","n_queries":${med.size},"max_spread_sec":${r4(maxSpread)},"failed":$failedJson,"sf":"$sfDir"}"""
+    // Belt-and-braces: the full record (medians + spreads) also goes
+    // to a file when requested, immune to any capture-window policy.
+    sys.env.get("SPARK_GRAFT_BENCH_FILE").foreach { p =>
+      val w = new java.io.PrintWriter(p, "UTF-8")
+      try { w.println(spreadLine); w.println(medianLine); w.println(headline) }
+      finally w.close()
+    }
+    // Stop Spark BEFORE printing: spark.stop() and the JVM shutdown
+    // hooks log to stderr, and any byte after the headline would put
+    // diagnostics back at the end of the combined tail window.
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
+    println(spreadLine)
+    println(medianLine)
+    println(headline)
+    Console.out.flush()
   }
 }
