@@ -48,6 +48,23 @@ object QueriesScale {
     f(spark, dir)
   }
 
+  /** The q21 composite quality score (6-dp rounded) over a `st`
+    * TextStats struct column — shared by q21/q88/q90 so the formula
+    * cannot drift between the scoring, survivor-selection, and
+    * data-card queries.
+    */
+  private def qualityScore: Column = {
+    val stopRatio = when(col("st.n_tokens") > 0,
+      col("st.n_stop").cast("double") / col("st.n_tokens"))
+    val punctRatio = when(col("st.n_chars") > 0,
+      col("st.n_punct").cast("double") / col("st.n_chars"))
+    val lenScore =
+      least(col("st.n_tokens").cast("double") / 100.0, lit(1.0))
+    pround(lit(0.5) * lenScore
+      + lit(0.3) * (lit(1.0) - abs(coalesce(stopRatio, lit(0.0)) - 0.4))
+      + lit(0.2) * (lit(1.0) - coalesce(punctRatio, lit(0.0))), 6)
+  }
+
   // Shared DuckDB CTEs for tokenized / shingled / minhashed documents.
   private val toksSql =
     """toks AS (
@@ -94,18 +111,12 @@ object QueriesScale {
         col("st.n_stop").cast("double") / col("st.n_tokens"))
       val punctRatio = when(col("st.n_chars") > 0,
         col("st.n_punct").cast("double") / col("st.n_chars"))
-      val lenScore =
-        least(col("st.n_tokens").cast("double") / 100.0, lit(1.0))
       docs(spark, dir)
         .withColumn("st", textStats(col("text")))
         .select(col("doc_id"),
           pround(stopRatio, 6).as("stopword_ratio"),
           pround(punctRatio, 6).as("punct_ratio"),
-          pround(lit(0.5) * lenScore
-            + lit(0.3) * (lit(1.0) - abs(coalesce(stopRatio, lit(0.0))
-              - 0.4))
-            + lit(0.2) * (lit(1.0) - coalesce(punctRatio, lit(0.0))), 6)
-            .as("quality_score"))
+          qualityScore.as("quality_score"))
     },
 
     "q22_lang_id" -> q { (spark, dir) =>
@@ -206,19 +217,8 @@ object QueriesScale {
       val d = docs(spark, dir)
       val clusters = Dedup.duplicateClusters(
         Dedup.simhashPairs(d, maxHamming = 12))
-      val stopRatio = when(col("st.n_tokens") > 0,
-        col("st.n_stop").cast("double") / col("st.n_tokens"))
-      val punctRatio = when(col("st.n_chars") > 0,
-        col("st.n_punct").cast("double") / col("st.n_chars"))
-      val lenScore =
-        least(col("st.n_tokens").cast("double") / 100.0, lit(1.0))
       val scored = d.withColumn("st", textStats(col("text")))
-        .select(col("doc_id"),
-          pround(lit(0.5) * lenScore
-            + lit(0.3) * (lit(1.0) - abs(coalesce(stopRatio, lit(0.0))
-              - 0.4))
-            + lit(0.2) * (lit(1.0) - coalesce(punctRatio, lit(0.0))), 6)
-            .as("quality_score"))
+        .select(col("doc_id"), qualityScore.as("quality_score"))
       val labeled = scored.join(clusters, Seq("doc_id"), "left")
         .withColumn("cluster_id",
           coalesce(col("cluster_id"), col("doc_id")))
@@ -471,6 +471,18 @@ object QueriesScale {
             pround(col("n_hits").cast("double")
               / col("n_truth").cast("double"), 6).as("recall_at_k"))
       recallOf(ivf, "ivf").union(recallOf(ivfPq, "ivf_pq"))
+    },
+
+    // SemDeDup-style semantic dedup: coarse-cell routing + within-cell
+    // cosine pairs + keep-min-id anti-join (Similarity.semanticDedup).
+    // The cluster-scoped twin of q29's global banded near-dup — at
+    // billions of vectors nlist grows with the corpus so the
+    // within-cell join stays bounded; no CC iteration is needed for
+    // the keep-min policy.
+    "q89_semantic_dedup" -> q { (spark, dir) =>
+      Similarity.semanticDedup(vecs(spark, dir),
+        Similarity.gridCentroids(8, 64), threshold = 0.35,
+        roundSim = Some(6))
     },
 
     // Train/val/test assignment: per-key hash split (90/5/5) — stable
@@ -858,6 +870,36 @@ object QueriesScale {
         .select(col("doc_id"), col("n_tokens"), col("n_oov"),
           pround(col("n_oov").cast("double")
             / col("n_tokens").cast("double"), 6).as("oov_frac"))
+    },
+
+    // Per-source data card: the summary table every corpus release
+    // publishes — docs, tokens, exact-dup rate, mean quality per
+    // source, from ONE scan pass (native single-pass stats +
+    // fingerprint). Mean quality uses the q74 integer-quantization
+    // trick (6-dp score → exact integer units → order-free long sum)
+    // so the float-summation order can never flip a digit between
+    // engines. One groupBy(source) exchange carrying per-doc scalars.
+    "q90_source_datacard" -> q { (spark, dir) =>
+      import graft.text.TextStatsExpression.textStats
+      val scored = docs(spark, dir)
+        .withColumn("st", textStats(col("text")))
+        .select(col("source"), col("doc_id"),
+          col("st.n_tokens").as("n_tokens"),
+          floor(qualityScore * 1e6 + lit(0.5)).cast("long").as("q_units"),
+          TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+      scored.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("n_tokens"),
+          countDistinct(col("fingerprint")).as("n_distinct"),
+          sum(col("q_units")).as("__qsum"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("n_distinct"),
+          pround(lit(1.0) - col("n_distinct").cast("double")
+            / col("n_docs").cast("double"), 6).as("dup_frac"),
+          pround(col("__qsum").cast("double") / 1e6
+            / col("n_docs").cast("double"), 6).as("mean_quality"),
+          pround(col("n_tokens").cast("double")
+            / col("n_docs").cast("double"), 6).as("mean_tokens"))
     },
 
     // Grouped HLL: distinct-token estimate PER LANGUAGE from one
@@ -2161,6 +2203,79 @@ object QueriesScale {
          |       round(CAST(m.n_hits AS DOUBLE)
          |             / CAST(s.n_truth AS DOUBLE), 6) AS recall_at_k
          |FROM summary m CROSS JOIN stats s""".stripMargin,
+
+    "q89_semantic_dedup" ->
+      s"""WITH ${centsSql(8)},
+         |scored AS (
+         |  SELECT e.vec_id, c.c AS cell,
+         |         list_sum(list_transform(
+         |             generate_series(1, len(e.embedding)),
+         |             i -> CAST(e.embedding[i] AS DOUBLE) * c.w[i]))
+         |           / c.nrm AS s
+         |  FROM embeddings e CROSS JOIN cents c),
+         |assign AS (
+         |  SELECT vec_id,
+         |         CAST(list_position(ls, list_max(ls)) - 1 AS INT) AS cell
+         |  FROM (SELECT vec_id, list(s ORDER BY cell) AS ls
+         |        FROM scored GROUP BY vec_id)),
+         |$vNormSql,
+         |drops AS (
+         |  SELECT DISTINCT a.vec_id
+         |  FROM assign a
+         |  JOIN assign b2 ON b2.cell = a.cell AND b2.vec_id < a.vec_id
+         |  JOIN v va ON va.vec_id = a.vec_id
+         |  JOIN v vb ON vb.vec_id = b2.vec_id
+         |  WHERE round(list_sum(list_transform(generate_series(1, 64),
+         |          i -> CAST(va.embedding[i] AS DOUBLE)
+         |               * CAST(vb.embedding[i] AS DOUBLE)))
+         |        / (va.nrm * vb.nrm), 6) >= 0.35)
+         |SELECT a.vec_id, a.cell
+         |FROM assign a LEFT JOIN drops d ON d.vec_id = a.vec_id
+         |WHERE d.vec_id IS NULL""".stripMargin,
+
+    "q90_source_datacard" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, source, text,
+         |         list_filter(regexp_split_to_array(text, '\\s+'),
+         |                     x -> x <> '') AS tk
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, source, len(tk) AS n_tokens,
+         |         CASE WHEN len(tk) > 0
+         |              THEN CAST(len(list_filter(tk, x -> list_contains(
+         |                     ['the','a','an','and','or','of','to','in',
+         |                      'is','it'], lower(x)))) AS DOUBLE) / len(tk)
+         |              END AS stop_ratio,
+         |         CASE WHEN length(text) > 0
+         |              THEN CAST(length(regexp_replace(text,
+         |                     '[^[:punct:]]', '', 'g')) AS DOUBLE)
+         |                   / length(text)
+         |              END AS punct_ratio,
+         |         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+         |           AS fingerprint
+         |  FROM toks),
+         |u AS (
+         |  SELECT doc_id, source, n_tokens, fingerprint,
+         |         CAST(floor(round(
+         |             0.5 * LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+         |             + 0.3 * (1.0 - abs(COALESCE(stop_ratio, 0.0) - 0.4))
+         |             + 0.2 * (1.0 - COALESCE(punct_ratio, 0.0)), 6)
+         |           * 1e6 + 0.5) AS BIGINT) AS q_units
+         |  FROM r),
+         |g AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |         CAST(COUNT(DISTINCT fingerprint) AS BIGINT) AS n_distinct,
+         |         CAST(SUM(q_units) AS BIGINT) AS qsum
+         |  FROM u GROUP BY source)
+         |SELECT source, n_docs, n_tokens, n_distinct,
+         |       round(1.0 - CAST(n_distinct AS DOUBLE)
+         |             / CAST(n_docs AS DOUBLE), 6) AS dup_frac,
+         |       round(CAST(qsum AS DOUBLE) / 1e6
+         |             / CAST(n_docs AS DOUBLE), 6) AS mean_quality,
+         |       round(CAST(n_tokens AS DOUBLE)
+         |             / CAST(n_docs AS DOUBLE), 6) AS mean_tokens
+         |FROM g""".stripMargin,
 
     "q58_pq_adc_topk" ->
       s"""WITH cb AS (SELECT $pqCbSql AS c),

@@ -256,6 +256,52 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication"): route every embedding to its coarse cell, find
+    * near-duplicate pairs ONLY within a cell, and keep the minimum-id
+    * member of each near-dup relation. The within-cell comparison is
+    * the method's scale lever — candidates grow with cell size, not
+    * corpus², and at billions of vectors nlist grows with the corpus
+    * so cells stay bounded. Complements [[nearDuplicates]] (global
+    * banded SRP): this is the cluster-scoped variant an
+    * embedding-indexed pipeline runs.
+    *
+    * Survivors = vectors with NO smaller-id neighbor above
+    * `threshold` in their cell (one anti-join — no iterative CC
+    * needed for the keep-min policy). Deterministic: grid centroids
+    * are literals, ties pinned by id. `roundSim` rounds the cosine
+    * BEFORE thresholding for engine-portable membership.
+    */
+  def semanticDedup(vectors: DataFrame, centroids: Seq[Array[Double]],
+                    threshold: Double = 0.95,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding",
+                    roundSim: Option[Int] = None): DataFrame = {
+    import graft.functions.PortableRound.pround
+    require(centroids.nonEmpty, "semanticDedup: centroids must be non-empty")
+    // first repartition parallelizes the per-row centroid scoring;
+    // the second is the materialization barrier on the join key so
+    // both self-join branches reuse ONE assignment pass
+    val assigned = vectors
+      .select(col(idCol), col(vecCol))
+      .repartition(col(idCol))
+      .withColumn("cell", cellOf(centroidScores(col(vecCol), centroids)))
+      .repartition(col("cell"))
+    val a = assigned.select(col(idCol).as("id_a"),
+      col(vecCol).as("__va"), col("cell"))
+    val b = assigned.select(col(idCol).as("id_b"),
+      col(vecCol).as("__vb"), col("cell"))
+    val sim = cosine(col("__va"), col("__vb"))
+    val drops = a.join(b, Seq("cell"))
+      .filter(col("id_b") < col("id_a") &&
+        roundSim.fold(sim)(pround(sim, _)) >= threshold)
+      .select(col("id_a").as(idCol))
+      .distinct()
+    assigned.join(drops, Seq(idCol), "left_anti")
+      .select(col(idCol), col("cell"))
+  }
+
   /** Embedding near-duplicate pairs above a cosine threshold — BANDED
     * sign-random-projection LSH (the 100 TB path; VERDICT r1 #2):
     * the `planes`-bit SRP signature is split into `bands`, candidates

@@ -215,6 +215,50 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(dups.toSet == Set((1L, 2L)))
   }
 
+  test("semanticDedup keeps the min id of an identical-vector group") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.5f)),
+      (2L, Array(1.0f, 0.0f, 0.5f)),   // dup of 1 -> dropped
+      (7L, Array(1.0f, 0.001f, 0.5f)), // near-dup of 1 -> dropped
+      (3L, Array(-1.0f, 0.2f, -0.5f))  // far away -> survives
+    ).toDF("vec_id", "embedding")
+    val kept = Similarity.semanticDedup(vecs,
+      Similarity.gridCentroids(4, 3), threshold = 0.999)
+      .collect().map(_.getAs[Long]("vec_id")).sorted.toSeq
+    assert(kept == Seq(1L, 3L))
+  }
+
+  test("semanticDedup invariants at sf0.01: maximal independent prefix") {
+    import graft.functions.PortableRound.pround
+    val vecs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val cents = Similarity.gridCentroids(8, 64)
+    val keptRows = Similarity.semanticDedup(vecs, cents,
+      threshold = 0.35, roundSim = Some(6)).collect()
+    val keptIds = keptRows.map(_.getAs[Long]("vec_id")).toSet
+    assert(keptIds.nonEmpty && keptIds.size < 500) // something dropped
+    val cellOfId = keptRows
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+    // all-pairs above threshold (reference computation, test-only)
+    val v = vecs.select($"vec_id", $"embedding",
+      Similarity.l2Norm($"embedding").as("nrm"))
+    val a = v.select($"vec_id".as("id_a"), $"embedding".as("ea"),
+      $"nrm".as("na"))
+    val b = v.select($"vec_id".as("id_b"), $"embedding".as("eb"),
+      $"nrm".as("nb"))
+    val simPairs = a.join(b, $"id_a" < $"id_b")
+      .select($"id_a", $"id_b",
+        pround(Similarity.dot($"ea", $"eb") / ($"na" * $"nb"), 6).as("c"))
+      .filter($"c" >= 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // no two SURVIVORS in the same cell may be above threshold: the
+    // larger id would have had a smaller-id neighbor and been dropped
+    val violations = simPairs.filter { case (x, y) =>
+      keptIds.contains(x) && keptIds.contains(y) &&
+        cellOfId.get(x) == cellOfId.get(y)
+    }
+    assert(violations.isEmpty, s"co-surviving near-dups: $violations")
+  }
+
   test("incrementalNew drops history dups and keeps one per batch group") {
     val history = Seq((1L, "already ingested document text"))
       .toDF("doc_id", "text")
