@@ -1161,6 +1161,112 @@ object QueriesScale {
           / greatest(size(toks), lit(1)).cast("double"), 6)
           .as("stop_frac"),
         md5(array_join(kept, " ")).as("scrubbed_md5"))
+    },
+
+    // Sub-document (chunk-level) exact dedup — the CCNet/RefinedWeb
+    // line-dedup analog at chunk granularity (this corpus has no line
+    // structure, so non-overlapping 32-token chunks are the
+    // "paragraphs"). ONE tokenize pass: global chunk multiplicity is a
+    // COUNT window over the chunk frame — never a second explode (the
+    // r3 double-tokenize class; PlanAuditSpec pins Generate==1) — then
+    // a per-doc rollup. At 100 TB both exchanges carry (doc_id, hash)
+    // rows, never text.
+    "q91_chunk_dedup" -> q { (spark, dir) =>
+      val ch = docs(spark, dir)
+        .select(col("doc_id"),
+          explode(TextAnalysis.tokenChunks(col("text"), 32, 32)).as("c"))
+        .select(col("doc_id"),
+          md5(concat_ws(" ", col("c.chunk_tokens"))).as("chunk_hash"))
+      val wH = Window.partitionBy(col("chunk_hash"))
+      ch.withColumn("__n_occ", count(lit(1)).over(wH))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("__n_occ") > 1, 1L).otherwise(0L))
+            .as("n_dup_chunks"))
+        .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+          pround(col("n_dup_chunks").cast("double")
+            / col("n_chunks").cast("double"), 6).as("dup_chunk_frac"))
+    },
+
+    // PII / pattern scrub (text.Redact): per-row regex redaction of
+    // emails / URLs / IPv4s / phones with per-class match counts and
+    // the redacted-text fingerprint. The corpus text carries no PII,
+    // so the profile string is synthesized deterministically from
+    // orders keys — identically in both engines — and the regexes are
+    // RE2-portable so DuckDB applies the SAME pattern strings. Pure
+    // codegen'd per-row work: at 100 TB the scrub runs at scan speed,
+    // no shuffle at all.
+    "q92_pii_scrub" -> q { (spark, dir) =>
+      import graft.text.Redact
+      val k = col("o_orderkey")
+      val c = col("o_custkey")
+      val profile = concat(
+        lit("order "), k.cast("string"),
+        when(k % 3 > 0, concat(lit(" contact user"), c.cast("string"),
+          lit("@mail-"), (k % 7).cast("string"), lit(".example.com")))
+          .otherwise(lit(" no-contact")),
+        when(k % 4 === 0, concat(lit(" alt user"), k.cast("string"),
+          lit("@alt.example.org"))).otherwise(lit("")),
+        when(k % 2 === 0, concat(lit(" visit https://shop-"),
+          (k % 5).cast("string"), lit(".example.com/o/"),
+          k.cast("string"))).otherwise(lit("")),
+        when(k % 5 === 1, concat(lit(" ip 10."), (k % 256).cast("string"),
+          lit("."), (c % 256).cast("string"), lit("."),
+          (k % 100).cast("string"))).otherwise(lit("")),
+        when(k % 6 < 2, concat(lit(" call +1-"),
+          ((k % 900) + 100).cast("string"), lit("-"),
+          ((c % 9000) + 1000).cast("string"))).otherwise(lit("")))
+      t(spark, dir, "orders")
+        .select(k, profile.as("__p"))
+        .select(col("o_orderkey"),
+          Redact.countMatches(col("__p"), Redact.EmailRe).as("n_emails"),
+          Redact.countMatches(col("__p"), Redact.UrlRe).as("n_urls"),
+          Redact.countMatches(col("__p"), Redact.Ipv4Re).as("n_ips"),
+          Redact.countMatches(col("__p"), Redact.PhoneRe).as("n_phones"),
+          md5(Redact.scrub(col("__p"))).as("redacted_md5"))
+    },
+
+    // One Lloyd refinement iteration over the grid centroids — the
+    // IVF/PQ codebook TRAINING step as a first-class, oracle-checked
+    // query (r4 verdict: the deterministic grid is honest but
+    // untrained; this is how it trains in-engine). Map-side partial
+    // aggregation means the one exchange carries ≤ partitions × 8 × 64
+    // quantized-sum rows — corpus-size-independent; iterate by feeding
+    // centroid_value back as the next centroid table.
+    "q93_kmeans_refine" -> q { (spark, dir) =>
+      Similarity.kmeansRefine(vecs(spark, dir),
+        Similarity.gridCentroids(8, 64), quantDp = 6)
+    },
+
+    // CDC upsert / SCD2 effective-dating (operators.Merge.scd2): the
+    // orders snapshot plus two synthetic change batches (one sharing a
+    // valid_from instant with another batch — the latest-wins tiebreak
+    // is load-bearing) merge into one row per surviving version with
+    // [valid_from, valid_to) ranges and an is_current flag. One hash
+    // exchange total: the explicit key repartition serves both window
+    // passes.
+    "q94_scd2_merge" -> q { (spark, dir) =>
+      import graft.operators.Merge
+      val o = t(spark, dir, "orders")
+      val snap = o.select(col("o_orderkey"),
+        col("o_orderstatus").as("status"),
+        col("o_orderdate").as("valid_from"), lit(0).as("precedence"))
+      val batch1 = o.filter(col("o_orderkey") % 10 === 3)
+        .select(col("o_orderkey"), lit("R").as("status"),
+          (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("valid_from"),
+          lit(1).as("precedence"))
+      val batch2 = o.filter(col("o_orderkey") % 10 === 7)
+        .select(col("o_orderkey"), lit("X").as("status"),
+          (col("o_orderdate") + expr("INTERVAL 45 DAYS")).as("valid_from"),
+          lit(2).as("precedence"))
+      val batch3 = o.filter(col("o_orderkey") % 20 === 3)
+        .select(col("o_orderkey"), lit("C").as("status"),
+          (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("valid_from"),
+          lit(2).as("precedence"))
+      Merge.scd2(snap.union(batch1).union(batch2).union(batch3),
+          Seq("o_orderkey"), "valid_from", "precedence")
+        .select(col("o_orderkey"), col("status"), col("valid_from"),
+          col("valid_to"), col("is_current"))
     }
   )
 
@@ -2766,6 +2872,133 @@ object QueriesScale {
          |             / CAST(GREATEST(len(tk), 1) AS DOUBLE), 6)
          |         AS stop_frac,
          |       md5(array_to_string(kept, ' ')) AS scrubbed_md5
-         |FROM k""".stripMargin
+         |FROM k""".stripMargin,
+
+    "q91_chunk_dedup" ->
+      s"""WITH $toksSql,
+         |ch AS (
+         |  SELECT doc_id, tk,
+         |         unnest(generate_series(1, greatest(len(tk), 1), 32))
+         |           AS s
+         |  FROM toks),
+         |ck AS (
+         |  SELECT doc_id,
+         |         md5(array_to_string(tk[s : s + 31], ' ')) AS chunk_hash
+         |  FROM ch),
+         |o AS (
+         |  SELECT doc_id,
+         |         COUNT(*) OVER (PARTITION BY chunk_hash) AS n_occ
+         |  FROM ck)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         |       CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_dup_chunks,
+         |       round(CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END)
+         |                  AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         |         AS dup_chunk_frac
+         |FROM o GROUP BY doc_id""".stripMargin,
+
+    "q92_pii_scrub" ->
+      s"""WITH p AS (
+         |  SELECT o_orderkey,
+         |    'order ' || CAST(o_orderkey AS VARCHAR)
+         |    || CASE WHEN o_orderkey % 3 > 0
+         |         THEN ' contact user' || CAST(o_custkey AS VARCHAR)
+         |              || '@mail-' || CAST(o_orderkey % 7 AS VARCHAR)
+         |              || '.example.com'
+         |         ELSE ' no-contact' END
+         |    || CASE WHEN o_orderkey % 4 = 0
+         |         THEN ' alt user' || CAST(o_orderkey AS VARCHAR)
+         |              || '@alt.example.org' ELSE '' END
+         |    || CASE WHEN o_orderkey % 2 = 0
+         |         THEN ' visit https://shop-'
+         |              || CAST(o_orderkey % 5 AS VARCHAR)
+         |              || '.example.com/o/' || CAST(o_orderkey AS VARCHAR)
+         |         ELSE '' END
+         |    || CASE WHEN o_orderkey % 5 = 1
+         |         THEN ' ip 10.' || CAST(o_orderkey % 256 AS VARCHAR)
+         |              || '.' || CAST(o_custkey % 256 AS VARCHAR)
+         |              || '.' || CAST(o_orderkey % 100 AS VARCHAR)
+         |         ELSE '' END
+         |    || CASE WHEN o_orderkey % 6 < 2
+         |         THEN ' call +1-'
+         |              || CAST(o_orderkey % 900 + 100 AS VARCHAR)
+         |              || '-' || CAST(o_custkey % 9000 + 1000 AS VARCHAR)
+         |         ELSE '' END AS t
+         |  FROM orders)
+         |SELECT o_orderkey,
+         |  CAST(len(regexp_extract_all(t,
+         |    '${graft.text.Redact.EmailRe}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(t,
+         |    '${graft.text.Redact.UrlRe}')) AS BIGINT) AS n_urls,
+         |  CAST(len(regexp_extract_all(t,
+         |    '${graft.text.Redact.Ipv4Re}')) AS BIGINT) AS n_ips,
+         |  CAST(len(regexp_extract_all(t,
+         |    '${graft.text.Redact.PhoneRe}')) AS BIGINT) AS n_phones,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(
+         |    regexp_replace(t,
+         |      '${graft.text.Redact.UrlRe}', '<URL>', 'g'),
+         |      '${graft.text.Redact.EmailRe}', '<EMAIL>', 'g'),
+         |      '${graft.text.Redact.Ipv4Re}', '<IP>', 'g'),
+         |      '${graft.text.Redact.PhoneRe}', '<PHONE>', 'g'))
+         |    AS redacted_md5
+         |FROM p""".stripMargin,
+
+    "q93_kmeans_refine" ->
+      s"""WITH ${centsSql(8)},
+         |scored AS (
+         |  SELECT e.vec_id, c.c AS cell,
+         |         list_sum(list_transform(
+         |             generate_series(1, len(e.embedding)),
+         |             i -> CAST(e.embedding[i] AS DOUBLE) * c.w[i]))
+         |           / c.nrm AS s
+         |  FROM embeddings e CROSS JOIN cents c),
+         |assign AS (
+         |  SELECT vec_id, list_position(ls, list_max(ls)) - 1 AS cell
+         |  FROM (SELECT vec_id, list(s ORDER BY cell) AS ls
+         |        FROM scored GROUP BY vec_id)),
+         |m AS (
+         |  SELECT a.cell, gs.i - 1 AS dim,
+         |         CAST(floor(CAST(e.embedding[gs.i] AS DOUBLE)
+         |              * 1000000.0 + 0.5) AS BIGINT) AS u
+         |  FROM embeddings e
+         |  JOIN assign a USING (vec_id)
+         |  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) gs),
+         |g AS (
+         |  SELECT cell, dim, CAST(COUNT(*) AS BIGINT) AS n_members,
+         |         SUM(u) AS usum
+         |  FROM m GROUP BY cell, dim)
+         |SELECT CAST(g.cell AS INT) AS cell, CAST(g.dim AS INT) AS dim,
+         |       g.n_members,
+         |       round(CAST(usum AS DOUBLE) / 1000000.0 / n_members, 6)
+         |         AS centroid_value,
+         |       round(abs(CAST(usum AS DOUBLE) / 1000000.0 / n_members
+         |             - c.w[g.dim + 1]), 6) AS shift
+         |FROM g JOIN cents c ON c.c = g.cell""".stripMargin,
+
+    "q94_scd2_merge" ->
+      """WITH hist AS (
+        |  SELECT o_orderkey, o_orderstatus AS status,
+        |         o_orderdate AS valid_from, 0 AS precedence FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 'R', o_orderdate + INTERVAL 30 DAY, 1
+        |  FROM orders WHERE o_orderkey % 10 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey, 'X', o_orderdate + INTERVAL 45 DAY, 2
+        |  FROM orders WHERE o_orderkey % 10 = 7
+        |  UNION ALL
+        |  SELECT o_orderkey, 'C', o_orderdate + INTERVAL 30 DAY, 2
+        |  FROM orders WHERE o_orderkey % 20 = 3),
+        |w AS (
+        |  SELECT *, row_number() OVER (
+        |      PARTITION BY o_orderkey, valid_from
+        |      ORDER BY precedence DESC) AS rn
+        |  FROM hist),
+        |v AS (SELECT o_orderkey, status, valid_from FROM w WHERE rn = 1)
+        |SELECT o_orderkey, status, valid_from,
+        |       lead(valid_from) OVER wk AS valid_to,
+        |       lead(valid_from) OVER wk IS NULL AS is_current
+        |FROM v
+        |WINDOW wk AS (PARTITION BY o_orderkey ORDER BY valid_from ASC)
+        |""".stripMargin
   )
 }

@@ -100,7 +100,7 @@ class PlanAuditSpec extends SparkSpec {
     try {
       conf.set("spark.sql.adaptive.enabled", "false")
       Seq("q66_tfidf", "q78_shingle_novelty", "q79_oov_rate",
-        "q84_token_rank_score").foreach { name =>
+        "q84_token_rank_score", "q91_chunk_dedup").foreach { name =>
         val p = plan(name)
         // optional "*(3) " codegen prefix: a Generate fused into a
         // WholeStageCodegen span must still count (r4 advice — the
@@ -163,6 +163,27 @@ class PlanAuditSpec extends SparkSpec {
   test("incremental dedup anti-joins the history fingerprints") {
     val p = plan("q60_incremental_dedup")
     assert(p.contains("LeftAnti"), p.take(2000))
+  }
+
+  test("kmeans refinement partial-aggregates before its one exchange") {
+    // the whole point of q93: the corpus-sized posexplode fan-out must
+    // combine map-side so the exchange carries ≤ parts × nlist × dims
+    // rows; a plan that shuffles raw (cell, dim, unit) rows forwards
+    // 64× the corpus through the wire
+    val p = plan("q93_kmeans_refine")
+    assert(p.contains("partial_sum") || p.contains("partial sum") ||
+      "HashAggregate.*partial".r.findFirstIn(p).isDefined, p.take(3000))
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"))
+  }
+
+  test("scd2 merge shares one exchange across both window passes") {
+    // Merge.scd2's key repartition must serve the same-instant winner
+    // window AND the range-chaining window — hash(key) satisfies the
+    // finer (key, valid_from) clustering, so EnsureRequirements may
+    // add sorts but never a second shuffle
+    val p = plan("q94_scd2_merge")
+    val n = "(?<!Reused)Exchange".r.findAllIn(p).length
+    assert(n == 1, s"expected 1 exchange, got $n:\n${p.take(3000)}")
   }
 
   test("runtime bloom-filter pruning injects on selective shuffle joins") {
