@@ -1267,6 +1267,33 @@ object QueriesScale {
           Seq("o_orderkey"), "valid_from", "precedence")
         .select(col("o_orderkey"), col("status"), col("valid_from"),
           col("valid_to"), col("is_current"))
+    },
+
+    // Skew-salted join (operators.SkewJoin), oracle-checked for result
+    // equivalence: the large side's hot keys spread over `buckets`
+    // salt values, the small side replicates across ALL of them, so
+    // the salted result set provably equals the plain join — which is
+    // exactly the SQL the oracle runs. The salt's only job is task
+    // balance at 100 TB (one boilerplate fingerprint, one hot game id);
+    // ExtensionsSkewSpec pins the distribution behavior, this query
+    // pins correctness. Revenue sums go through integer cents so
+    // summation order is immaterial.
+    "q95_salted_join" -> q { (spark, dir) =>
+      import graft.operators.SkewJoin
+      val li = t(spark, dir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), col("l_discount"), col("l_returnflag"))
+      val urgent = t(spark, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      SkewJoin.saltedJoin(li, urgent, "o_orderkey",
+          saltSource = col("l_linenumber"), buckets = 8)
+        .groupBy(col("o_orderstatus"), col("l_returnflag"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * 100.0 + 0.5).cast("long")).as("__cents"))
+        .select(col("o_orderstatus"), col("l_returnflag"), col("n_lines"),
+          pround(col("__cents").cast("double") / 100.0, 2).as("revenue"))
     }
   )
 
@@ -2999,6 +3026,16 @@ object QueriesScale {
         |       lead(valid_from) OVER wk IS NULL AS is_current
         |FROM v
         |WINDOW wk AS (PARTITION BY o_orderkey ORDER BY valid_from ASC)
-        |""".stripMargin
+        |""".stripMargin,
+
+    "q95_salted_join" ->
+      """SELECT o_orderstatus, l_returnflag,
+        |       CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |       round(CAST(SUM(CAST(floor(l_extendedprice
+        |             * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT))
+        |             AS DOUBLE) / 100.0, 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_orderstatus, l_returnflag""".stripMargin
   )
 }
