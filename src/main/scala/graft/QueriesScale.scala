@@ -1294,6 +1294,76 @@ object QueriesScale {
             * 100.0 + 0.5).cast("long")).as("__cents"))
         .select(col("o_orderstatus"), col("l_returnflag"), col("n_lines"),
           pround(col("__cents").cast("double") / 100.0, 2).as("revenue"))
+    },
+
+    // Unigram-LM surprise score (perplexity proxy): each document's
+    // mean negative log-likelihood under the CORPUS unigram
+    // distribution — the classic LM-based quality filter (CCNet /
+    // Gopher keep the low-perplexity tail). Scale shape: ONE tokenize
+    // — the repartition(token) barrier shares the (doc_id, token, c)
+    // exchange between the frequency branch and the probe branch (see
+    // q79) — and the freq⋈probe join is token-partitioned on BOTH
+    // sides (the frequency table derives from the same exchange), so
+    // unlike q79/q84's top-k broadcast the FULL vocabulary never
+    // needs to fit on one node: at 100 TB with billions of types this
+    // stays a colocated join. Float-sum trap avoided by q90's trick:
+    // the per-TYPE log is 6-dp rounded then quantized to integer
+    // micro-nats, so the per-doc Σ c·lp is an exact long sum in any
+    // partition order; only the final mean divides.
+    "q96_unigram_logprob" -> q { (spark, dir) =>
+      val cnt = docs(spark, dir)
+        .select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("c"))
+        .repartition(col("token"))
+      // min(doc_id) + isNotNull = pruning guard so both branches
+      // share one exchange (see q79)
+      val freq = cnt.groupBy(col("token"))
+        .agg(sum(col("c")).as("n"), min(col("doc_id")).as("__pg"))
+        .filter(col("__pg").isNotNull)
+      val tot = freq.agg(sum(col("n")).as("__N"))
+      val lp = freq.crossJoin(broadcast(tot))
+        .select(col("token"),
+          floor(pround(log(col("__N").cast("double")
+              / col("n").cast("double")), 6) * 1e6 + lit(0.5))
+            .cast("long").as("lpq"))
+      cnt.join(lp, Seq("token"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).cast("long").as("n_tokens"),
+          sum(col("c") * col("lpq")).cast("long").as("lp_units"))
+        .select(col("doc_id"), col("n_tokens"), col("lp_units"),
+          pround(col("lp_units").cast("double")
+            / (col("n_tokens").cast("double") * 1e6), 6)
+            .as("mean_logprob"))
+    },
+
+    // BPE merge-candidate frequencies: the inner loop of tokenizer
+    // training — count every ADJACENT token pair in the corpus and
+    // rank the top merges (here at whitespace-token granularity; the
+    // char-level variant is the same plan over a char-pair explode).
+    // Scale shape: pairs come from zip_with over two slices of ONE
+    // tokens array (no self-join, no positional window — the r3
+    // double-tokenize class can't occur because there is exactly one
+    // tokenize and no second consumer), the pair count is a map-side
+    // partial agg, and the top-50 is TakeOrderedAndProject — per-
+    // partition heads then one 50-row merge; the corpus is never
+    // globally sorted. The 50-row rank window runs on one tiny
+    // partition by construction.
+    "q97_bpe_pairs" -> q { (spark, dir) =>
+      val pairs = docs(spark, dir)
+        .select(TextAnalysis.tokens(col("text")).as("tks"))
+        .filter(size(col("tks")) >= 2)
+        .select(explode(zip_with(
+          slice(col("tks"), lit(1), size(col("tks")) - 1),
+          slice(col("tks"), lit(2), size(col("tks")) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("pair"))
+      val w = Window.orderBy(col("n").desc, col("pair").asc)
+      pairs.groupBy(col("pair"))
+        .agg(count(lit(1)).cast("long").as("n"))
+        .orderBy(col("n").desc, col("pair").asc).limit(50)
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .select(col("rank"), col("pair"), col("n"))
     }
   )
 
@@ -3036,6 +3106,45 @@ object QueriesScale {
         |             AS DOUBLE) / 100.0, 2) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT'
-        |GROUP BY o_orderstatus, l_returnflag""".stripMargin
+        |GROUP BY o_orderstatus, l_returnflag""".stripMargin,
+
+    // Spark log == DuckDB ln on identical IEEE inputs (q66 precedent);
+    // the 6-dp round before micro-nat quantization keeps any last-ulp
+    // drift away from the floor boundary.
+    "q96_unigram_logprob" ->
+      s"""WITH $toksSql,
+         |ex AS (SELECT doc_id, unnest(tk) AS token FROM toks),
+         |cnt AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c
+         |        FROM ex GROUP BY 1, 2),
+         |freq AS (SELECT token, CAST(SUM(c) AS BIGINT) AS n
+         |         FROM cnt GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tn FROM freq),
+         |lp AS (SELECT token,
+         |         CAST(floor(round(ln(CAST(tn AS DOUBLE)
+         |                / CAST(n AS DOUBLE)), 6) * 1e6 + 0.5)
+         |           AS BIGINT) AS lpq
+         |       FROM freq, tot)
+         |SELECT cnt.doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |       CAST(SUM(c * lpq) AS BIGINT) AS lp_units,
+         |       round(CAST(SUM(c * lpq) AS DOUBLE)
+         |             / (CAST(SUM(c) AS DOUBLE) * 1e6), 6)
+         |         AS mean_logprob
+         |FROM cnt JOIN lp ON cnt.token = lp.token
+         |GROUP BY cnt.doc_id""".stripMargin,
+
+    "q97_bpe_pairs" ->
+      s"""WITH $toksSql,
+         |pr AS (
+         |  SELECT unnest(list_transform(range(1, len(tk)),
+         |           i -> tk[i] || ' ' || tk[i + 1])) AS pair
+         |  FROM toks WHERE len(tk) >= 2),
+         |top AS (
+         |  SELECT pair, CAST(count(*) AS BIGINT) AS n
+         |  FROM pr GROUP BY pair
+         |  ORDER BY n DESC, pair ASC LIMIT 50)
+         |SELECT CAST(row_number() OVER (ORDER BY n DESC, pair ASC)
+         |         AS BIGINT) AS rank,
+         |       pair, n
+         |FROM top""".stripMargin
   )
 }

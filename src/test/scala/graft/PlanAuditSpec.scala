@@ -100,7 +100,8 @@ class PlanAuditSpec extends SparkSpec {
     try {
       conf.set("spark.sql.adaptive.enabled", "false")
       Seq("q66_tfidf", "q78_shingle_novelty", "q79_oov_rate",
-        "q84_token_rank_score", "q91_chunk_dedup").foreach { name =>
+        "q84_token_rank_score", "q91_chunk_dedup",
+        "q96_unigram_logprob").foreach { name =>
         val p = plan(name)
         // optional "*(3) " codegen prefix: a Generate fused into a
         // WholeStageCodegen span must still count (r4 advice — the
