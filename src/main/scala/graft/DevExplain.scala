@@ -15,12 +15,16 @@ object DevExplain {
     names.foreach { n =>
       val plan = SparkEntry.queries(n)(spark, dir)
         .queryExecution.executedPlan.toString
+      // xchg is LINE-based: a ReusedExchange node prints its target as
+      // ", Exchange hashpartitioning(...)" on the same line, so a
+      // lookbehind regex still counts the reuse reference as a real
+      // exchange; one plan node per line makes line counting exact
+      val nXchg = plan.linesIterator.count(l =>
+        l.contains("Exchange") && !l.contains("ReusedExchange") &&
+          !l.contains("BroadcastExchange"))
       val markers = Seq(
         "BroadcastHashJoin" -> "bcast",
         "SortMergeJoin" -> "smj",
-        // lookbehind: "ReusedExchange"/"BroadcastExchange" must not
-        // inflate the real-exchange tally (r4 advice)
-        "(?<!Reused)(?<!Broadcast)Exchange" -> "xchg",
         "ReusedExchange" -> "reuse",
         "BroadcastExchange" -> "bxchg",
         // optional whole-stage-codegen prefix "*(3) " — a Generate
@@ -34,7 +38,7 @@ object DevExplain {
       val found = markers.flatMap { case (pat, label) =>
         val c = pat.r.findAllIn(plan).size
         if (c > 0) Some(s"$label=$c") else None
-      }
+      } ++ (if (nXchg > 0) Seq(s"xchg=$nXchg") else Nil)
       println(s"AUDIT $n: ${found.mkString(" ")}")
     }
     spark.stop()

@@ -1364,6 +1364,117 @@ object QueriesScale {
         .orderBy(col("n").desc, col("pair").asc).limit(50)
         .withColumn("rank", row_number().over(w).cast("long"))
         .select(col("rank"), col("pair"), col("n"))
+    },
+
+    // Cluster-balanced downsample: at most `cap` embeddings per coarse
+    // cell, picked by deterministic hash order — the post-clustering
+    // quota step that flattens the cluster-size distribution of a
+    // training mix (no mode dominates). See
+    // Similarity.clusterBalancedSample for the scale rationale
+    // (constant-folded assignment, bounded cells, repartition-stable
+    // hash sampling).
+    "q98_cluster_sample" -> q { (spark, dir) =>
+      Similarity.clusterBalancedSample(vecs(spark, dir),
+        Similarity.gridCentroids(8, 64), cap = 25)
+    },
+
+    // Filter-funnel report: the per-source survivor counts of the
+    // cleaning cascade (length → language → quality → dedup) — the
+    // data-card every curation run publishes so a collapsing source is
+    // visible as a funnel stage, not a silent row-count drop. Scale
+    // shape: ONE corpus scan; the per-row stats/langID/fingerprint are
+    // codegen'd native expressions; the only corpus-sized exchange is
+    // the fingerprint hash partition for the canonical-pick window
+    // (same as q41); the per-source rollup partial-aggregates to
+    // |sources| rows. Cascade flags use integer micro-unit quality
+    // (q90's q_units) so the 0.55 threshold is an exact long compare
+    // in both engines.
+    "q99_filter_funnel" -> q { (spark, dir) =>
+      import graft.text.TextStatsExpression.textStats
+      val scored = docs(spark, dir)
+        .withColumn("st", textStats(col("text")))
+        .select(col("source"), col("doc_id"),
+          col("st.n_tokens").as("n_tokens"),
+          floor(qualityScore * 1e6 + lit(0.5)).cast("long").as("q_units"),
+          TextAnalysis.langId(col("text")).as("predicted_lang"),
+          TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+      val wD = Window.partitionBy(col("fingerprint"))
+        .orderBy(col("doc_id").asc)
+      val c1 = col("n_tokens") >= 20
+      val c2 = c1 && col("predicted_lang") =!= "und"
+      val c3 = c2 && col("q_units") >= 550000L
+      val c4 = c3 && col("is_canon")
+      def cnt(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+      scored
+        .withColumn("is_canon", row_number().over(wD) === 1)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), cnt(c1).as("n_len"),
+          cnt(c2).as("n_lang"), cnt(c3).as("n_quality"),
+          cnt(c4).as("n_unique"))
+    },
+
+    // Token-budget selection: keep the highest-quality documents until
+    // a global token budget (25% of the corpus) is spent — quality
+    // filtering under a budget, i.e. a global cumulative sum over the
+    // quality ordering. Scale shape: a DISTRIBUTED prefix sum — the
+    // classic two-level decomposition instead of a global window. Docs
+    // are bucketed by quality (q_units div 10000 → ≤101 buckets);
+    // within-bucket cumsums run partitioned by bucket; the cross-
+    // bucket running offsets come from a ≤101-row aggregate whose own
+    // window is trivially single-partition, then broadcast back. The
+    // corpus is never globally sorted and no corpus-sized single
+    // partition exists — the one WindowExec warning DuckDB-style
+    // global cumsum would hit at 100 TB. Bucket-desc + within-bucket
+    // (q_units desc, doc_id asc) reproduces the global order exactly,
+    // and all sums are exact longs, so the decomposition is
+    // bit-identical to the oracle's global window.
+    "q100_token_budget_select" -> q { (spark, dir) =>
+      import graft.text.TextStatsExpression.textStats
+      // repartition(bucket) barrier: ONE stats pass feeds both the
+      // bucket-total branch and the probe branch through a single
+      // reused exchange, and everything downstream (bucket groupBy,
+      // per-bucket window, bucket equi-join) is already colocated on
+      // it — zero further corpus exchanges
+      val d = docs(spark, dir)
+        .withColumn("st", textStats(col("text")))
+        .select(col("doc_id"),
+          col("st.n_tokens").cast("long").as("n_tokens"),
+          floor(qualityScore * 1e6 + lit(0.5)).cast("long").as("q_units"))
+        // coalesce makes bucket non-nullable (it never IS null — the
+        // quality score is itself a coalesce) so the bucket equi-join
+        // below generates no isnotnull(bucket) filter; such a filter
+        // would push below the repartition into ONE branch's scan,
+        // desync the two exchange subtrees, and break the reuse this
+        // barrier exists for (→ the corpus stats pass would run twice)
+        .withColumn("bucket",
+          coalesce(floor(col("q_units") / lit(10000L)), lit(-1L)))
+        .repartition(col("bucket"))
+      // min(doc_id + q_units) + always-true filter = pruning guard
+      // (q79 pattern): keeps the totals branch's column set identical
+      // to the probe branch's, so both read the SAME bucket exchange —
+      // otherwise column pruning specializes the two subtrees and the
+      // stats pass runs twice
+      val bt = d.groupBy(col("bucket"))
+        .agg(sum(col("n_tokens")).as("bt_tokens"),
+          min(col("doc_id") + col("q_units")).as("__pg"))
+        .filter(col("__pg").isNotNull)
+      val wb = Window.orderBy(col("bucket").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = bt
+        .withColumn("offset", coalesce(sum(col("bt_tokens")).over(wb),
+          lit(0L)))
+        .select(col("bucket"), col("offset"))
+      val tot = bt.agg(sum(col("bt_tokens")).as("__T"))
+      val wd = Window.partitionBy(col("bucket"))
+        .orderBy(col("q_units").desc, col("doc_id").asc)
+      d.join(broadcast(offsets), Seq("bucket"))
+        .withColumn("cum_tokens",
+          (col("offset") + sum(col("n_tokens")).over(wd)).cast("long"))
+        .crossJoin(broadcast(tot))
+        .filter(col("cum_tokens") <=
+          floor(col("__T").cast("double") * lit(0.25)).cast("long"))
+        .select(col("doc_id"), col("q_units"), col("n_tokens"),
+          col("cum_tokens"))
     }
   )
 
@@ -3145,6 +3256,149 @@ object QueriesScale {
          |SELECT CAST(row_number() OVER (ORDER BY n DESC, pair ASC)
          |         AS BIGINT) AS rank,
          |       pair, n
-         |FROM top""".stripMargin
+         |FROM top""".stripMargin,
+
+    // Same literal-centroid assignment CTEs as q89/q93; the sample
+    // order is md5 over a salted id string — byte-identical hex in
+    // both engines, so the surviving set matches exactly.
+    "q98_cluster_sample" ->
+      s"""WITH ${centsSql(8)},
+         |scored AS (
+         |  SELECT e.vec_id, c.c AS cell,
+         |         list_sum(list_transform(
+         |             generate_series(1, len(e.embedding)),
+         |             i -> CAST(e.embedding[i] AS DOUBLE) * c.w[i]))
+         |           / c.nrm AS s
+         |  FROM embeddings e CROSS JOIN cents c),
+         |assign AS (
+         |  SELECT vec_id,
+         |         CAST(list_position(ls, list_max(ls)) - 1 AS INT) AS cell
+         |  FROM (SELECT vec_id, list(s ORDER BY cell) AS ls
+         |        FROM scored GROUP BY vec_id)),
+         |r AS (
+         |  SELECT cell, vec_id,
+         |         CAST(row_number() OVER (
+         |             PARTITION BY cell
+         |             ORDER BY md5('cbs:' || CAST(vec_id AS VARCHAR)) ASC,
+         |                      vec_id ASC) AS BIGINT) AS sample_rank
+         |  FROM assign)
+         |SELECT cell, vec_id, sample_rank
+         |FROM r WHERE sample_rank <= 25""".stripMargin,
+
+    // Language scores from q41, quality micro-units from q90 — the
+    // cascade flags are pure integer/string compares on top.
+    "q99_filter_funnel" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, text,
+        |         list_filter(regexp_split_to_array(text, '\s+'),
+        |             x -> x <> '') AS tk,
+        |         ' ' || lower(text) || ' ' AS pt,
+        |         md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+        |           AS fingerprint
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, source, fingerprint, len(tk) AS n_tokens,
+        |    CASE WHEN len(tk) > 0
+        |         THEN CAST(len(list_filter(tk, x -> list_contains(
+        |                ['the','a','an','and','or','of','to','in',
+        |                 'is','it'], lower(x)))) AS DOUBLE) / len(tk)
+        |         END AS stop_ratio,
+        |    CASE WHEN length(text) > 0
+        |         THEN CAST(length(regexp_replace(text,
+        |                '[^[:punct:]]', '', 'g')) AS DOUBLE)
+        |              / length(text)
+        |         END AS punct_ratio,
+        |    (length(pt) - length(replace(pt, ' the ', ''))) / 5
+        |    + (length(pt) - length(replace(pt, ' and ', ''))) / 5
+        |    + (length(pt) - length(replace(pt, ' of ', ''))) / 4 AS s_en,
+        |    (length(pt) - length(replace(pt, ' el ', ''))) / 4
+        |    + (length(pt) - length(replace(pt, ' la ', ''))) / 4
+        |    + (length(pt) - length(replace(pt, ' que ', ''))) / 5 AS s_es,
+        |    (length(pt) - length(replace(pt, ' le ', ''))) / 4
+        |    + (length(pt) - length(replace(pt, ' la ', ''))) / 4
+        |    + (length(pt) - length(replace(pt, ' et ', ''))) / 4 AS s_fr,
+        |    (length(pt) - length(replace(pt, ' der ', ''))) / 5
+        |    + (length(pt) - length(replace(pt, ' und ', ''))) / 5
+        |    + (length(pt) - length(replace(pt, ' die ', ''))) / 5 AS s_de
+        |  FROM t),
+        |u AS (
+        |  SELECT doc_id, source, fingerprint, n_tokens,
+        |         CASE WHEN GREATEST(s_en, s_es, s_fr, s_de) <= 0
+        |              THEN 'und'
+        |              WHEN s_en = GREATEST(s_en, s_es, s_fr, s_de)
+        |              THEN 'en'
+        |              WHEN s_es = GREATEST(s_en, s_es, s_fr, s_de)
+        |              THEN 'es'
+        |              WHEN s_fr = GREATEST(s_en, s_es, s_fr, s_de)
+        |              THEN 'fr'
+        |              WHEN s_de = GREATEST(s_en, s_es, s_fr, s_de)
+        |              THEN 'de'
+        |              ELSE 'und' END AS predicted_lang,
+        |         CAST(floor(round(
+        |             0.5 * LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+        |             + 0.3 * (1.0 - abs(COALESCE(stop_ratio, 0.0) - 0.4))
+        |             + 0.2 * (1.0 - COALESCE(punct_ratio, 0.0)), 6)
+        |           * 1e6 + 0.5) AS BIGINT) AS q_units
+        |  FROM s),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |      PARTITION BY fingerprint ORDER BY doc_id ASC) = 1
+        |        AS is_canon
+        |  FROM u)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN n_tokens >= 20 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_len,
+        |  CAST(SUM(CASE WHEN n_tokens >= 20 AND predicted_lang <> 'und'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+        |  CAST(SUM(CASE WHEN n_tokens >= 20 AND predicted_lang <> 'und'
+        |    AND q_units >= 550000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_quality,
+        |  CAST(SUM(CASE WHEN n_tokens >= 20 AND predicted_lang <> 'und'
+        |    AND q_units >= 550000 AND is_canon THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_unique
+        |FROM r GROUP BY source""".stripMargin,
+
+    // The oracle states the SPEC (one global window cumsum); the Spark
+    // plan decomposes it into bucketed prefix sums — exact long
+    // arithmetic on an identical total order makes them bit-equal.
+    "q100_token_budget_select" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |         list_filter(regexp_split_to_array(text, '\s+'),
+        |             x -> x <> '') AS tk
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, len(tk) AS n_tokens,
+        |    CASE WHEN len(tk) > 0
+        |         THEN CAST(len(list_filter(tk, x -> list_contains(
+        |                ['the','a','an','and','or','of','to','in',
+        |                 'is','it'], lower(x)))) AS DOUBLE) / len(tk)
+        |         END AS stop_ratio,
+        |    CASE WHEN length(text) > 0
+        |         THEN CAST(length(regexp_replace(text,
+        |                '[^[:punct:]]', '', 'g')) AS DOUBLE)
+        |              / length(text)
+        |         END AS punct_ratio
+        |  FROM t),
+        |u AS (
+        |  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |         CAST(floor(round(
+        |             0.5 * LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+        |             + 0.3 * (1.0 - abs(COALESCE(stop_ratio, 0.0) - 0.4))
+        |             + 0.2 * (1.0 - COALESCE(punct_ratio, 0.0)), 6)
+        |           * 1e6 + 0.5) AS BIGINT) AS q_units
+        |  FROM s),
+        |c AS (
+        |  SELECT doc_id, q_units, n_tokens,
+        |         CAST(SUM(n_tokens) OVER (
+        |             ORDER BY q_units DESC, doc_id ASC
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS cum_tokens
+        |  FROM u),
+        |tt AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS bud FROM u)
+        |SELECT doc_id, q_units, n_tokens, cum_tokens
+        |FROM c, tt
+        |WHERE cum_tokens <= CAST(floor(CAST(bud AS DOUBLE) * 0.25)
+        |                      AS BIGINT)""".stripMargin
   )
 }

@@ -404,4 +404,43 @@ object Similarity {
       .filter(col("cosine_sim") >= threshold)
       .distinct()
   }
+
+  /** Cluster-balanced (diversity-preserving) downsample: route every
+    * embedding to its coarse cell (argmax cosine against the centroid
+    * LITERALS — constant-folded, no centroid join, same quantizer as
+    * [[semanticDedup]]/[[ivfTopK]]) and keep at most `cap` members per
+    * cell, chosen by a deterministic md5 hash order — a uniform
+    * without-replacement sample per cluster. This is the quota step a
+    * curation pipeline runs after clustering: it flattens the cluster
+    * size distribution so no single mode dominates the training mix.
+    *
+    * Scale shape: one corpus pass for assignment, then a top-`cap`
+    * window partitioned by cell. Cells stay bounded because `nlist`
+    * grows with the corpus (the IVF sizing rule), and the hash order
+    * is repartition-stable — the same rows survive on any cluster
+    * layout, unlike `DataFrame.sample`. The hash is salted so
+    * co-sampling with other hash-membership stages (split/mix) stays
+    * independent.
+    */
+  def clusterBalancedSample(vectors: DataFrame,
+                            centroids: Seq[Array[Double]], cap: Int,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding",
+                            salt: String = "cbs"): DataFrame = {
+    require(centroids.nonEmpty,
+      "clusterBalancedSample: centroids must be non-empty")
+    require(cap > 0, "clusterBalancedSample: cap must be positive")
+    // repartition spreads the per-row centroid scoring (single-row-
+    // group parquet reads as one split) before the cell exchange
+    val assigned = vectors.select(col(idCol), col(vecCol))
+      .repartition(col(idCol))
+      .withColumn("cell", cellOf(centroidScores(col(vecCol), centroids)))
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(md5(concat(lit(salt + ":"), col(idCol).cast("string"))).asc,
+        col(idCol).asc)
+    assigned
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= cap)
+      .select(col("cell"), col(idCol), col("sample_rank"))
+  }
 }

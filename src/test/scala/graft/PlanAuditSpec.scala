@@ -177,6 +177,46 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"))
   }
 
+  test("cluster sample assigns cells from folded literals, no join") {
+    // q98's centroid assignment is argmax over constant-folded
+    // centroid scores — a plan that joins a centroid table (or worse,
+    // nested-loops it) re-introduces a per-row join at 100 TB
+    val p = plan("q98_cluster_sample")
+    assert(!p.contains("Join"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("token budget selection computes the stats pass exactly once") {
+    // q100 decomposes a global cumsum into bucketed prefix sums; the
+    // bucket-total branch and the probe branch must share the ONE
+    // repartition(bucket) exchange — a second documents scan means
+    // the barrier failed and the corpus stats pass runs twice (the
+    // original defect: the join's isnotnull(bucket) filter pushed
+    // into one branch's scan and desynced the subtrees). Asserted
+    // with AQE off (static ReuseExchange dedups the shared subtree in
+    // the printed plan, same setup as the Generate audit).
+    val conf = spark.conf
+    val saved = conf.getOption("spark.sql.adaptive.enabled")
+    try {
+      conf.set("spark.sql.adaptive.enabled", "false")
+      val p = plan("q100_token_budget_select")
+      val n = "documents\\.parquet".r.findAllIn(p).length
+      assert(n == 1,
+        s"q100 expected exactly 1 documents scan, got $n:\n${p.take(3000)}")
+      // line-based: a ReusedExchange node prints its TARGET as
+      // ", Exchange hashpartitioning(...)" on the same line, so a
+      // plain (?<!Reused) lookbehind would count the reuse references
+      // too (the r4-advice DevExplain bug class)
+      val nBucketX = p.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning(bucket") &&
+          !l.contains("ReusedExchange"))
+      assert(nBucketX == 1,
+        s"q100 expected 1 non-reused bucket exchange, got $nBucketX:\n" +
+          p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    } finally saved.fold(conf.unset("spark.sql.adaptive.enabled"))(
+      conf.set("spark.sql.adaptive.enabled", _))
+  }
+
   test("scd2 merge shares one exchange across both window passes") {
     // Merge.scd2's key repartition must serve the same-instant winner
     // window AND the range-chaining window — hash(key) satisfies the
