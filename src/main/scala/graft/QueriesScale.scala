@@ -1218,12 +1218,19 @@ object QueriesScale {
           ((c % 9000) + 1000).cast("string"))).otherwise(lit("")))
       t(spark, dir, "orders")
         .select(k, profile.as("__p"))
+        // single-pass native expression: one streaming count per
+        // pattern + the pinned-order replacement chain, instead of 8
+        // independent regex expressions re-decoding the same string
+        // (subexpression elimination collapses the 5 struct
+        // references to one eval inside the codegen'd projection)
         .select(col("o_orderkey"),
-          Redact.countMatches(col("__p"), Redact.EmailRe).as("n_emails"),
-          Redact.countMatches(col("__p"), Redact.UrlRe).as("n_urls"),
-          Redact.countMatches(col("__p"), Redact.Ipv4Re).as("n_ips"),
-          Redact.countMatches(col("__p"), Redact.PhoneRe).as("n_phones"),
-          md5(Redact.scrub(col("__p"))).as("redacted_md5"))
+          Redact.redactStats(col("__p")).as("__r"))
+        .select(col("o_orderkey"),
+          col("__r.n_emails").as("n_emails"),
+          col("__r.n_urls").as("n_urls"),
+          col("__r.n_ips").as("n_ips"),
+          col("__r.n_phones").as("n_phones"),
+          md5(col("__r.redacted")).as("redacted_md5"))
     },
 
     // One Lloyd refinement iteration over the grid centroids — the

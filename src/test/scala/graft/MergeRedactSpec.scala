@@ -35,6 +35,30 @@ class MergeRedactSpec extends SparkSpec {
       == ((2L, 1L, 1L, 1L)))
   }
 
+  test("redactStats matches the column-function formulation exactly") {
+    // the native single-pass expression must be bit-equal to the 8
+    // independent regexp_* expressions it replaces (same java regex,
+    // counts on the original text, pinned replacement order)
+    val texts = Seq(
+      "mail a.b+c@x-y.example.com see https://h.example.com/p/1 " +
+        "node 10.2.3.44 dial +1-555-0100 plain words stay",
+      "order 7 contact user3@mail-0.example.com visit " +
+        "https://shop-2.example.com/o/7 ip 10.7.3.7 call +1-107-1007",
+      "a@b.example.com c@d.example.org 1.2.3.4 +12-345-6789 1.2.3",
+      "no pii at all", "")
+    val df = texts.toDF("t")
+    val native = df.select(Redact.redactStats($"t").as("r"))
+      .select($"r.n_urls", $"r.n_emails", $"r.n_ips", $"r.n_phones",
+        $"r.redacted").collect().toSeq
+    val composed = df.select(
+      Redact.countMatches($"t", Redact.UrlRe),
+      Redact.countMatches($"t", Redact.EmailRe),
+      Redact.countMatches($"t", Redact.Ipv4Re),
+      Redact.countMatches($"t", Redact.PhoneRe),
+      Redact.scrub($"t")).collect().toSeq
+    assert(native.map(_.toSeq) == composed.map(_.toSeq))
+  }
+
   test("a URL host never double-counts as an IP or email") {
     val text = "go to https://shop-1.example.com/o/42 now"
     val r = Seq(text).toDF("t").select(
