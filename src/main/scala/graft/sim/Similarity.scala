@@ -288,16 +288,45 @@ object Similarity {
       .repartition(col(idCol))
       .withColumn("cell", cellOf(centroidScores(col(vecCol), centroids)))
       .repartition(col("cell"))
-    val a = assigned.select(col(idCol).as("id_a"),
+    // Identical-vector collapse (the q25/minhashPairs hardening, r4
+    // verdict #2, applied to embeddings): production corpora carry
+    // large groups of BYTE-IDENTICAL vectors (re-crawled pages, dup
+    // images re-embedded), and every such group of size m would put
+    // m²/2 pairs through the within-cell join. Collapse each
+    // (cell, vector) group to its min-id representative BEFORE the
+    // self-join — hash(cell) partitioning already clusters equal
+    // (cell, vector) rows, so the window adds a sort, not a shuffle.
+    // Output is unchanged:
+    //  - a non-representative m has its representative (smaller id,
+    //    identical vector) as an in-cell neighbor, and their cosine is
+    //    exactly `cosine(v, v)` — the memberDrops filter applies THE
+    //    SAME expression the pair join would have, so m drops iff it
+    //    would have (incl. the zero-norm case, where cosine is null
+    //    and the whole group survives untouched);
+    //  - a representative r drops iff some in-cell vector with a
+    //    smaller id scores ≥ threshold; any such witness w satisfies
+    //    rep(w) ≤ w < r and sim(r, w) = sim(r, rep(w)), so the
+    //    rep-level join sees an equivalent witness — and conversely.
+    val wGrp = Window.partitionBy(col("cell"), col(vecCol))
+      .orderBy(col(idCol).asc)
+    val marked = assigned
+      .withColumn("__rn", row_number().over(wGrp))
+      .repartition(col("cell")) // share ONE window pass across branches
+    val reps = marked.filter(col("__rn") === 1)
+    val a = reps.select(col(idCol).as("id_a"),
       col(vecCol).as("__va"), col("cell"))
-    val b = assigned.select(col(idCol).as("id_b"),
+    val b = reps.select(col(idCol).as("id_b"),
       col(vecCol).as("__vb"), col("cell"))
     val sim = cosine(col("__va"), col("__vb"))
-    val drops = a.join(b, Seq("cell"))
+    val repDrops = a.join(b, Seq("cell"))
       .filter(col("id_b") < col("id_a") &&
         roundSim.fold(sim)(pround(sim, _)) >= threshold)
       .select(col("id_a").as(idCol))
-      .distinct()
+    val selfSim = cosine(col(vecCol), col(vecCol))
+    val memberDrops = marked.filter(col("__rn") > 1)
+      .filter(roundSim.fold(selfSim)(pround(selfSim, _)) >= threshold)
+      .select(col(idCol))
+    val drops = repDrops.union(memberDrops).distinct()
     assigned.join(drops, Seq(idCol), "left_anti")
       .select(col(idCol), col("cell"))
   }

@@ -228,6 +228,37 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(kept == Seq(1L, 3L))
   }
 
+  test("semanticDedup: 1000-identical-vector cluster stays bounded") {
+    // the q25/minhashPairs hazard applied to embeddings: m identical
+    // vectors land in one cell and would put m²/2 pairs through the
+    // within-cell join; the (cell, vector) collapse sends ONE
+    // representative per distinct vector instead. Semantics pinned:
+    // min id of the identical group survives, everything else in the
+    // group drops, far-away vectors are untouched.
+    val dup = Array(0.6f, -0.2f, 0.8f, 0.1f)
+    val far = Array(-0.6f, 0.2f, -0.8f, -0.1f)
+    val vecs = ((1L to 1000L).map(i => (i, dup)) :+ (2000L, far))
+      .toDF("vec_id", "embedding")
+    val kept = Similarity.semanticDedup(vecs,
+      Similarity.gridCentroids(4, 4), threshold = 0.9,
+      roundSim = Some(6))
+      .collect().map(_.getAs[Long]("vec_id")).sorted.toSeq
+    assert(kept == Seq(1L, 2000L))
+  }
+
+  test("semanticDedup: zero-norm identical group survives whole") {
+    // cosine with a zero-norm vector is null, so zero vectors never
+    // pair — the collapse must not invent a drop for them
+    val z = Array(0.0f, 0.0f, 0.0f)
+    val vecs = Seq((1L, z), (2L, z), (3L, Array(1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val kept = Similarity.semanticDedup(vecs,
+      Similarity.gridCentroids(4, 3), threshold = 0.5,
+      roundSim = Some(6))
+      .collect().map(_.getAs[Long]("vec_id")).sorted.toSeq
+    assert(kept == Seq(1L, 2L, 3L))
+  }
+
   test("semanticDedup invariants at sf0.01: maximal independent prefix") {
     import graft.functions.PortableRound.pround
     val vecs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
