@@ -34,7 +34,10 @@ object DevPlans {
       "q87_ann_recall" -> "ANN recall eval: brute truth + IVF + IVF-PQ share the broadcast-queries shape (corpus never shuffles to score); hit-count joins are k*|sample|-sized; the summary is a 2-row union of scalar aggregates",
       "q88_quality_survivors" -> "quality-aware survivors: CC label table (sliver) LEFT-joined to per-doc scores on doc_id, argmax-quality pick = one window over cluster_id; no text in any post-scan exchange",
       "q96_unigram_logprob" -> "unigram-LM surprise: ONE tokenize behind the repartition(token) barrier; the frequency table is a ReusedExchange of the probe branch, so freq JOIN probe is token-colocated on BOTH sides — the full vocabulary never broadcasts or re-shuffles",
-      "q100_token_budget_select" -> "token-budget selection: a global quality-ordered cumsum decomposed into a distributed prefix sum — within-bucket windows on the ONE shared bucket exchange (scan=1), cross-bucket offsets from a <=101-row aggregate broadcast back; no corpus-sized global sort or single-partition window")
+      "q100_token_budget_select" -> "token-budget selection: a global quality-ordered cumsum decomposed into a distributed prefix sum — within-bucket windows on the ONE shared bucket exchange (scan=1), cross-bucket offsets from a <=101-row aggregate broadcast back; no corpus-sized global sort or single-partition window",
+      "q102_zorder_layout" -> "z-order layout audit: Morton code is a pure codegen'd integer projection over the scan; the ONLY exchange carries <=16 partial-aggregated file rows — layout quality for a 100 TB table is audited without moving the table",
+      "q103_length_batch_pack" -> "length-bucketed packing: batching window partitions by (bucket, hash-shard) so a dominant length bucket splits across the cluster (no single-partition WindowExec); the per-batch aggregate reuses the window's (bucket,shard) exchange — subset-clustering, no second corpus shuffle — and the bucket rollup exchanges only per-batch rows",
+      "q104_contamination_spans" -> "contamination spans: corpus shingles posexplode into a BROADCAST semi-probe of the eval set — the only shuffled rows are hit (doc_id,pos) slivers for the run window; corpus text never exchanges and the runs decompose via pos - row_number, no self-join")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by graft.DevPlans)\n\n")
     sb.append("Representative `.explain(\"formatted\")` output at sf0.01, AQE off\n")

@@ -1482,6 +1482,127 @@ object QueriesScale {
           floor(col("__T").cast("double") * lit(0.25)).cast("long"))
         .select(col("doc_id"), col("q_units"), col("n_tokens"),
           col("cum_tokens"))
+    },
+
+    // Training-shard layout: the "write plan" of a curation run —
+    // every doc gets a shard and a position inside it, both pure
+    // functions of md5(salt + doc_id). The order hash gives a
+    // deterministic GLOBAL shuffle of training order with no global
+    // sort: the only exchange is the hash partition by shard_id, and
+    // shard count grows with the corpus (here 16), so no partition
+    // outgrows an executor. Reproducible by any engine, stable under
+    // repartitioning and incremental appends within a shard.
+    "q101_shard_layout" -> q { (spark, dir) =>
+      def h(salt: String): Column =
+        conv(substring(md5(concat(lit(salt),
+          col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+      val d = docs(spark, dir).select(col("doc_id"),
+        pmod(h("shard1"), lit(16L)).cast("long").as("shard_id"),
+        h("order1").as("okey"))
+      val w = Window.partitionBy(col("shard_id"))
+        .orderBy(col("okey").asc, col("doc_id").asc)
+      d.withColumn("order_idx", row_number().over(w).cast("long"))
+        .select(col("doc_id"), col("shard_id"), col("order_idx"))
+    },
+
+    // Z-order data layout audit: Morton-interleave two predicate
+    // columns, range-bucket the curve into files, and report each
+    // file's min/max extents in BOTH dimensions — the footprint a
+    // format's zone maps would use for data skipping. extent_area is
+    // the pruning-quality metric: a z-ordered file covers a compact
+    // rectangle (small area → predicates on either column skip it),
+    // where a single-column sort leaves the second dimension's extent
+    // full-width. Scale shape: the Morton code is pure per-row integer
+    // codegen; the only exchange is the 16-row file aggregate. At
+    // 100 TB the same expression feeds a repartitionByRange write.
+    "q102_zorder_layout" -> q { (spark, dir) =>
+      import graft.functions.ZOrder
+      val ev = t(spark, dir, "events").select(
+        pmod(col("user_id"), lit(256L)).as("x"),
+        least(floor(col("value") / 2.0).cast("long"), lit(255L)).as("y"))
+      ev.withColumn("morton", ZOrder.interleave(col("x"), col("y")))
+        .withColumn("file_id", floor(col("morton") / lit(4096L)))
+        .groupBy(col("file_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+        .withColumn("extent_area",
+          (col("max_x") - col("min_x") + 1L) *
+            (col("max_y") - col("min_y") + 1L))
+    },
+
+    // Length-bucketed batch packing: group docs into fixed-size
+    // batches inside token-length buckets and report the padding a
+    // trainer would burn per bucket (batch pads to its own max).
+    // Scale shape: batching windows partition by (bucket, shard) —
+    // shard is an md5 hash slice of doc_id, so the window state for a
+    // popular length bucket splits across the cluster instead of
+    // collapsing to one partition (at 100 TB most docs land in a few
+    // buckets; bucket-only partitioning is the WindowExec trap q100
+    // avoids). Per-(bucket,shard) packing is also what a real writer
+    // does: each task packs its own slice. The per-bucket rollup is
+    // |buckets| rows.
+    "q103_length_batch_pack" -> q { (spark, dir) =>
+      import graft.text.TextStatsExpression.textStats
+      val d = docs(spark, dir)
+        .withColumn("st", textStats(col("text")))
+        .select(col("doc_id"),
+          col("st.n_tokens").cast("long").as("n_tokens"))
+        .withColumn("bucket", floor(col("n_tokens") / lit(64L)))
+        .withColumn("shard",
+          pmod(conv(substring(md5(concat(lit("pack1"),
+            col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long"),
+            lit(4L)))
+      val w = Window.partitionBy(col("bucket"), col("shard"))
+        .orderBy(col("n_tokens").desc, col("doc_id").asc)
+      d.withColumn("batch_idx",
+          floor((row_number().over(w) - 1) / lit(8)))
+        .groupBy(col("bucket"), col("shard"), col("batch_idx"))
+        .agg(count(lit(1)).as("bn"), max(col("n_tokens")).as("mx"),
+          sum(col("n_tokens")).as("sm"))
+        .groupBy(col("bucket"))
+        .agg(sum(col("bn")).cast("long").as("n_docs"),
+          count(lit(1)).as("n_batches"),
+          sum(col("sm")).cast("long").as("real_tokens"),
+          sum(col("bn") * col("mx")).cast("long").as("padded_tokens"))
+        .withColumn("pad_frac",
+          when(col("padded_tokens") > 0L,
+            pround(lit(1.0) - col("real_tokens").cast("double")
+              / col("padded_tokens"), 6)))
+    },
+
+    // Contamination span analysis: q54 says WHICH corpus docs overlap
+    // the eval slice; this says HOW — per contaminated doc, the number
+    // of matching shingle positions, the number of contiguous matching
+    // runs, and the longest run. One long run = a verbatim eval quote
+    // (hard-remove); many length-1 runs = boilerplate n-grams (soft).
+    // Scale shape: the eval shingle set broadcasts (same 5% hash slice
+    // as q54); corpus shingles stream through posexplode into the
+    // broadcast join, so the only shuffled rows are the HIT positions
+    // (doc_id, pos) — a sliver — and corpus text never exchanges. The
+    // run decomposition is the pos - row_number grouping trick on that
+    // sliver.
+    "q104_contamination_spans" -> q { (spark, dir) =>
+      import graft.sampling.Sampling
+      val d = docs(spark, dir)
+      val isBench = Sampling.hashFraction(col("doc_id"), "bench") < 0.05
+      val bench = d.filter(isBench)
+        .select(explode(TextAnalysis.shingles(col("text"))).as("s"))
+        .select(md5(col("s")).as("h")).distinct()
+      val hits = d.filter(!isBench)
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.shingles(col("text"))))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+          md5(col("col")).as("h"))
+        .join(broadcast(bench), "h")
+      val wr = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
+      hits.withColumn("grp", col("pos") - row_number().over(wr))
+        .groupBy(col("doc_id"), col("grp"))
+        .agg(count(lit(1)).as("run_len"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("run_len")).cast("long").as("n_hit_positions"),
+          count(lit(1)).as("n_runs"),
+          max(col("run_len")).as("longest_span"))
     }
   )
 
@@ -3406,6 +3527,116 @@ object QueriesScale {
         |SELECT doc_id, q_units, n_tokens, cum_tokens
         |FROM c, tt
         |WHERE cum_tokens <= CAST(floor(CAST(bud AS DOUBLE) * 0.25)
-        |                      AS BIGINT)""".stripMargin
+        |                      AS BIGINT)""".stripMargin,
+
+    "q101_shard_layout" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |         CAST(('0x' || substr(md5('shard1'
+        |             || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |           % 16 AS shard_id,
+        |         CAST(('0x' || substr(md5('order1'
+        |             || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |           AS okey
+        |  FROM documents)
+        |SELECT doc_id, shard_id,
+        |       CAST(row_number() OVER (
+        |           PARTITION BY shard_id ORDER BY okey ASC, doc_id ASC)
+        |         AS BIGINT) AS order_idx
+        |FROM s""".stripMargin,
+
+    "q102_zorder_layout" ->
+      s"""WITH xy AS (
+         |  SELECT ((user_id % 256) + 256) % 256 AS x,
+         |         LEAST(CAST(floor(value / 2.0) AS BIGINT), 255) AS y
+         |  FROM events),
+         |m AS (
+         |  SELECT x, y, ${graft.functions.ZOrder.mortonSql("x", "y")}
+         |           AS morton
+         |  FROM xy),
+         |f AS (
+         |  SELECT x, y, CAST(floor(morton / 4096) AS BIGINT) AS file_id
+         |  FROM m)
+         |SELECT file_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |       MIN(x) AS min_x, MAX(x) AS max_x,
+         |       MIN(y) AS min_y, MAX(y) AS max_y,
+         |       (MAX(x) - MIN(x) + 1) * (MAX(y) - MIN(y) + 1)
+         |         AS extent_area
+         |FROM f GROUP BY file_id""".stripMargin,
+
+    "q103_length_batch_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |             x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, n_tokens,
+        |         CAST(floor(n_tokens / 64) AS BIGINT) AS bucket,
+        |         CAST(('0x' || substr(md5('pack1'
+        |             || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |           % 4 AS shard
+        |  FROM t),
+        |b AS (
+        |  SELECT bucket, shard, n_tokens,
+        |         CAST(floor((row_number() OVER (
+        |             PARTITION BY bucket, shard
+        |             ORDER BY n_tokens DESC, doc_id ASC) - 1) / 8)
+        |           AS BIGINT) AS batch_idx
+        |  FROM d),
+        |pb AS (
+        |  SELECT bucket, shard, batch_idx, COUNT(*) AS bn,
+        |         MAX(n_tokens) AS mx, SUM(n_tokens) AS sm
+        |  FROM b GROUP BY bucket, shard, batch_idx)
+        |SELECT bucket, CAST(SUM(bn) AS BIGINT) AS n_docs,
+        |       CAST(COUNT(*) AS BIGINT) AS n_batches,
+        |       CAST(SUM(sm) AS BIGINT) AS real_tokens,
+        |       CAST(SUM(bn * mx) AS BIGINT) AS padded_tokens,
+        |       CASE WHEN SUM(bn * mx) > 0
+        |            THEN round(1.0 - CAST(SUM(sm) AS DOUBLE)
+        |                   / SUM(bn * mx), 6) END AS pad_frac
+        |FROM pb GROUP BY bucket""".stripMargin,
+
+    "q104_contamination_spans" ->
+      s"""WITH $toksSql,
+         |sh AS (
+         |  SELECT doc_id,
+         |         CASE WHEN len(tk) >= 3
+         |              THEN list_transform(generate_series(1, len(tk) - 2),
+         |                     j -> array_to_string(tk[j:j+2], ' '))
+         |              ELSE [array_to_string(tk, ' ')] END AS shl
+         |  FROM toks),
+         |pose AS (
+         |  SELECT doc_id, unnest(generate_series(1, len(shl))) AS pos,
+         |         shl
+         |  FROM sh),
+         |pos2 AS (
+         |  SELECT doc_id, CAST(pos AS BIGINT) AS pos, md5(shl[pos]) AS h
+         |  FROM pose),
+         |f AS (
+         |  SELECT doc_id,
+         |         CAST(('0x' || substr(md5('bench'
+         |             || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |           / 4294967296.0 AS frac
+         |  FROM documents),
+         |bench AS (
+         |  SELECT DISTINCT h
+         |  FROM pos2 JOIN f USING (doc_id) WHERE frac < 0.05),
+         |hits AS (
+         |  SELECT pos2.doc_id AS doc_id, pos
+         |  FROM pos2 JOIN f USING (doc_id) JOIN bench USING (h)
+         |  WHERE frac >= 0.05),
+         |runs AS (
+         |  SELECT doc_id,
+         |         pos - row_number() OVER (
+         |             PARTITION BY doc_id ORDER BY pos ASC) AS grp
+         |  FROM hits),
+         |rl AS (
+         |  SELECT doc_id, grp, COUNT(*) AS run_len
+         |  FROM runs GROUP BY doc_id, grp)
+         |SELECT doc_id, CAST(SUM(run_len) AS BIGINT) AS n_hit_positions,
+         |       CAST(COUNT(*) AS BIGINT) AS n_runs,
+         |       CAST(MAX(run_len) AS BIGINT) AS longest_span
+         |FROM rl GROUP BY doc_id""".stripMargin
   )
 }
