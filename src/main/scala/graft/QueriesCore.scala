@@ -32,11 +32,16 @@ object QueriesCore {
   private def q(f: (SparkSession, String) => DataFrame)
       : (SparkSession, String) => DataFrame = { (spark, dir) =>
     spark.conf.set("spark.sql.ansi.enabled", "false")
-    // events.parquet carries TIMESTAMP(NANOS) which Spark cannot
-    // represent; read it as nanos-since-epoch longs and do event-time
-    // math in integer micros (exact, and engine-portable: the DuckDB
-    // oracle uses epoch_us on its native TIMESTAMP_NS).
+    // events.parquet has carried TIMESTAMP(NANOS) in some rounds
+    // (unrepresentable in Spark — read as nanos-since-epoch longs via
+    // this flag) and TIMESTAMP(MICROS) in others (read as
+    // TIMESTAMP_NTZ). Event-time math is done in integer micros via
+    // EventTime.epochUs, which adapts to whichever the scan produced
+    // (exact, engine-portable: the DuckDB oracle uses epoch_us).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // epochUs' NTZ→LTZ cast is only the identity under UTC; pin it
+    // here too so the helper is correct regardless of the harness.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     // keep post-shuffle parallelism: the default 64MB AQE advisory
     // size coalesces these ~30MB shuffles to one partition
     spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
@@ -232,9 +237,11 @@ object QueriesCore {
     },
 
     "q09_hourly_windows" -> q { (spark, dir) =>
-      t(spark, dir, "events")
+      val ev = t(spark, dir, "events")
+      ev
+        .withColumn("us", graft.functions.EventTime.epochUs(ev))
         .withColumn("hour_us",
-          expr("((ts DIV 1000) DIV 3600000000) * 3600000000"))
+          expr("(us DIV 3600000000) * 3600000000"))
         .groupBy(col("hour_us"), col("event_type"))
         .agg(count(lit(1)).as("n"),
           pround(sum(col("value")), 4).as("total_value"),
@@ -251,7 +258,7 @@ object QueriesCore {
         .orderBy(col("us").asc, col("event_id").asc)
       val gapUs = 1800L * 1000000L
       val withFlag = ev
-        .withColumn("us", expr("ts DIV 1000"))
+        .withColumn("us", graft.functions.EventTime.epochUs(ev))
         .withColumn("prev_us", lag(col("us"), 1).over(wo))
         .withColumn("new_session",
           when(col("prev_us").isNull ||
@@ -424,8 +431,9 @@ object QueriesCore {
     // formulation; DuckDB's native ASOF LEFT JOIN is the oracle.
     "q35_asof_join" -> q { (spark, dir) =>
       import graft.operators.AsOfJoin
-      val ev = t(spark, dir, "events")
-        .withColumn("us", expr("ts DIV 1000"))
+      val evRaw = t(spark, dir, "events")
+      val ev = evRaw
+        .withColumn("us", graft.functions.EventTime.epochUs(evRaw))
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("us"))
       val wDedup = Window.partitionBy(col("user_id"), col("us"))
@@ -448,8 +456,9 @@ object QueriesCore {
     // deduped so the DuckDB ASOF oracle is deterministic.
     "q82_asof_forward" -> q { (spark, dir) =>
       import graft.operators.AsOfJoin
-      val ev = t(spark, dir, "events")
-        .withColumn("us", expr("ts DIV 1000"))
+      val evRaw = t(spark, dir, "events")
+      val ev = evRaw
+        .withColumn("us", graft.functions.EventTime.epochUs(evRaw))
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("us"))
       val wDedup = Window.partitionBy(col("user_id"), col("us"))

@@ -984,9 +984,10 @@ object QueriesScale {
     "q80_range_join" -> q { (spark, dir) =>
       import graft.operators.RangeJoin
       val winUs = 4L * 3600L * 1000000L
-      val ev = t(spark, dir, "events")
+      val evRaw = t(spark, dir, "events")
+      val ev = evRaw
         .select(col("event_id"), col("user_id"),
-          expr("ts DIV 1000").as("us"))
+          graft.functions.EventTime.epochUs(evRaw).as("us"))
       val anchors = ev.select(col("user_id"),
         col("event_id").as("anchor_id"), col("us").as("win_start"),
         (col("us") + lit(winUs)).as("win_end"))

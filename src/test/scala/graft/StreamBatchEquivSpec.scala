@@ -18,14 +18,16 @@ class StreamBatchEquivSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
   /** events with ts at MICROsecond timestamp precision — the same
-    * truncation the batch q09/q10 plans apply (`ts DIV 1000` on the
-    * raw nano longs), staged to a parquet dir a file-source stream
-    * can read.
+    * truncation the batch q09/q10 plans apply (EventTime.epochUs over
+    * whatever physical encoding the driver generated), staged to a
+    * parquet dir a file-source stream can read.
     */
   private lazy val staged: String = {
     val out = Files.createTempDirectory("graft_stream_equiv").toString
-    spark.read.parquet(s"$dir/events.parquet")
-      .select(expr("timestamp_micros(ts DIV 1000)").as("ts"),
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw
+      .select(timestamp_micros(graft.functions.EventTime.epochUs(raw))
+          .as("ts"),
         col("event_id"), col("user_id"), col("event_type"), col("value"))
       .write.mode("overwrite").parquet(out)
     out
