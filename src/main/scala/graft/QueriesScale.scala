@@ -1604,6 +1604,27 @@ object QueriesScale {
         .agg(sum(col("run_len")).cast("long").as("n_hit_positions"),
           count(lit(1)).as("n_runs"),
           max(col("run_len")).as("longest_span"))
+    },
+
+    // Audio decode + sample statistics over REAL RIFF/WAVE payloads:
+    // each embeddings row becomes a PCM16 mono clip whose samples are
+    // a pure integer function of the dup group, Spark round-trips the
+    // actual bytes through the Wav codec (encode → chunk-walk parse →
+    // one-pass stats), and the oracle regenerates the waveform
+    // arithmetically — so a header-offset bug, an endianness mix-up
+    // or a sign error in the parse flips integers and fails the hash.
+    // Per-row partition-local compute, no shuffle (the multimodal
+    // scale shape: decode cost ∝ rows, distributes with the data).
+    "q105_audio_stats" -> q { (spark, dir) =>
+      import graft.multimodal.Multimodal
+      Multimodal.audioStats(
+          Multimodal.wavAssetsFromVectors(vecs(spark, dir))).toDF()
+        .select(col("asset_id"), col("n_samples"), col("sample_rate"),
+          col("duration_us"), col("peak"), col("n_clip"),
+          col("n_zero_cross"),
+          pround(sqrt(col("sum_sq").cast("double")
+            / col("n_samples").cast("double")) / lit(32768.0), 6)
+            .as("rms_norm"))
     }
   )
 
@@ -3638,6 +3659,40 @@ object QueriesScale {
          |SELECT doc_id, CAST(SUM(run_len) AS BIGINT) AS n_hit_positions,
          |       CAST(COUNT(*) AS BIGINT) AS n_runs,
          |       CAST(MAX(run_len) AS BIGINT) AS longest_span
-         |FROM rl GROUP BY doc_id""".stripMargin
+         |FROM rl GROUP BY doc_id""".stripMargin,
+
+    // Regenerates the PCM waveform arithmetically (the Spark side
+    // decodes the actual RIFF bytes): s_j = ((g*523 + j*2011) %
+    // 65536) - 32768, n = 160 + g samples at 8 kHz.
+    "q105_audio_stats" ->
+      """WITH a AS (
+        |  SELECT vec_id AS asset_id, vec_id % 97 AS g,
+        |         160 + (vec_id % 97) AS n
+        |  FROM embeddings),
+        |j AS (
+        |  SELECT asset_id, g, n,
+        |         unnest(generate_series(0, n - 1)) AS j
+        |  FROM a),
+        |v AS (
+        |  SELECT asset_id, n, j,
+        |         ((g * 523 + j * 2011) % 65536) - 32768 AS s
+        |  FROM j),
+        |w AS (
+        |  SELECT asset_id, n, j, s,
+        |         LAG(s) OVER (PARTITION BY asset_id ORDER BY j ASC)
+        |           AS sp
+        |  FROM v)
+        |SELECT asset_id,
+        |       CAST(n AS BIGINT) AS n_samples,
+        |       CAST(8000 AS BIGINT) AS sample_rate,
+        |       CAST(n AS BIGINT) * 125 AS duration_us,
+        |       CAST(MAX(abs(s)) AS BIGINT) AS peak,
+        |       CAST(COUNT(CASE WHEN abs(s) >= 32000 THEN 1 END)
+        |         AS BIGINT) AS n_clip,
+        |       CAST(COUNT(CASE WHEN sp IS NOT NULL AND s * sp < 0
+        |         THEN 1 END) AS BIGINT) AS n_zero_cross,
+        |       round(sqrt(CAST(SUM(s * s) AS DOUBLE)
+        |         / CAST(n AS DOUBLE)) / 32768.0, 6) AS rms_norm
+        |FROM w GROUP BY asset_id, n""".stripMargin
   )
 }

@@ -107,6 +107,167 @@ object Multimodal {
     }
   }
 
+  /** Minimal REAL audio codec: RIFF/WAVE, PCM (format 1), 16-bit
+    * mono — the canonical uncompressed audio container. Chunk-walking
+    * parser (fmt / data, unknown chunks skipped with even padding),
+    * little-endian throughout, exactly what a real demuxer does
+    * before handing samples to a feature head.
+    */
+  object Wav {
+    final case class Audio(sampleRate: Int, samples: Array[Short])
+
+    private def le16(v: Int, out: Array[Byte], at: Int): Unit = {
+      out(at) = (v & 0xff).toByte
+      out(at + 1) = ((v >> 8) & 0xff).toByte
+    }
+    private def le32(v: Int, out: Array[Byte], at: Int): Unit = {
+      le16(v & 0xffff, out, at); le16((v >>> 16) & 0xffff, out, at + 2)
+    }
+    private def tag(s: String, out: Array[Byte], at: Int): Unit = {
+      var i = 0
+      while (i < 4) { out(at + i) = s.charAt(i).toByte; i += 1 }
+    }
+
+    def encode(a: Audio): Array[Byte] = {
+      val dataLen = 2 * a.samples.length
+      val out = new Array[Byte](44 + dataLen)
+      tag("RIFF", out, 0); le32(36 + dataLen, out, 4)
+      tag("WAVE", out, 8)
+      tag("fmt ", out, 12); le32(16, out, 16)
+      le16(1, out, 20) // PCM
+      le16(1, out, 22) // mono
+      le32(a.sampleRate, out, 24)
+      le32(a.sampleRate * 2, out, 28) // byte rate
+      le16(2, out, 32) // block align
+      le16(16, out, 34) // bits per sample
+      tag("data", out, 36); le32(dataLen, out, 40)
+      var i = 0
+      while (i < a.samples.length) {
+        le16(a.samples(i) & 0xffff, out, 44 + 2 * i); i += 1
+      }
+      out
+    }
+
+    private def rd16(b: Array[Byte], at: Int): Int =
+      (b(at) & 0xff) | ((b(at + 1) & 0xff) << 8)
+    private def rd32(b: Array[Byte], at: Int): Long =
+      (rd16(b, at).toLong) | (rd16(b, at + 2).toLong << 16)
+    private def isTag(b: Array[Byte], at: Int, s: String): Boolean =
+      at + 4 <= b.length && (0 until 4).forall(i =>
+        b(at + i) == s.charAt(i).toByte)
+
+    /** Real chunk-walk parse. None on anything that is not PCM16
+      * mono WAVE — callers take the codec-less fallback, never fail
+      * the pipeline row.
+      */
+    def decode(bytes: Array[Byte]): Option[Audio] = {
+      if (bytes == null || bytes.length < 44 ||
+        !isTag(bytes, 0, "RIFF") || !isTag(bytes, 8, "WAVE")) return None
+      var pos = 12
+      var rate = -1; var fmtOk = false
+      var data: Option[(Int, Int)] = None // offset, byte length
+      while (pos + 8 <= bytes.length && (data.isEmpty || !fmtOk)) {
+        val size = rd32(bytes, pos + 4)
+        val body = pos + 8
+        if (size < 0 || body + size > bytes.length) return None
+        if (isTag(bytes, pos, "fmt ")) {
+          if (size < 16) return None
+          val audioFormat = rd16(bytes, body)
+          val channels = rd16(bytes, body + 2)
+          val bits = rd16(bytes, body + 14)
+          rate = rd32(bytes, body + 4).toInt
+          fmtOk = audioFormat == 1 && channels == 1 && bits == 16 &&
+            rate > 0
+          if (!fmtOk) return None
+        } else if (isTag(bytes, pos, "data")) {
+          data = Some((body, size.toInt))
+        }
+        pos = body + size.toInt + (size.toInt & 1) // chunks pad to even
+      }
+      data match {
+        case Some((off, len)) if fmtOk =>
+          val n = len / 2
+          val samples = new Array[Short](n)
+          var i = 0
+          while (i < n) {
+            samples(i) = rd16(bytes, off + 2 * i).toShort; i += 1
+          }
+          Some(Audio(rate, samples))
+        case _ => None
+      }
+    }
+  }
+
+  case class AudioStats(
+      asset_id: Long,
+      decoded: Boolean,
+      n_samples: Long,
+      sample_rate: Long,
+      duration_us: Long,
+      peak: Long,
+      n_clip: Long,
+      n_zero_cross: Long,
+      sum_sq: Long)
+
+  /** Decode + one-pass sample statistics for WAV payloads: the audio
+    * analog of [[MediaCodec.decodeFeatures]] — duration, peak,
+    * clipping count (|s| ≥ 32000), zero crossings (strict sign flip),
+    * and the exact integer sum of squares (RMS is derived downstream;
+    * keeping the surface integer makes it engine-portable). Non-WAV
+    * payloads report decoded=false with zeroed stats. Partition-local
+    * mapPartitions, no shuffle, codec init amortizable per batch.
+    */
+  def audioStats(assets: DataFrame): Dataset[AudioStats] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("asset_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          Wav.decode(payload) match {
+            case Some(a) =>
+              val n = a.samples.length
+              var peak = 0L; var clip = 0L; var zc = 0L; var ss = 0L
+              var prev = 0; var i = 0
+              while (i < n) {
+                val s = a.samples(i).toInt
+                val as = math.abs(s.toLong)
+                if (as > peak) peak = as
+                if (as >= 32000) clip += 1
+                if (i > 0 && s.toLong * prev < 0) zc += 1
+                ss += s.toLong * s.toLong
+                prev = s
+                i += 1
+              }
+              AudioStats(id, decoded = true, n.toLong, a.sampleRate.toLong,
+                n.toLong * 1000000L / a.sampleRate, peak, clip, zc, ss)
+            case None =>
+              AudioStats(id, decoded = false, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+          }
+        }
+      }
+  }
+
+  /** Scale-proportional REAL-WAV asset table: one PCM16 mono clip per
+    * `embeddings` row, samples a pure integer function of the dup
+    * group (same generation discipline as [[assetsFromVectors]]) so
+    * the SQL oracle can regenerate the waveform arithmetically while
+    * Spark round-trips the actual RIFF bytes through [[Wav]].
+    */
+  def wavAssetsFromVectors(vectors: DataFrame): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    vectors.select(col("vec_id").cast("long")).as[Long]
+      .map { id =>
+        val g = id % 97
+        val n = 160 + g.toInt
+        val samples = Array.tabulate(n)(j =>
+          (((g * 523 + j.toLong * 2011) % 65536) - 32768).toShort)
+        (id, "audio", Wav.encode(Wav.Audio(8000, samples)))
+      }
+      .toDF("asset_id", "media_type", "payload")
+  }
+
   case class MediaFeature(
       asset_id: Long,
       media_type: String,
