@@ -116,6 +116,8 @@ object GraftExtensions {
     ("graft_text_stats", 1, exprs =>
       graft.text.TextStatsExpression.TextStats(
         exprs.head, graft.text.TextAnalysis.defaultStopwords)),
+    ("graft_norm_text", 1, exprs =>
+      graft.text.NormalizeExpression.NormText(exprs.head)),
     ("graft_winnowing", 3, exprs => (exprs(1), exprs(2)) match {
       case (Literal(k: Int, org.apache.spark.sql.types.IntegerType),
             Literal(w: Int, org.apache.spark.sql.types.IntegerType)) =>

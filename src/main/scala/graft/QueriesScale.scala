@@ -1625,6 +1625,38 @@ object QueriesScale {
           pround(sqrt(col("sum_sq").cast("double")
             / col("n_samples").cast("double")) / lit(32768.0), 6)
             .as("rms_norm"))
+    },
+
+    // Normalization-aware exact dedup: canonicalize (NFC → lower →
+    // whitespace collapse → trim, one native expression) BEFORE
+    // fingerprinting — the step that makes byte-level dedup find the
+    // "same" document arriving precomposed from one crawler and
+    // decomposed from another. Each doc yields two wire variants
+    // (precomposed "é", uppercase, ragged spacing vs decomposed
+    // "e"+U+0301, lowercase, single spacing) whose RAW md5s differ;
+    // the normalized fingerprint must fold each pair — and, because
+    // the corpus carries genuine duplicate texts, fold across docs
+    // too. Only fingerprints shuffle (one hash-sized exchange); the
+    // normalize pass is per-row, no text ever moves.
+    "q106_norm_dedup" -> q { (spark, dir) =>
+      import graft.text.NormalizeExpression.normText
+      val variants = docs(spark, dir)
+        .select(col("doc_id"), explode(array(
+          struct(lit(0L).as("vix"),
+            concat(col("text"), lit(" Caf\u00e9  du  Monde"))
+              .as("t")),
+          struct(lit(1L).as("vix"),
+            concat(col("text"), lit(" cafe\u0301 du monde"))
+              .as("t")))).as("v"))
+        .select((col("doc_id") * 2 + col("v.vix")).as("variant_id"),
+          col("v.t").as("t"))
+      variants
+        .select(col("variant_id"), md5(col("t")).as("raw_fp"),
+          md5(normText(col("t"))).as("norm_fp"))
+        .groupBy(col("norm_fp"))
+        .agg(count(lit(1)).as("n_variants"),
+          countDistinct(col("raw_fp")).as("n_raw_fps"),
+          min(col("variant_id")).as("keep_id"))
     }
   )
 
@@ -3693,6 +3725,30 @@ object QueriesScale {
         |         THEN 1 END) AS BIGINT) AS n_zero_cross,
         |       round(sqrt(CAST(SUM(s * s) AS DOUBLE)
         |         / CAST(n AS DOUBLE)) / 32768.0, 6) AS rms_norm
-        |FROM w GROUP BY asset_id, n""".stripMargin
+        |FROM w GROUP BY asset_id, n""".stripMargin,
+
+    // chr(233) = precomposed é, chr(769) = combining acute: the two
+    // wire variants differ byte-for-byte but normalize identically
+    // (nfc_normalize == java.text.Normalizer NFC; ASCII-\s regex
+    // collapse matches the expression's single-pass fold).
+    "q106_norm_dedup" ->
+      """WITH variants AS (
+        |  SELECT doc_id * 2 AS variant_id,
+        |         text || ' Caf' || chr(233) || '  du  Monde' AS t
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id * 2 + 1 AS variant_id,
+        |         text || ' cafe' || chr(769) || ' du monde' AS t
+        |  FROM documents),
+        |fp AS (
+        |  SELECT variant_id, md5(t) AS raw_fp,
+        |         md5(trim(regexp_replace(lower(nfc_normalize(t)),
+        |           '\s+', ' ', 'g'))) AS norm_fp
+        |  FROM variants)
+        |SELECT norm_fp,
+        |       CAST(COUNT(*) AS BIGINT) AS n_variants,
+        |       CAST(COUNT(DISTINCT raw_fp) AS BIGINT) AS n_raw_fps,
+        |       CAST(MIN(variant_id) AS BIGINT) AS keep_id
+        |FROM fp GROUP BY norm_fp""".stripMargin
   )
 }

@@ -173,4 +173,26 @@ class TextForecastSpec extends SparkSpec {
         "assists_rolling_avg", "target_points")
     assertThrows[IllegalArgumentException](Models.train(data, "xgboost"))
   }
+
+  test("normText folds NFC form, case, and whitespace drift") {
+    import spark.implicits._
+    import graft.text.NormalizeExpression.normText
+    val rows = Seq(
+      ("pre", "Caf\u00e9  du  Monde"),          // precomposed, ragged ws
+      ("dec", "cafe\u0301 du monde"),           // decomposed + acute
+      ("pad", "\tcaf\u00e9 du monde \n"),     // leading/trailing ws
+      ("nul", null)).toDF("k", "t")
+    val got = rows.select($"k", normText($"t").as("n"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("pre") == "caf\u00e9 du monde")
+    assert(got("dec") == "caf\u00e9 du monde") // composed by NFC
+    assert(got("pad") == "caf\u00e9 du monde")
+    assert(got("nul") == null)
+    // SQL surface parity
+    graft.GraftExtensions.register(spark)
+    val viaSql = rows.filter($"t".isNotNull)
+      .selectExpr("graft_norm_text(t) AS n")
+      .collect().map(_.getString(0)).distinct
+    assert(viaSql.toSeq == Seq("caf\u00e9 du monde"))
+  }
 }
