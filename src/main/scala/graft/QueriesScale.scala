@@ -1657,6 +1657,42 @@ object QueriesScale {
         .agg(count(lit(1)).as("n_variants"),
           countDistinct(col("raw_fp")).as("n_raw_fps"),
           min(col("variant_id")).as("keep_id"))
+    },
+
+    // ANN recall/cost frontier: recall@5 of the IVF index at nprobe
+    // 1/2/4/8 against the brute-force truth — the operating-point
+    // curve every deployed index is tuned on. One corpus pass for the
+    // whole sweep (ivfTopKSweep routes and scores at nprobe=8 once;
+    // smaller settings are filters of that superset), so the eval
+    // costs the same as the single largest setting. Recall must be
+    // monotone in nprobe by construction — a non-monotone row is a
+    // routing bug, which is exactly what the hash compare would
+    // catch.
+    "q107_ann_nprobe_sweep" -> q { (spark, dir) =>
+      val v = vecs(spark, dir)
+      val qv = v.filter(col("vec_id") % 40 === 0)
+      val k = 5
+      val nps = Seq(1, 2, 4, 8)
+      val truth = Similarity
+        .bruteForceTopK(v, qv, k, roundSim = Some(6))
+        .select(col("query_id"), col("neighbor_id"))
+      val sweep = Similarity.ivfTopKSweep(v, qv,
+          Similarity.gridCentroids(8, 64), k = k, nprobes = nps,
+          roundSim = Some(6))
+        .select(col("nprobe"), col("query_id"), col("neighbor_id"))
+        .withColumn("__h", lit(1))
+      val npFrame = spark.range(1)
+        .select(explode(array(nps.map(np => lit(np)): _*)).as("nprobe"))
+      truth.crossJoin(broadcast(npFrame))
+        .join(sweep, Seq("nprobe", "query_id", "neighbor_id"), "left")
+        .groupBy(col("nprobe"))
+        .agg(countDistinct(col("query_id")).cast("long").as("n_queries"),
+          count(lit(1)).cast("long").as("n_truth"),
+          count(col("__h")).cast("long").as("n_hits"))
+        .select(col("nprobe").cast("int").as("nprobe"),
+          col("n_queries"), col("n_truth"), col("n_hits"),
+          pround(col("n_hits").cast("double")
+            / col("n_truth").cast("double"), 6).as("recall_at_k"))
     }
   )
 
@@ -3749,6 +3785,72 @@ object QueriesScale {
         |       CAST(COUNT(*) AS BIGINT) AS n_variants,
         |       CAST(COUNT(DISTINCT raw_fp) AS BIGINT) AS n_raw_fps,
         |       CAST(MIN(variant_id) AS BIGINT) AS keep_id
-        |FROM fp GROUP BY norm_fp""".stripMargin
+        |FROM fp GROUP BY norm_fp""".stripMargin,
+
+    // Same routing/scoring body as the q87 oracle, with the probe
+    // rank kept so each nprobe setting re-ranks the shared nprobe=8
+    // candidate superset (the exact dual of ivfTopKSweep).
+    "q107_ann_nprobe_sweep" ->
+      s"""WITH ${centsSql(8)},
+         |$vNormSql,
+         |sweep AS (SELECT unnest([1, 2, 4, 8]) AS nprobe),
+         |truth AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c2.vec_id AS neighbor_id,
+         |           round(list_sum(list_transform(generate_series(1, 64),
+         |               i -> CAST(q.embedding[i] AS DOUBLE)
+         |                    * CAST(c2.embedding[i] AS DOUBLE)))
+         |             / (q.nrm * c2.nrm), 6) AS cosine_sim
+         |    FROM v q JOIN v c2
+         |      ON q.vec_id % 40 = 0 AND c2.vec_id <> q.vec_id)
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine_sim DESC, neighbor_id ASC) <= 5),
+         |scored AS (
+         |  SELECT e.vec_id, c.c AS cell,
+         |         list_sum(list_transform(
+         |             generate_series(1, len(e.embedding)),
+         |             i -> CAST(e.embedding[i] AS DOUBLE) * c.w[i]))
+         |           / c.nrm AS s
+         |  FROM embeddings e CROSS JOIN cents c),
+         |assign AS (
+         |  SELECT vec_id, list_position(ls, list_max(ls)) - 1 AS cell
+         |  FROM (SELECT vec_id, list(s ORDER BY cell) AS ls
+         |        FROM scored GROUP BY vec_id)),
+         |probes AS (
+         |  SELECT vec_id AS query_id, cell,
+         |         row_number() OVER (PARTITION BY vec_id
+         |           ORDER BY s DESC, cell ASC) AS rnk
+         |  FROM scored WHERE vec_id % 40 = 0
+         |  QUALIFY rnk <= 8),
+         |cand AS (
+         |  SELECT pr.query_id, a.vec_id AS neighbor_id, pr.rnk,
+         |         round(list_sum(list_transform(generate_series(1, 64),
+         |             i -> CAST(qv.embedding[i] AS DOUBLE)
+         |                  * CAST(cv.embedding[i] AS DOUBLE)))
+         |           / (qv.nrm * cv.nrm), 6) AS cosine_sim
+         |  FROM probes pr
+         |  JOIN assign a ON a.cell = pr.cell AND a.vec_id <> pr.query_id
+         |  JOIN v qv ON qv.vec_id = pr.query_id
+         |  JOIN v cv ON cv.vec_id = a.vec_id),
+         |ranked AS (
+         |  SELECT s.nprobe, c.query_id, c.neighbor_id
+         |  FROM sweep s JOIN cand c ON c.rnk <= s.nprobe
+         |  QUALIFY row_number() OVER (PARTITION BY s.nprobe, c.query_id
+         |    ORDER BY c.cosine_sim DESC, c.neighbor_id ASC) <= 5),
+         |stats AS (
+         |  SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+         |         CAST(COUNT(*) AS BIGINT) AS n_truth
+         |  FROM truth),
+         |hits AS (
+         |  SELECT nprobe, CAST(COUNT(*) AS BIGINT) AS n_hits
+         |  FROM ranked JOIN truth USING (query_id, neighbor_id)
+         |  GROUP BY nprobe)
+         |SELECT CAST(s.nprobe AS INT) AS nprobe,
+         |       st.n_queries, st.n_truth,
+         |       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |       round(CAST(COALESCE(h.n_hits, 0) AS DOUBLE)
+         |             / CAST(st.n_truth AS DOUBLE), 6) AS recall_at_k
+         |FROM sweep s CROSS JOIN stats st
+         |LEFT JOIN hits h ON h.nprobe = s.nprobe""".stripMargin
   )
 }

@@ -256,6 +256,67 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF top-k recall/cost sweep over several nprobe settings in ONE
+    * pass: candidates are routed and cosine-scored once at
+    * `nprobes.max`, carrying the probe rank that admitted each
+    * candidate; every smaller setting is then a filter + re-rank of
+    * that superset. This is how a real index eval loop should run at
+    * scale — the corpus-side join and the dot products are paid once
+    * for the whole sweep, not once per setting (a naive per-setting
+    * loop re-scans the corpus |nprobes| times).
+    *
+    * Output: (nprobe, query_id, neighbor_id, cosine_sim, rank) with
+    * rank <= k within each (nprobe, query).
+    */
+  def ivfTopKSweep(corpus: DataFrame, queries: DataFrame,
+                   centroids: Seq[Array[Double]], k: Int,
+                   nprobes: Seq[Int],
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   roundSim: Option[Int] = None): DataFrame = {
+    import graft.functions.PortableRound.pround
+    require(centroids.nonEmpty, "ivfTopKSweep: centroids must be non-empty")
+    require(nprobes.nonEmpty, "ivfTopKSweep: nprobes must be non-empty")
+    val maxProbe = nprobes.max
+    val scores = centroidScores(col(vecCol), centroids)
+    val cell = cellOf(scores)
+
+    val assigned = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cvec"), cell.as("cell"))
+
+    val wCell = Window.partitionBy(col("query_id"))
+      .orderBy(col("__s").desc, col("cell").asc)
+    val probed = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qvec"),
+        posexplode(scores).as(Seq("cell", "__s")))
+      .withColumn("probe_rank", row_number().over(wCell))
+      .filter(col("probe_rank") <= maxProbe)
+      .select(col("query_id"), col("__qvec"), col("cell"),
+        col("probe_rank"))
+
+    val sim = cosine(col("__qvec"), col("__cvec"))
+    // candidates scored ONCE (each corpus vector lives in exactly one
+    // cell, so probe_rank IS the candidate's admit rank); the
+    // repartition barrier pins the scored projection so the sweep
+    // explode below replicates computed values, not the dot-product
+    // subtree
+    val cand = assigned.join(broadcast(probed), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("probe_rank"),
+        roundSim.fold(sim)(pround(sim, _)).as("cosine_sim"))
+      .repartition(col("query_id"))
+
+    val w = Window.partitionBy(col("nprobe"), col("query_id"))
+      .orderBy(col("cosine_sim").desc, col("neighbor_id").asc)
+    cand
+      .withColumn("nprobe",
+        explode(array(nprobes.map(np => lit(np)): _*)))
+      .filter(col("probe_rank") <= col("nprobe"))
+      .select(col("nprobe"), col("query_id"), col("neighbor_id"),
+        col("cosine_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup:
     * Data-efficient learning at web-scale through semantic
     * deduplication"): route every embedding to its coarse cell, find

@@ -76,4 +76,35 @@ class AnnRecallSpec extends SparkSpec {
     assert(top(0).getAs[Double]("l2_dist") == 1.0)
     assert(top(1).getAs[Double]("l2_dist") == 4.0)
   }
+
+  test("ivfTopKSweep matches per-setting ivfTopK and recall is monotone") {
+    val dir = "/root/testdata/sf0.001"
+    val v = spark.read.parquet(s"$dir/embeddings.parquet")
+    val qv = v.filter(col("vec_id") % 40 === 0)
+    val cents = Similarity.gridCentroids(8, 64)
+    val nps = Seq(1, 2, 4, 8)
+    val sweep = Similarity.ivfTopKSweep(v, qv, cents, k = 5,
+      nprobes = nps, roundSim = Some(6)).cache()
+    // each setting's slice == an independent ivfTopK run at that nprobe
+    nps.foreach { np =>
+      val slice = sweep.filter(col("nprobe") === np)
+        .select("query_id", "neighbor_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val solo = Similarity.ivfTopK(v, qv, cents, k = 5, nprobe = np,
+        roundSim = Some(6))
+        .select("query_id", "neighbor_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(slice == solo, s"sweep slice at nprobe=$np diverges")
+    }
+    // recall vs brute force must not decrease as nprobe grows
+    val truth = Similarity.bruteForceTopK(v, qv, 5, roundSim = Some(6))
+      .select("query_id", "neighbor_id")
+    val recalls = nps.map { np =>
+      truth.join(sweep.filter(col("nprobe") === np),
+        Seq("query_id", "neighbor_id")).count()
+    }
+    assert(recalls == recalls.sorted,
+      s"recall counts not monotone in nprobe: $recalls")
+    sweep.unpersist()
+  }
 }
