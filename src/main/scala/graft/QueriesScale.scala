@@ -1693,6 +1693,53 @@ object QueriesScale {
           col("n_queries"), col("n_truth"), col("n_hits"),
           pround(col("n_hits").cast("double")
             / col("n_truth").cast("double"), 6).as("recall_at_k"))
+    },
+
+    // Per-source quality calibration: every doc's EXACT quality rank
+    // within its source (+ a top-decile keep flag) — the Gopher-style
+    // per-domain percentile threshold, which absolute cutoffs get
+    // wrong because quality distributions differ by domain. A naive
+    // window PARTITION BY source sorts each source's entire slice in
+    // one task (a source is corpus-sized at 100 TB); this is q100's
+    // bucketed two-level rank instead — within-(source, quality-
+    // bucket) row_numbers plus a ≤|sources|·101-row broadcast offset
+    // table reproduce the exact global per-source rank, so no task
+    // ever sorts more than one bucket cell. Keep flag in pure integer
+    // arithmetic (rank*10 <= n) — no float percentile boundary.
+    "q108_source_quality_rank" -> q { (spark, dir) =>
+      import graft.text.TextStatsExpression.textStats
+      val d = docs(spark, dir)
+        .withColumn("st", textStats(col("text")))
+        .select(col("doc_id"), col("source"),
+          floor(qualityScore * 1e6 + lit(0.5)).cast("long")
+            .as("q_units"))
+        // non-nullable bucket, same reasoning as q100: keeps the two
+        // consumers of the (source, bucket) exchange identical
+        .withColumn("bucket",
+          coalesce(floor(col("q_units") / lit(10000L)), lit(-1L)))
+        .repartition(col("source"), col("bucket"))
+      val bt = d.groupBy(col("source"), col("bucket"))
+        .agg(count(lit(1)).as("bt_docs"),
+          min(col("doc_id") + col("q_units")).as("__pg"))
+        .filter(col("__pg").isNotNull)
+      val wb = Window.partitionBy(col("source"))
+        .orderBy(col("bucket").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = bt
+        .withColumn("offset",
+          coalesce(sum(col("bt_docs")).over(wb), lit(0L)))
+        .select(col("source"), col("bucket"), col("offset"))
+      val totals = bt.groupBy(col("source"))
+        .agg(sum(col("bt_docs")).cast("long").as("n_src"))
+      val wd = Window.partitionBy(col("source"), col("bucket"))
+        .orderBy(col("q_units").desc, col("doc_id").asc)
+      d.join(broadcast(offsets), Seq("source", "bucket"))
+        .withColumn("src_rank",
+          (col("offset") + row_number().over(wd)).cast("long"))
+        .join(broadcast(totals), Seq("source"))
+        .select(col("doc_id"), col("source"), col("q_units"),
+          col("src_rank"), col("n_src"),
+          (col("src_rank") * 10 <= col("n_src")).as("keep_top_decile"))
     }
   )
 
@@ -3851,6 +3898,47 @@ object QueriesScale {
          |       round(CAST(COALESCE(h.n_hits, 0) AS DOUBLE)
          |             / CAST(st.n_truth AS DOUBLE), 6) AS recall_at_k
          |FROM sweep s CROSS JOIN stats st
-         |LEFT JOIN hits h ON h.nprobe = s.nprobe""".stripMargin
+         |LEFT JOIN hits h ON h.nprobe = s.nprobe""".stripMargin,
+
+    // The oracle computes the per-source rank with a plain window —
+    // the semantics the bucketed two-level plan must reproduce.
+    "q108_source_quality_rank" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, text,
+        |         list_filter(regexp_split_to_array(text, '\s+'),
+        |             x -> x <> '') AS tk
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, source, len(tk) AS n_tokens,
+        |    CASE WHEN len(tk) > 0
+        |         THEN CAST(len(list_filter(tk, x -> list_contains(
+        |                ['the','a','an','and','or','of','to','in',
+        |                 'is','it'], lower(x)))) AS DOUBLE) / len(tk)
+        |         END AS stop_ratio,
+        |    CASE WHEN length(text) > 0
+        |         THEN CAST(length(regexp_replace(text,
+        |                '[^[:punct:]]', '', 'g')) AS DOUBLE)
+        |              / length(text)
+        |         END AS punct_ratio
+        |  FROM t),
+        |u AS (
+        |  SELECT doc_id, source,
+        |         CAST(floor(round(
+        |             0.5 * LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+        |             + 0.3 * (1.0 - abs(COALESCE(stop_ratio, 0.0) - 0.4))
+        |             + 0.2 * (1.0 - COALESCE(punct_ratio, 0.0)), 6)
+        |           * 1e6 + 0.5) AS BIGINT) AS q_units
+        |  FROM s),
+        |r AS (
+        |  SELECT doc_id, source, q_units,
+        |         CAST(row_number() OVER (PARTITION BY source
+        |             ORDER BY q_units DESC, doc_id ASC) AS BIGINT)
+        |           AS src_rank,
+        |         CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT)
+        |           AS n_src
+        |  FROM u)
+        |SELECT doc_id, source, q_units, src_rank, n_src,
+        |       src_rank * 10 <= n_src AS keep_top_decile
+        |FROM r""".stripMargin
   )
 }

@@ -217,6 +217,32 @@ class PlanAuditSpec extends SparkSpec {
       conf.set("spark.sql.adaptive.enabled", _))
   }
 
+  test("source quality rank computes the stats pass exactly once") {
+    // q108 is q100's bucketed two-level design applied per source:
+    // the bucket-total branch and the probe branch must share the
+    // ONE repartition(source, bucket) exchange, so the corpus
+    // quality-stats pass runs once (same defect class as q100).
+    val conf = spark.conf
+    val saved = conf.getOption("spark.sql.adaptive.enabled")
+    try {
+      conf.set("spark.sql.adaptive.enabled", "false")
+      val p = plan("q108_source_quality_rank")
+      val n = "documents\\.parquet".r.findAllIn(p).length
+      assert(n == 1,
+        s"q108 expected exactly 1 documents scan, got $n:\n${p.take(3000)}")
+      // the CORPUS-sized exchange is the (source, bucket) repartition
+      // barrier; the later hashpartitioning(source) exchanges operate
+      // on the ≤|sources|·101-row bucket table and are benign
+      val nX = p.linesIterator.count(l =>
+        "Exchange hashpartitioning\\(source#\\d+, bucket".r
+          .findFirstIn(l).isDefined && !l.contains("ReusedExchange"))
+      assert(nX == 1,
+        s"q108 expected 1 non-reused (source, bucket) exchange, got $nX:\n" +
+          p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    } finally saved.fold(conf.unset("spark.sql.adaptive.enabled"))(
+      conf.set("spark.sql.adaptive.enabled", _))
+  }
+
   test("scd2 merge shares one exchange across both window passes") {
     // Merge.scd2's key repartition must serve the same-instant winner
     // window AND the range-chaining window — hash(key) satisfies the
