@@ -37,7 +37,10 @@ object DevPlans {
       "q100_token_budget_select" -> "token-budget selection: a global quality-ordered cumsum decomposed into a distributed prefix sum — within-bucket windows on the ONE shared bucket exchange (scan=1), cross-bucket offsets from a <=101-row aggregate broadcast back; no corpus-sized global sort or single-partition window",
       "q102_zorder_layout" -> "z-order layout audit: Morton code is a pure codegen'd integer projection over the scan; the ONLY exchange carries <=16 partial-aggregated file rows — layout quality for a 100 TB table is audited without moving the table",
       "q103_length_batch_pack" -> "length-bucketed packing: batching window partitions by (bucket, hash-shard) so a dominant length bucket splits across the cluster (no single-partition WindowExec); the per-batch aggregate reuses the window's (bucket,shard) exchange — subset-clustering, no second corpus shuffle — and the bucket rollup exchanges only per-batch rows",
-      "q104_contamination_spans" -> "contamination spans: corpus shingles posexplode into a BROADCAST semi-probe of the eval set — the only shuffled rows are hit (doc_id,pos) slivers for the run window; corpus text never exchanges and the runs decompose via pos - row_number, no self-join")
+      "q104_contamination_spans" -> "contamination spans: corpus shingles posexplode into a BROADCAST semi-probe of the eval set — the only shuffled rows are hit (doc_id,pos) slivers for the run window; corpus text never exchanges and the runs decompose via pos - row_number, no self-join",
+      "q105_audio_stats" -> "audio decode: WAV generation + RIFF parse + one-pass sample stats all inside ONE mapPartitions projection over the scan — zero exchanges; decode cost distributes with the rows, the 100 TB multimodal shape",
+      "q107_ann_nprobe_sweep" -> "nprobe sweep: ONE corpus-side cell join + cosine projection at nprobe=8 (queries broadcast), repartition barrier pins the scored candidates, then the 4-setting explode + per-(nprobe,query) windows re-rank the same candidate rows — the sweep never re-touches the corpus",
+      "q108_source_quality_rank" -> "per-source quality rank: q100's two-level prefix design per source — within-(source,bucket) row_number on the ONE shared (source,bucket) exchange (scan=1, ReusedExchange for the totals branch), cross-bucket offsets and per-source totals broadcast back from bucket-table-sized aggregates; no per-source global sort")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by graft.DevPlans)\n\n")
     sb.append("Representative `.explain(\"formatted\")` output at sf0.01, AQE off\n")
