@@ -101,6 +101,21 @@ object StreamingIngest {
           expr(s"INTERVAL $windowSpec"))
   }
 
+  /** Stream-static dimension enrichment: the streaming twin of the
+    * q12 batch join. The dim side is a plain batch frame broadcast to
+    * every micro-batch (stream-static joins keep NO watermark state —
+    * each micro-batch probes the dim as-of execution), so the stream
+    * side never shuffles and the join adds no state store. At 100 TB/
+    * day of events and a dims table of thousands of rows this is the
+    * only join shape that holds: the alternative stream-stream join
+    * would buffer the firehose. `how` = "inner" | "left_outer" (the
+    * two stream-static-supported types for a streaming left side).
+    */
+  def enrichStream(stream: DataFrame, dim: DataFrame,
+                   keys: Seq[String], how: String = "left_outer")
+      : DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), keys, how)
+
   /** Run a streaming query to completion over whatever is currently in
     * the source (test/ingest-batch helper).
     */

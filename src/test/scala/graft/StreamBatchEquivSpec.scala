@@ -127,4 +127,30 @@ class StreamBatchEquivSpec extends SparkSpec {
     assert(want.nonEmpty)
     assert(got == want)
   }
+
+  test("enrichStream micro-batch == batch broadcast dim join") {
+    import spark.implicits._
+    // derive a small dim from the data itself: user cohort + weight
+    val dim = spark.read.parquet(staged)
+      .select((col("user_id") % 7).as("cohort")).distinct()
+      .select(col("cohort"),
+        concat(lit("tier_"), (col("cohort") % 3).cast("string"))
+          .as("tier"))
+    val q = StreamingIngest.enrichStream(
+        streamed.withColumn("cohort", col("user_id") % 7),
+        dim, Seq("cohort"))
+      .select(col("event_id"), col("tier"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enr_equiv").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("enr_equiv").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = spark.read.parquet(staged)
+      .withColumn("cohort", col("user_id") % 7)
+      .join(dim, Seq("cohort"), "left_outer")
+      .select(col("event_id"), col("tier"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(want.nonEmpty)
+    assert(got == want)
+  }
 }
