@@ -118,6 +118,12 @@ object GraftExtensions {
         exprs.head, graft.text.TextAnalysis.defaultStopwords)),
     ("graft_norm_text", 1, exprs =>
       graft.text.NormalizeExpression.NormText(exprs.head)),
+    ("graft_topk", 3, exprs => exprs(2) match {
+      case Literal(k: Int, org.apache.spark.sql.types.IntegerType) =>
+        graft.functions.TopKAggregate.TopKByScore(exprs(0), exprs(1), k)
+      case other => throw new IllegalArgumentException(
+        s"graft_topk: k must be an int literal, got $other")
+    }),
     ("graft_winnowing", 3, exprs => (exprs(1), exprs(2)) match {
       case (Literal(k: Int, org.apache.spark.sql.types.IntegerType),
             Literal(w: Int, org.apache.spark.sql.types.IntegerType)) =>

@@ -1740,6 +1740,29 @@ object QueriesScale {
         .select(col("doc_id"), col("source"), col("q_units"),
           col("src_rank"), col("n_src"),
           (col("src_rank") * 10 <= col("n_src")).as("keep_top_decile"))
+    },
+
+    // Grouped top-k WITHOUT the window sort: q13's semantics (top-3
+    // orders per customer by price, ties to the lower orderkey)
+    // through the bounded-heap TypedImperativeAggregate. The window
+    // form sorts every group in full to keep 3 rows; the aggregate
+    // carries O(k) state per group through normal partial
+    // aggregation — map-side heaps absorb each partition BEFORE the
+    // exchange, which then moves ≤ k rows per (partition, group). The
+    // oracle is the window formulation, so the hash compare IS the
+    // heap-vs-sort equivalence proof.
+    "q109_topk_heap_agg" -> q { (spark, dir) =>
+      import graft.functions.TopKAggregate
+      t(spark, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(TopKAggregate.topK(col("o_totalprice"),
+          col("o_orderkey"), 3).as("tk"))
+        .select(col("o_custkey"),
+          posexplode(col("tk")).as(Seq("pos", "s")))
+        .select(col("o_custkey"),
+          (col("pos") + 1).cast("int").as("rank"),
+          col("s.id").as("o_orderkey"),
+          col("s.score").as("o_totalprice"))
     }
   )
 
@@ -3939,6 +3962,17 @@ object QueriesScale {
         |  FROM u)
         |SELECT doc_id, source, q_units, src_rank, n_src,
         |       src_rank * 10 <= n_src AS keep_top_decile
-        |FROM r""".stripMargin
+        |FROM r""".stripMargin,
+
+    // The oracle is the window form — the hash compare proves the
+    // bounded-heap aggregate equals sort-then-take on every group.
+    "q109_topk_heap_agg" ->
+      """SELECT o_custkey,
+        |       CAST(row_number() OVER w AS INT) AS rank,
+        |       o_orderkey, o_totalprice
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_totalprice DESC, o_orderkey ASC)
+        |QUALIFY row_number() OVER w <= 3""".stripMargin
   )
 }

@@ -155,4 +155,43 @@ class ExtensionsSkewSpec extends SparkSpec {
       .collect().toMap
     assert(out == Map("a" -> "first", "b" -> "x", "c" -> "y"))
   }
+
+  test("topK heap aggregate: ties, nulls, merge, and SQL registration") {
+    import spark.implicits._
+    import graft.functions.TopKAggregate
+    // ties on score keep the SMALLEST ids (window-order parity);
+    // null score and null id rows are skipped
+    val df = Seq[(Int, java.lang.Double, java.lang.Long)](
+      (1, 5.0, 10L), (1, 5.0, 7L), (1, 5.0, 12L), (1, 9.0, 99L),
+      (1, null, 1L), (1, 2.0, null),
+      (2, 1.0, 1L))
+      .toDF("g", "score", "id")
+    val got = df.groupBy($"g")
+      .agg(TopKAggregate.topK($"score", $"id", 3).as("tk"))
+      .select($"g", posexplode($"tk").as(Seq("pos", "s")))
+      .select($"g", $"pos", $"s.score", $"s.id")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    assert(got == Set(
+      (1, 0, 9.0, 99L), (1, 1, 5.0, 7L), (1, 2, 5.0, 10L),
+      (2, 0, 1.0, 1L)))
+    // forced multi-partition input exercises serialize/merge
+    val big = spark.range(0, 1000).repartition(8)
+      .select(lit(1).as("g"), ($"id" % 10).cast("double").as("score"),
+        $"id".as("id"))
+    val top = big.groupBy($"g")
+      .agg(TopKAggregate.topK($"score", $"id", 5).as("tk"))
+      .select(explode($"tk").as("s")).select($"s.id")
+      .as[Long].collect().toSeq
+    // best score 9.0 at ids 9, 19, 29, 39, 49 (ties -> smallest ids)
+    assert(top == Seq(9L, 19L, 29L, 39L, 49L))
+    // SQL surface
+    graft.GraftExtensions.register(spark)
+    df.createOrReplaceTempView("topk_in")
+    val viaSql = spark.sql(
+      "SELECT g, graft_topk(score, id, 3) AS tk FROM topk_in GROUP BY g")
+      .select($"g", explode($"tk").as("s")).select($"g", $"s.id")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(viaSql == Set((1, 99L), (1, 7L), (1, 10L), (2, 1L)))
+  }
 }

@@ -243,6 +243,24 @@ class PlanAuditSpec extends SparkSpec {
       conf.set("spark.sql.adaptive.enabled", _))
   }
 
+  test("topk heap aggregate partial-aggregates before its exchange") {
+    // q109's whole point: the heap is a real aggregate, so the
+    // partial/final split applies — map-side heaps absorb each
+    // partition BEFORE the shuffle (two ObjectHashAggregate nodes,
+    // the partial one below the exchange), and no WindowExec / global
+    // sort appears anywhere
+    val p = plan("q109_topk_heap_agg")
+    val nAgg = "ObjectHashAggregate".r.findAllIn(p).length
+    assert(nAgg >= 2,
+      s"q109 expected partial+final ObjectHashAggregate, got $nAgg:\n" +
+        p.take(2000))
+    assert(p.contains("partial_topkbyscore"),
+      s"q109 expected a partial_ aggregate mode below the exchange:\n" +
+        p.take(2000))
+    assert(!p.contains("Window"),
+      s"q109 must not fall back to a window sort:\n${p.take(2000)}")
+  }
+
   test("scd2 merge shares one exchange across both window passes") {
     // Merge.scd2's key repartition must serve the same-instant winner
     // window AND the range-chaining window — hash(key) satisfies the
