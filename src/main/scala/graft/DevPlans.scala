@@ -40,7 +40,8 @@ object DevPlans {
       "q104_contamination_spans" -> "contamination spans: corpus shingles posexplode into a BROADCAST semi-probe of the eval set — the only shuffled rows are hit (doc_id,pos) slivers for the run window; corpus text never exchanges and the runs decompose via pos - row_number, no self-join",
       "q105_audio_stats" -> "audio decode: WAV generation + RIFF parse + one-pass sample stats all inside ONE mapPartitions projection over the scan — zero exchanges; decode cost distributes with the rows, the 100 TB multimodal shape",
       "q107_ann_nprobe_sweep" -> "nprobe sweep: ONE corpus-side cell join + cosine projection at nprobe=8 (queries broadcast), repartition barrier pins the scored candidates, then the 4-setting explode + per-(nprobe,query) windows re-rank the same candidate rows — the sweep never re-touches the corpus",
-      "q108_source_quality_rank" -> "per-source quality rank: q100's two-level prefix design per source — within-(source,bucket) row_number on the ONE shared (source,bucket) exchange (scan=1, ReusedExchange for the totals branch), cross-bucket offsets and per-source totals broadcast back from bucket-table-sized aggregates; no per-source global sort")
+      "q108_source_quality_rank" -> "per-source quality rank: q100's two-level prefix design per source — within-(source,bucket) row_number on the ONE shared (source,bucket) exchange (scan=1, ReusedExchange for the totals branch), cross-bucket offsets and per-source totals broadcast back from bucket-table-sized aggregates; no per-source global sort",
+      "q109_topk_heap_agg" -> "grouped top-k WITHOUT the window sort: bounded-heap TypedImperativeAggregate — partial_topkbyscore absorbs each partition map-side BEFORE the exchange (which then carries <=k rows per (partition, group) as serialized heaps), final merge + posexplode; no WindowExec, no sort larger than k anywhere")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by graft.DevPlans)\n\n")
     sb.append("Representative `.explain(\"formatted\")` output at sf0.01, AQE off\n")
