@@ -1763,6 +1763,36 @@ object QueriesScale {
           (col("pos") + 1).cast("int").as("rank"),
           col("s.id").as("o_orderkey"),
           col("s.score").as("o_totalprice"))
+    },
+
+    // Multimodal curation capstone — the media twin of q85: decode/
+    // hash (mapPartitions codec seam) → exact content dedup (min-id
+    // survivor per payload hash) → size gate → deterministic shard
+    // layout → per-shard accounting, ONE plan. Scale shape: the only
+    // corpus-sized exchange carries (hash, id, type, n_bytes) — never
+    // payload bytes; the shard rollup exchanges ≤ shards rows. This
+    // is the "bytes in blob store → training shards" write plan.
+    "q110_multimodal_build" -> q { (spark, dir) =>
+      import graft.multimodal.Multimodal
+      val feats = Multimodal.extractFeatures(
+          Multimodal.assetsFromVectors(vecs(spark, dir))).toDF()
+        .select(col("asset_id"), col("media_type"), col("n_bytes"),
+          col("content_hash"))
+      val wd = Window.partitionBy(col("content_hash"))
+        .orderBy(col("asset_id").asc)
+      val kept = feats
+        .withColumn("__rn", row_number().over(wd))
+        .filter(col("__rn") === 1 && col("n_bytes") >= 140)
+      val shard = pmod(conv(substring(md5(concat(lit("mshard"),
+        col("asset_id").cast("string"))), 1, 8), 16, 10).cast("long"),
+        lit(8L))
+      kept.withColumn("shard_id", shard)
+        .groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_assets"),
+          sum(col("n_bytes")).cast("long").as("total_bytes"),
+          count(when(col("media_type") === "image", 1)).as("n_image"),
+          count(when(col("media_type") === "audio", 1)).as("n_audio"),
+          count(when(col("media_type") === "video", 1)).as("n_video"))
     }
   )
 
@@ -3973,6 +4003,44 @@ object QueriesScale {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey
         |             ORDER BY o_totalprice DESC, o_orderkey ASC)
-        |QUALIFY row_number() OVER w <= 3""".stripMargin
+        |QUALIFY row_number() OVER w <= 3""".stripMargin,
+
+    // q42's payload regeneration + the same dedup/gate/shard chain.
+    "q110_multimodal_build" ->
+      """WITH a AS (
+        |  SELECT vec_id AS asset_id, vec_id % 97 AS g,
+        |         CASE CAST(vec_id % 3 AS INT) WHEN 0 THEN 'image'
+        |              WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |         128 + (vec_id % 97) % 64 AS n
+        |  FROM embeddings),
+        |h AS (
+        |  SELECT asset_id, media_type, CAST(n AS BIGINT) AS n_bytes,
+        |         md5(lower(array_to_string(list_transform(
+        |           generate_series(0, n - 1),
+        |           j -> lpad(to_hex((g * 31 + j * 7) % 256),
+        |                     2, '0')), ''))) AS content_hash
+        |  FROM a),
+        |kept AS (
+        |  SELECT asset_id, media_type, n_bytes
+        |  FROM h
+        |  QUALIFY row_number() OVER (PARTITION BY content_hash
+        |      ORDER BY asset_id ASC) = 1),
+        |gated AS (SELECT * FROM kept WHERE n_bytes >= 140),
+        |s AS (
+        |  SELECT *,
+        |         CAST(('0x' || substr(md5('mshard'
+        |             || CAST(asset_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |           % 8 AS shard_id
+        |  FROM gated)
+        |SELECT shard_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_assets,
+        |       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+        |       CAST(COUNT(CASE WHEN media_type = 'image' THEN 1 END)
+        |         AS BIGINT) AS n_image,
+        |       CAST(COUNT(CASE WHEN media_type = 'audio' THEN 1 END)
+        |         AS BIGINT) AS n_audio,
+        |       CAST(COUNT(CASE WHEN media_type = 'video' THEN 1 END)
+        |         AS BIGINT) AS n_video
+        |FROM s GROUP BY shard_id""".stripMargin
   )
 }
