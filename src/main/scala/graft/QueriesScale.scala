@@ -1793,6 +1793,21 @@ object QueriesScale {
           count(when(col("media_type") === "image", 1)).as("n_image"),
           count(when(col("media_type") === "audio", 1)).as("n_audio"),
           count(when(col("media_type") === "video", 1)).as("n_video"))
+    },
+
+    // Residual IVF-PQ top-k (the production FAISS shape): codes on
+    // v − centroid(cell), ADC against the query's per-probe residual.
+    // Same banded plan as q62 plus one codegen'd zip_with subtraction
+    // per side; the oracle rebuilds residuals, codes, and ADC sums
+    // value-for-value, so a wrong centroid lookup or a residual on
+    // the wrong side flips integers in the hash.
+    "q111_residual_ivfpq" -> q { (spark, dir) =>
+      val v = vecs(spark, dir)
+      val qv = v.filter(col("vec_id") % 40 === 0)
+      Pq.residualIvfAdcTopK(v, qv, Similarity.gridCentroids(8, 64),
+          Pq.codebookLiteral(8, 16, 8), k = 5, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("int").as("rank"), col("adc_dist"))
     }
   )
 
@@ -4041,6 +4056,74 @@ object QueriesScale {
         |         AS BIGINT) AS n_audio,
         |       CAST(COUNT(CASE WHEN media_type = 'video' THEN 1 END)
         |         AS BIGINT) AS n_video
-        |FROM s GROUP BY shard_id""".stripMargin
+        |FROM s GROUP BY shard_id""".stripMargin,
+
+    // q62's oracle with the residual step: codes fit on
+    // v − centroid(cell), ADC on the query's per-probe residual.
+    "q111_residual_ivfpq" ->
+      s"""WITH ${centsSql(8)},
+         |scored AS (
+         |  SELECT e.vec_id, c.c AS cell,
+         |         list_sum(list_transform(
+         |             generate_series(1, len(e.embedding)),
+         |             i -> CAST(e.embedding[i] AS DOUBLE) * c.w[i]))
+         |           / c.nrm AS s
+         |  FROM embeddings e CROSS JOIN cents c),
+         |assign AS (
+         |  SELECT vec_id, list_position(ls, list_max(ls)) - 1 AS cell
+         |  FROM (SELECT vec_id, list(s ORDER BY cell) AS ls
+         |        FROM scored GROUP BY vec_id)),
+         |probes AS (
+         |  SELECT vec_id AS query_id, cell
+         |  FROM scored WHERE vec_id % 40 = 0
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY s DESC, cell ASC) <= 4),
+         |cb AS (SELECT $pqCbSql AS c),
+         |res AS (
+         |  SELECT e.vec_id, a.cell,
+         |         list_transform(generate_series(1, 64), i ->
+         |           CAST(e.embedding[i] AS DOUBLE) - ct.w[i]) AS rv
+         |  FROM embeddings e
+         |  JOIN assign a ON a.vec_id = e.vec_id
+         |  JOIN cents ct ON ct.c = a.cell),
+         |d AS (
+         |  SELECT vec_id, cell,
+         |         list_transform(generate_series(0, 7), s ->
+         |           list_transform(generate_series(1, 16), t ->
+         |             round(list_sum(list_transform(generate_series(1, 8),
+         |               j -> (rv[8*s + j] - c[s+1][t][j])
+         |                    * (rv[8*s + j] - c[s+1][t][j]))), 9)))
+         |           AS dists
+         |  FROM res CROSS JOIN cb),
+         |codes AS (
+         |  SELECT vec_id, cell,
+         |         list_transform(dists, dl ->
+         |           CAST(list_position(dl, list_min(dl)) - 1 AS INT))
+         |           AS pq_codes
+         |  FROM d),
+         |qres AS (
+         |  SELECT pr.query_id, pr.cell,
+         |         list_transform(generate_series(1, 64), i ->
+         |           CAST(qv.embedding[i] AS DOUBLE) - ct.w[i]) AS qr
+         |  FROM probes pr
+         |  JOIN embeddings qv ON qv.vec_id = pr.query_id
+         |  JOIN cents ct ON ct.c = pr.cell),
+         |p AS (
+         |  SELECT q.query_id, cd.vec_id AS neighbor_id,
+         |         round(list_sum(list_transform(generate_series(0, 7), s ->
+         |           list_sum(list_transform(generate_series(1, 8), j ->
+         |             (q.qr[8*s + j] - c[s+1][cd.pq_codes[s+1] + 1][j])
+         |             * (q.qr[8*s + j]
+         |                - c[s+1][cd.pq_codes[s+1] + 1][j]))))), 6)
+         |           AS adc_dist
+         |  FROM qres q
+         |  JOIN codes cd ON cd.cell = q.cell AND cd.vec_id <> q.query_id
+         |  CROSS JOIN cb)
+         |SELECT query_id, neighbor_id,
+         |       CAST(row_number() OVER w AS INT) AS rank, adc_dist
+         |FROM p
+         |WINDOW w AS (PARTITION BY query_id
+         |             ORDER BY adc_dist ASC, neighbor_id ASC)
+         |QUALIFY row_number() OVER w <= 5""".stripMargin
   )
 }

@@ -107,4 +107,39 @@ class AnnRecallSpec extends SparkSpec {
       s"recall counts not monotone in nprobe: $recalls")
     sweep.unpersist()
   }
+
+  test("residual IVF-PQ equals plain IVF-PQ when the centroid is zero") {
+    // one cell centered (effectively) at the origin makes every
+    // residual the raw vector, so the two formulations must agree
+    // row-for-row. The centroid is 1e-30 in dim 0, not exactly zero:
+    // cosine routing divides by the centroid norm (0/0 = NaN would
+    // kill assignment), while double subtraction absorbs 1e-30
+    // against any real embedding component — residual == raw BITWISE
+    val dir = "/root/testdata/sf0.001"
+    val v = spark.read.parquet(s"$dir/embeddings.parquet")
+    val qv = v.filter(col("vec_id") % 40 === 0)
+    val zeroCent = Seq(Array.tabulate(64)(i => if (i == 0) 1e-30 else 0.0))
+    val cb = Pq.codebookLiteral(8, 16, 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank", "adc_dist")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          r.getDouble(3))).toSet
+    val plain = rows(Pq.ivfAdcTopK(v, qv, zeroCent, cb, k = 5,
+      nprobe = 1))
+    val resid = rows(Pq.residualIvfAdcTopK(v, qv, zeroCent, cb, k = 5,
+      nprobe = 1))
+    assert(plain.nonEmpty)
+    assert(resid == plain)
+    // and with REAL centroids the residual index must stay sane:
+    // k candidates per query, deterministic under re-run
+    val real = Pq.residualIvfAdcTopK(v, qv,
+      Similarity.gridCentroids(8, 64), cb, k = 5, nprobe = 4)
+    val counts = real.groupBy("query_id").count()
+      .select("count").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().toSet
+    assert(counts == Set(5L))
+    assert(rows(real) == rows(Pq.residualIvfAdcTopK(v, qv,
+      Similarity.gridCentroids(8, 64), cb, k = 5, nprobe = 4)))
+  }
 }
