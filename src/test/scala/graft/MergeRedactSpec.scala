@@ -70,6 +70,58 @@ class MergeRedactSpec extends SparkSpec {
     assert(r.getString(2) == r.getString(3))
   }
 
+  test("byte scanners replicate java.util.regex on adversarial fuzz") {
+    // redactEval no longer runs a regex engine; this pins its
+    // leftmost-greedy equivalence to java.util.regex on inputs built
+    // to stress every backtracking corner: over-long octets, dotted
+    // runs, multiple '@'s, domain tails with digits after the TLD,
+    // phone country-code fallback, URLs hugging emails/IPs, UTF-8
+    // multibyte chars adjacent to matches, and word-boundary edges.
+    import java.util.regex.Pattern
+    import org.apache.spark.unsafe.types.UTF8String
+    // The scanners implement RE2 \b semantics (ASCII word chars — what
+    // the DuckDB oracle runs), while java.util.regex's \b is
+    // Unicode-aware even without UNICODE_CHARACTER_CLASS ('é' counts
+    // as a word char). To fuzz non-ASCII adjacency too, the reference
+    // rewrites \b as explicit ASCII lookarounds — exactly RE2's rule.
+    // DuckDB-verified: regexp_extract_all('é1.2.3.4-', Ipv4Re) → 1
+    // match; '日1.2.3.4_x' → 0 (trailing '_' is a word char).
+    val pats = Redact.patterns.map { case (t, re) =>
+      t -> Pattern.compile(re
+        .replace("\\b[", "(?<![A-Za-z0-9_])[")
+        .replace("}\\b", "}(?![A-Za-z0-9_])"))
+    }
+    def reference(s: String): (Seq[Long], String) = {
+      val counts = pats.map { case (_, p) =>
+        var n = 0L; val m = p.matcher(s); while (m.find()) n += 1; n
+      }
+      var cur = s
+      pats.foreach { case (t, p) =>
+        cur = p.matcher(cur).replaceAll(s"<$t>")
+      }
+      (counts, cur)
+    }
+    val frags = Seq(
+      "http://a.b/c", "https://", "http:/x", "httpss://y", "https://q",
+      "a@b.co", "@", "a@b", "x@y.z", "u@d.example.comm9", "a@@b.cd",
+      "a.b@c.d.ee", "@.ab", "#+%a@-.-ab-", "1.2.3.4", "12.34.56.789",
+      "1234.5.6.7", "1.2.3.4.5", "1.2.3.4x", "_1.2.3.4", "9.9.9.9_",
+      "+1-234-5678", "+12-345-6789", "+123-456-7890", "+1-23-4567",
+      "+1-234-56789", "ü", "日本", " ", ".", "-", "_", "@x.yz", "..",
+      "é1.2.3.4", "a", "7", ":", "//", "http", "https", "+", "-5")
+    val rnd = new scala.util.Random(42)
+    (0 until 4000).foreach { _ =>
+      val s = (0 until rnd.nextInt(8))
+        .map(_ => frags(rnd.nextInt(frags.length))).mkString
+      val (wantCounts, wantText) = reference(s)
+      val row = Redact.redactEval(UTF8String.fromString(s))
+      val got = (0 until 4).map(row.getLong)
+      val gotText = row.getUTF8String(4).toString
+      assert(got == wantCounts && gotText == wantText,
+        s"mismatch on <<$s>>: got=$got/$gotText want=$wantCounts/$wantText")
+    }
+  }
+
   // ---- Merge.scd2 ----
 
   private def hist = Seq(
