@@ -304,14 +304,25 @@ object QueriesCore {
           pround(avg(col("o_totalprice")), 4).as("avg_price"))
     },
 
+    // Re-expressed through the bounded-heap aggregate (r5 verdict
+    // task 7): same window-form oracle, but NO WindowExec — the heap
+    // absorbs each partition map-side and the exchange carries ≤ k
+    // rows per (partition, group). The payload here is a STRUCT
+    // (generalized TopKAggregate: any orderable payload, interpreted
+    // struct ordering for ties = (o_orderkey ASC), matching the
+    // window's tie-break); q109 keeps the primitive (Double, Long)
+    // shape of the same aggregate.
     "q13_topk_per_group" -> q { (spark, dir) =>
-      val w = Window.partitionBy(col("o_custkey"))
-        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      import graft.functions.TopKAggregate
       t(spark, dir, "orders")
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
-        .select(col("o_custkey"), col("rank"), col("o_orderkey"),
-          col("o_totalprice"))
+        .groupBy(col("o_custkey"))
+        .agg(TopKAggregate.topK(col("o_totalprice"),
+          struct(col("o_orderkey"), col("o_totalprice")), 3).as("tk"))
+        .select(col("o_custkey"), posexplode(col("tk")).as(Seq("pos", "s")))
+        .select(col("o_custkey"),
+          (col("pos") + 1).cast("int").as("rank"),
+          col("s.id.o_orderkey").as("o_orderkey"),
+          col("s.id.o_totalprice").as("o_totalprice"))
     },
 
     "q14_union_dedup" -> q { (spark, dir) =>

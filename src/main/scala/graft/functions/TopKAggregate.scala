@@ -1,15 +1,14 @@
 package graft.functions
 
-import java.nio.ByteBuffer
-
 import scala.collection.mutable
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, RowOrdering, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.graftshim.SqlShims.{toColumn, toExpression}
+import org.apache.spark.sql.catalyst.util.{GenericArrayData, TypeUtils}
+import org.apache.spark.sql.graftshim.SqlShims.{toColumn, toExpression, AbstractType, AnyType}
 import org.apache.spark.sql.types._
 
 /** Grouped top-k as a bounded-heap aggregate.
@@ -23,7 +22,17 @@ import org.apache.spark.sql.types._
   * shuffle (the exchange moves at most k rows per (partition, group)),
   * merge is heap-union, and no sort larger than k ever happens.
   * Semantics are pinned to the window form: order by (score DESC,
-  * id ASC), deterministic under ties, null scores/ids skipped.
+  * payload ASC), deterministic under ties, null scores/payloads
+  * skipped.
+  *
+  * The payload (`id`) is ANY orderable type — long ids, string doc
+  * ids, or a struct carrying whole rows through the heap — ordered by
+  * Spark's interpreted ordering for tie-breaks and shuttled through
+  * serialize/merge as UnsafeRow bytes. Scores order by
+  * `java.lang.Double.compare`, so NaN ranks GREATEST (best under
+  * DESC) exactly like Spark's sort in the window form. Int/decimal
+  * scores via the SQL surface (`graft_topk`) implicit-cast to double
+  * at analysis time rather than failing at execution (r5 advice).
   *
   * This is the engine's `TypedImperativeAggregate` exemplar (the
   * catalyst aggregate extension point, same mechanism as
@@ -32,13 +41,6 @@ import org.apache.spark.sql.types._
   */
 object TopKAggregate {
 
-  /** Heap entry badness: bigger = worse. Worst = lowest score, then
-    * LARGEST id (so ties keep the smallest ids, matching
-    * row_number over (score DESC, id ASC)).
-    */
-  private val worstFirst: Ordering[(Double, Long)] =
-    Ordering.by { case (s, i) => (-s, i) }
-
   case class TopKByScore(
       score: Expression,
       id: Expression,
@@ -46,49 +48,82 @@ object TopKAggregate {
       override val mutableAggBufferOffset: Int = 0,
       override val inputAggBufferOffset: Int = 0)
       extends TypedImperativeAggregate[
-        mutable.PriorityQueue[(Double, Long)]] {
+        mutable.PriorityQueue[(Double, Any)]]
+      with ImplicitCastInputTypes {
 
     require(k > 0, s"topK: k must be positive, got $k")
 
     override def children: Seq[Expression] = Seq(score, id)
     override def nullable: Boolean = false
+    override def inputTypes: Seq[AbstractType] =
+      Seq(DoubleType, AnyType)
+
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val base = super.checkInputDataTypes()
+      if (base.isFailure) base
+      else if (!RowOrdering.isOrderable(id.dataType))
+        TypeCheckResult.TypeCheckFailure(
+          s"graft_topk payload type ${id.dataType.catalogString} " +
+            "is not orderable")
+      else TypeCheckResult.TypeCheckSuccess
+    }
+
     override def dataType: DataType = ArrayType(
       StructType(Seq(
         StructField("score", DoubleType, nullable = false),
-        StructField("id", LongType, nullable = false))),
+        StructField("id", id.dataType, nullable = false))),
       containsNull = false)
 
-    override def createAggregationBuffer()
-        : mutable.PriorityQueue[(Double, Long)] =
-      mutable.PriorityQueue.empty[(Double, Long)](worstFirst)
+    @transient private lazy val idOrdering: Ordering[Any] =
+      TypeUtils.getInterpretedOrdering(id.dataType)
 
-    private def offer(buf: mutable.PriorityQueue[(Double, Long)],
-                      e: (Double, Long)): Unit = {
+    /** Heap entry badness: bigger = worse. Worst = lowest score
+      * (java.lang.Double.compare — NaN sorts greatest, i.e. best,
+      * matching the window form's DESC), then LARGEST payload (so
+      * ties keep the smallest payloads, matching row_number over
+      * (score DESC, payload ASC)).
+      */
+    @transient private lazy val worstFirst: Ordering[(Double, Any)] =
+      new Ordering[(Double, Any)] {
+        override def compare(x: (Double, Any), y: (Double, Any)): Int = {
+          val c = java.lang.Double.compare(y._1, x._1)
+          if (c != 0) c else idOrdering.compare(x._2, y._2)
+        }
+      }
+
+    override def createAggregationBuffer()
+        : mutable.PriorityQueue[(Double, Any)] =
+      mutable.PriorityQueue.empty[(Double, Any)](worstFirst)
+
+    private def offer(buf: mutable.PriorityQueue[(Double, Any)],
+                      e: (Double, Any)): Unit = {
       if (buf.size < k) buf.enqueue(e)
       else if (worstFirst.compare(e, buf.head) < 0) {
         buf.dequeue(); buf.enqueue(e)
       }
     }
 
-    override def update(buf: mutable.PriorityQueue[(Double, Long)],
+    override def update(buf: mutable.PriorityQueue[(Double, Any)],
                         input: InternalRow)
-        : mutable.PriorityQueue[(Double, Long)] = {
+        : mutable.PriorityQueue[(Double, Any)] = {
       val s = score.eval(input)
       val i = id.eval(input)
       if (s != null && i != null) {
-        offer(buf, (s.asInstanceOf[Double], i.asInstanceOf[Long]))
+        // copy: non-primitive payloads (UTF8String, structs) point
+        // into buffers the scan reuses for the next row
+        offer(buf, (s.asInstanceOf[Double], InternalRow.copyValue(i)))
       }
       buf
     }
 
-    override def merge(buf: mutable.PriorityQueue[(Double, Long)],
-                       other: mutable.PriorityQueue[(Double, Long)])
-        : mutable.PriorityQueue[(Double, Long)] = {
+    override def merge(buf: mutable.PriorityQueue[(Double, Any)],
+                       other: mutable.PriorityQueue[(Double, Any)])
+        : mutable.PriorityQueue[(Double, Any)] = {
       other.foreach(offer(buf, _))
       buf
     }
 
-    override def eval(buf: mutable.PriorityQueue[(Double, Long)]): Any = {
+    override def eval(buf: mutable.PriorityQueue[(Double, Any)]): Any = {
       // ascending badness == best first
       val sorted = buf.toArray.sorted(worstFirst)
       new GenericArrayData(sorted.map { case (s, i) =>
@@ -96,22 +131,44 @@ object TopKAggregate {
       }.toArray[Any])
     }
 
-    override def serialize(buf: mutable.PriorityQueue[(Double, Long)])
+    @transient private lazy val entryProj =
+      UnsafeProjection.create(Array[DataType](DoubleType, id.dataType))
+
+    override def serialize(buf: mutable.PriorityQueue[(Double, Any)])
         : Array[Byte] = {
-      val bb = ByteBuffer.allocate(4 + 16 * buf.size)
-      bb.putInt(buf.size)
-      buf.foreach { case (s, i) => bb.putDouble(s); bb.putLong(i) }
-      bb.array()
+      val bos = new java.io.ByteArrayOutputStream(64)
+      val dos = new java.io.DataOutputStream(bos)
+      dos.writeInt(buf.size)
+      val row = new Array[Any](2)
+      buf.foreach { case (s, i) =>
+        row(0) = s; row(1) = i
+        val u = entryProj(InternalRow.fromSeq(
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(row)))
+        dos.writeInt(u.getSizeInBytes)
+        u.writeToStream(dos, null)
+      }
+      dos.flush()
+      bos.toByteArray
     }
 
     override def deserialize(bytes: Array[Byte])
-        : mutable.PriorityQueue[(Double, Long)] = {
-      val bb = ByteBuffer.wrap(bytes)
-      val n = bb.getInt
+        : mutable.PriorityQueue[(Double, Any)] = {
+      val dis = new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val n = dis.readInt()
       val buf = createAggregationBuffer()
+      val row = new UnsafeRow(2)
       var j = 0
       while (j < n) {
-        buf.enqueue((bb.getDouble, bb.getLong))
+        val len = dis.readInt()
+        val b = new Array[Byte](len)
+        dis.readFully(b)
+        row.pointTo(b, len)
+        // the UnsafeRow's payload points into `b`, which is fresh per
+        // entry — copyValue detaches variable-length values anyway so
+        // heap entries never alias a shared buffer
+        buf.enqueue((row.getDouble(0),
+          InternalRow.copyValue(row.get(1, id.dataType))))
         j += 1
       }
       buf
@@ -127,7 +184,8 @@ object TopKAggregate {
   }
 
   /** Column form: array of (score, id) structs, best-first, size ≤ k.
-    * `score` must be DoubleType and `id` LongType (cast beforehand).
+    * `score` must cast to DoubleType; `id` is any orderable type
+    * (atomic, struct, array) and rides through the heap unchanged.
     */
   def topK(score: Column, id: Column, k: Int): Column =
     toColumn(TopKByScore(toExpression(score), toExpression(id), k)

@@ -333,14 +333,36 @@ object Similarity {
     * needed for the keep-min policy). Deterministic: grid centroids
     * are literals, ties pinned by id. `roundSim` rounds the cosine
     * BEFORE thresholding for engine-portable membership.
+    *
+    * Oversized-cell hardening (r5 verdict #1): the within-cell join
+    * is O(cell²) pairs BY THE METHOD'S SEMANTICS — the oracle pins
+    * all-pairs-within-cell, so no pair can be skipped — which means a
+    * mis-sized `nlist` must not leave one task grinding a hot cell
+    * serially. Any cell with ≥ `hotCellRows` representatives (after
+    * the identical-vector collapse) is salt-split: its b-side rows
+    * take sub-cell `hash(id) % subCells`, its a-side rows replicate
+    * across ALL sub-cells, and the join key becomes
+    * (cell, sub-cell) — every pair still meets exactly once (at the
+    * b-row's sub-cell), but the hot cell's pair work now spreads
+    * across `subCells` independent join keys with bounded build
+    * sides, instead of one. Cold cells keep the replication-free
+    * plain join. Belt-and-braces, `maxCellRows` turns a
+    * pathologically hot cell into a loud `raise_error` (the
+    * RangeJoin over-wide-guard discipline) instead of quadratic
+    * work: set it when nlist is a guess.
     */
   def semanticDedup(vectors: DataFrame, centroids: Seq[Array[Double]],
                     threshold: Double = 0.95,
                     idCol: String = "vec_id",
                     vecCol: String = "embedding",
-                    roundSim: Option[Int] = None): DataFrame = {
+                    roundSim: Option[Int] = None,
+                    hotCellRows: Int = 4096,
+                    subCells: Int = 32,
+                    maxCellRows: Option[Long] = None): DataFrame = {
     import graft.functions.PortableRound.pround
     require(centroids.nonEmpty, "semanticDedup: centroids must be non-empty")
+    require(hotCellRows >= 2, "semanticDedup: hotCellRows must be >= 2")
+    require(subCells >= 1, "semanticDedup: subCells must be >= 1")
     // first repartition parallelizes the per-row centroid scoring;
     // the second is the materialization barrier on the join key so
     // both self-join branches reuse ONE assignment pass
@@ -374,15 +396,44 @@ object Similarity {
       .withColumn("__rn", row_number().over(wGrp))
       .repartition(col("cell")) // share ONE window pass across branches
     val reps = marked.filter(col("__rn") === 1)
-    val a = reps.select(col(idCol).as("id_a"),
-      col(vecCol).as("__va"), col("cell"))
-    val b = reps.select(col(idCol).as("id_b"),
-      col(vecCol).as("__vb"), col("cell"))
+    // Per-cell rep counts: ≤ nlist rows — the agg shares the `marked`
+    // exchange (ReusedExchange) and the result broadcasts back, so
+    // hot-cell routing costs one tiny broadcast, no extra corpus pass.
+    val cellCounts = reps.groupBy(col("cell"))
+      .agg(count(lit(1)).as("__cn"))
+    val guardedCounts = maxCellRows.fold(cellCounts) { cap =>
+      cellCounts.select(col("cell"),
+        when(col("__cn") <= cap, col("__cn"))
+          .otherwise(raise_error(concat(
+            lit(s"semanticDedup: cell "), col("cell").cast("string"),
+            lit(s" holds "), col("__cn").cast("string"),
+            lit(s" representatives (> maxCellRows=$cap); pair work is " +
+              "quadratic in cell size - increase nlist (cells should " +
+              "shrink as the corpus grows) or raise maxCellRows"))))
+          .as("__cn"))
+    }
+    val flagged = reps.join(broadcast(guardedCounts), Seq("cell"))
     val sim = cosine(col("__va"), col("__vb"))
-    val repDrops = a.join(b, Seq("cell"))
-      .filter(col("id_b") < col("id_a") &&
-        roundSim.fold(sim)(pround(sim, _)) >= threshold)
+    val pairKeep = col("id_b") < col("id_a") &&
+      roundSim.fold(sim)(pround(sim, _)) >= threshold
+    val cold = flagged.filter(col("__cn") < hotCellRows)
+    val coldDrops = cold.select(col(idCol).as("id_a"),
+        col(vecCol).as("__va"), col("cell"))
+      .join(cold.select(col(idCol).as("id_b"),
+        col(vecCol).as("__vb"), col("cell")), Seq("cell"))
+      .filter(pairKeep)
       .select(col("id_a").as(idCol))
+    val hot = flagged.filter(col("__cn") >= hotCellRows)
+    val hotA = hot.select(col(idCol).as("id_a"),
+        col(vecCol).as("__va"), col("cell"))
+      .withColumn("__sub", explode(lit((0 until subCells).toArray)))
+    val hotB = hot.select(col(idCol).as("id_b"),
+      col(vecCol).as("__vb"), col("cell"),
+      pmod(hash(col(idCol)), lit(subCells)).as("__sub"))
+    val hotDrops = hotA.join(hotB, Seq("cell", "__sub"))
+      .filter(pairKeep)
+      .select(col("id_a").as(idCol))
+    val repDrops = coldDrops.union(hotDrops)
     val selfSim = cosine(col(vecCol), col(vecCol))
     val memberDrops = marked.filter(col("__rn") > 1)
       .filter(roundSim.fold(selfSim)(pround(selfSim, _)) >= threshold)

@@ -24,10 +24,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *     (both implement UAX#15 canonical composition);
   *   - lowercase AFTER composition via `UTF8String.toLowerCase`
   *     (Spark's own `lower()`), matching DuckDB's Unicode `lower`;
-  *   - whitespace collapse `\s+` → one space, then trim — Java and
-  *     RE2 agree on ASCII `\s` = [ \t\n\x0B\f\r] without Unicode
-  *     flags, so `regexp_replace(s, '\s+', ' ', 'g')` is the oracle
-  *     twin.
+  *   - whitespace collapse `\s+` → one space, then trim — following
+  *     RE2's `\s` = [ \t\n\f\r] (NO vertical tab: RE2 deliberately
+  *     excludes \x0B, unlike Java's \s), because the oracle twin is
+  *     DuckDB/RE2 `regexp_replace(s, '\s+', ' ', 'g')` (r5 advice).
   *
   * Scale shape: per-row, allocation-bounded, no shuffle — normalizing
   * 100 TB costs exactly one pass over the text.
@@ -47,7 +47,10 @@ object NormalizeExpression {
     var pendingSpace = false
     while (i < lower.length) {
       val c = lower.charAt(i)
-      val isWs = c == ' ' || c == '\t' || c == '\n' || c == 0x0b ||
+      // RE2 \s: space, tab, newline, formfeed, carriage return —
+      // NOT vertical tab (0x0B), which Java's \s includes but the
+      // RE2-based oracle does not
+      val isWs = c == ' ' || c == '\t' || c == '\n' ||
         c == '\f' || c == '\r'
       if (isWs) pendingSpace = sb.length() > 0 // leading ws trims away
       else {

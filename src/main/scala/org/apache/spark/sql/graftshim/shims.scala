@@ -11,4 +11,11 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object SqlShims {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** `AbstractDataType`/`AnyDataType` are `private[sql]` in Spark 4;
+    * re-exported here so ExpectsInputTypes implementations outside
+    * the spark package can declare a wildcard input slot.
+    */
+  type AbstractType = org.apache.spark.sql.types.AbstractDataType
+  val AnyType: AbstractType = org.apache.spark.sql.types.AnyDataType
 }

@@ -194,4 +194,54 @@ class ExtensionsSkewSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
     assert(viaSql == Set((1, 99L), (1, 7L), (1, 10L), (2, 1L)))
   }
+
+  test("topK generalized payloads: string, struct, NaN, implicit cast") {
+    import spark.implicits._
+    import graft.functions.TopKAggregate
+    // string payload — ties keep the lexicographically smallest
+    val s = Seq((1, 3.0, "bb"), (1, 3.0, "aa"), (1, 3.0, "cc"),
+      (1, 1.0, "zz"))
+      .toDF("g", "score", "doc")
+      .groupBy($"g")
+      .agg(TopKAggregate.topK($"score", $"doc", 2).as("tk"))
+      .select(explode($"tk.id").as("doc")).as[String].collect().toSeq
+    assert(s == Seq("aa", "bb"))
+    // struct payload rides the heap whole; struct ordering ties on
+    // the first field
+    val st = Seq((1, 2.0, 30L, "x"), (1, 2.0, 10L, "y"), (1, 5.0, 99L, "z"))
+      .toDF("g", "score", "k", "tag")
+      .groupBy($"g")
+      .agg(TopKAggregate.topK($"score", struct($"k", $"tag"), 2).as("tk"))
+      .select(explode($"tk").as("s"))
+      .select($"s.score", $"s.id.k", $"s.id.tag")
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getString(2)))
+      .toSeq
+    assert(st == Seq((5.0, 99L, "z"), (2.0, 10L, "y")))
+    // NaN sorts GREATEST = best under DESC, matching the window form
+    // (r5 advice: the old -score ordering ranked NaN worst)
+    val nan = Seq((1, Double.NaN, 1L), (1, 100.0, 2L), (1, 1.0, 3L))
+      .toDF("g", "score", "id")
+      .groupBy($"g")
+      .agg(TopKAggregate.topK($"score", $"id", 2).as("tk"))
+      .select(explode($"tk.id").as("id")).as[Long].collect().toSeq
+    assert(nan == Seq(1L, 2L))
+    // SQL surface: int scores implicit-cast to double at analysis
+    // time instead of a runtime ClassCastException (r5 advice)
+    graft.GraftExtensions.register(spark)
+    Seq((1, 7, 70L), (1, 9, 90L), (1, 8, 80L)).toDF("g", "iscore", "id")
+      .createOrReplaceTempView("topk_int_in")
+    val viaSql = spark.sql(
+      "SELECT graft_topk(iscore, id, 2) AS tk FROM topk_int_in GROUP BY g")
+      .select(explode($"tk.id").as("id")).as[Long].collect().toSeq
+    assert(viaSql == Seq(90L, 80L))
+    // unorderable payload fails at ANALYSIS, not execution
+    Seq((1, 1.0, Map("a" -> 1))).toDF("g", "score", "m")
+      .createOrReplaceTempView("topk_map_in")
+    val ex = intercept[Exception] {
+      spark.sql(
+        "SELECT graft_topk(score, m, 2) AS tk FROM topk_map_in GROUP BY g")
+    }
+    assert(ex.getMessage.contains("orderable") ||
+      ex.getMessage.contains("DATATYPE_MISMATCH"))
+  }
 }
