@@ -111,8 +111,8 @@ object GraftExtensions {
     ("graft_dot", 2,
       exprs => VectorExpressions.DotProduct(exprs(0), exprs(1))),
     ("graft_l2norm", 1, exprs => VectorExpressions.L2Norm(exprs.head)),
-    ("graft_langid", 1, exprs => graft.text.LangIdExpression.LangId(
-      exprs.head, graft.text.TextAnalysis.defaultMarkers)),
+    ("graft_langid", 1, exprs => graft.text.LangIdExpression.LangIdNgram(
+      exprs.head, graft.text.TextAnalysis.defaultTrigramProfiles)),
     ("graft_text_stats", 1, exprs =>
       graft.text.TextStatsExpression.TextStats(
         exprs.head, graft.text.TextAnalysis.defaultStopwords)),

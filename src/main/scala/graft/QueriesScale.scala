@@ -52,6 +52,78 @@ object QueriesScale {
     f(spark, dir)
   }
 
+  /** langID oracle literals, generated from the SAME profile
+    * constants the native expression reads (trigrams are [a-z ]-only,
+    * so plain single-quoting is safe).
+    */
+  private lazy val langProfileValuesSql: String =
+    TextAnalysis.defaultTrigramProfiles.flatMap { case (l, tws) =>
+      tws.map { case (t, w) => s"('$l', '$t', $w)" }
+    }.mkString(",\n|  ")
+
+  private lazy val langProfileNormsSql: String =
+    TextAnalysis.defaultTrigramProfiles.map { case (l, tws) =>
+      s"('$l', ${tws.map(tw => tw._2.toLong * tw._2).sum})"
+    }.mkString(", ")
+
+  /** The trigram-profile language-ID CTE chain, shared by every
+    * oracle that consumes `predicted_lang` (q22/q41/q85/q99 — one
+    * definition, zero drift): explode every length-3 window of
+    * `' ' || lower(text) || ' '`, count, join the profile VALUES,
+    * cosine from exact integer dot/norms with ONE rounded float op,
+    * strict first-wins argmax. Splice into a WITH list; exposes
+    * `lpred(doc_id, predicted_lang)` covering EVERY document.
+    */
+  private lazy val langPredCtesSql: String =
+    s"""lp_p AS (
+       |  SELECT doc_id, ' ' || lower(text) || ' ' AS pt
+       |  FROM documents),
+       |lp_tg AS (
+       |  SELECT doc_id, substr(pt, CAST(i AS INT), 3) AS t3
+       |  FROM lp_p, LATERAL (SELECT unnest(generate_series(
+       |    1, length(pt) - 2)) AS i) u),
+       |lp_c AS (
+       |  SELECT doc_id, t3, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM lp_tg GROUP BY 1, 2),
+       |lp_n2 AS (SELECT doc_id, SUM(n * n) AS nn FROM lp_c GROUP BY 1),
+       |lp_prof(plang, t3, w) AS (VALUES
+       |  $langProfileValuesSql),
+       |lp_pl(plang, l2) AS (VALUES $langProfileNormsSql),
+       |lp_d AS (
+       |  SELECT lp_c.doc_id, lp_prof.plang,
+       |         SUM(lp_c.n * lp_prof.w) AS dot
+       |  FROM lp_c JOIN lp_prof USING (t3) GROUP BY 1, 2),
+       |lp_sc AS (
+       |  SELECT lp_n2.doc_id, lp_pl.plang,
+       |         CASE WHEN COALESCE(lp_d.dot, 0) > 0
+       |              THEN round(lp_d.dot / sqrt(lp_n2.nn * lp_pl.l2), 6)
+       |              ELSE 0 END AS s
+       |  FROM lp_n2 CROSS JOIN lp_pl
+       |  LEFT JOIN lp_d ON lp_d.doc_id = lp_n2.doc_id
+       |    AND lp_d.plang = lp_pl.plang),
+       |lp_piv AS (
+       |  SELECT doc_id,
+       |         MAX(CASE WHEN plang = 'en' THEN s END) AS s_en,
+       |         MAX(CASE WHEN plang = 'es' THEN s END) AS s_es,
+       |         MAX(CASE WHEN plang = 'fr' THEN s END) AS s_fr,
+       |         MAX(CASE WHEN plang = 'de' THEN s END) AS s_de
+       |  FROM lp_sc GROUP BY doc_id),
+       |lpred AS (
+       |  SELECT lp_p.doc_id,
+       |         CASE WHEN COALESCE(
+       |                GREATEST(s_en, s_es, s_fr, s_de), 0) <= 0
+       |              THEN 'und'
+       |              WHEN s_en = GREATEST(s_en, s_es, s_fr, s_de)
+       |              THEN 'en'
+       |              WHEN s_es = GREATEST(s_en, s_es, s_fr, s_de)
+       |              THEN 'es'
+       |              WHEN s_fr = GREATEST(s_en, s_es, s_fr, s_de)
+       |              THEN 'fr'
+       |              WHEN s_de = GREATEST(s_en, s_es, s_fr, s_de)
+       |              THEN 'de'
+       |              ELSE 'und' END AS predicted_lang
+       |  FROM lp_p LEFT JOIN lp_piv USING (doc_id))"""
+
   /** The q21 composite quality score (6-dp rounded) over a `st`
     * TextStats struct column — shared by q21/q88/q90 so the formula
     * cannot drift between the scoring, survivor-selection, and
@@ -1981,33 +2053,14 @@ object QueriesScale {
          |         AS quality_score
          |FROM r""".stripMargin,
 
+    // The trigram-profile cosine, fully relational (profile VALUES
+    // generated from the SAME Scala constants as the native
+    // expression, so the two cannot drift) — see LangIdExpression's
+    // portability contract.
     "q22_lang_id" ->
-      """WITH p AS (
-        |  SELECT doc_id, lang, ' ' || lower(text) || ' ' AS pt
-        |  FROM documents),
-        |s AS (
-        |  SELECT doc_id, lang,
-        |    (length(pt) - length(replace(pt, ' the ', ''))) / 5
-        |    + (length(pt) - length(replace(pt, ' and ', ''))) / 5
-        |    + (length(pt) - length(replace(pt, ' of ', ''))) / 4 AS s_en,
-        |    (length(pt) - length(replace(pt, ' el ', ''))) / 4
-        |    + (length(pt) - length(replace(pt, ' la ', ''))) / 4
-        |    + (length(pt) - length(replace(pt, ' que ', ''))) / 5 AS s_es,
-        |    (length(pt) - length(replace(pt, ' le ', ''))) / 4
-        |    + (length(pt) - length(replace(pt, ' la ', ''))) / 4
-        |    + (length(pt) - length(replace(pt, ' et ', ''))) / 4 AS s_fr,
-        |    (length(pt) - length(replace(pt, ' der ', ''))) / 5
-        |    + (length(pt) - length(replace(pt, ' und ', ''))) / 5
-        |    + (length(pt) - length(replace(pt, ' die ', ''))) / 5 AS s_de
-        |  FROM p)
-        |SELECT doc_id, lang,
-        |       CASE WHEN GREATEST(s_en, s_es, s_fr, s_de) <= 0 THEN 'und'
-        |            WHEN s_en = GREATEST(s_en, s_es, s_fr, s_de) THEN 'en'
-        |            WHEN s_es = GREATEST(s_en, s_es, s_fr, s_de) THEN 'es'
-        |            WHEN s_fr = GREATEST(s_en, s_es, s_fr, s_de) THEN 'fr'
-        |            WHEN s_de = GREATEST(s_en, s_es, s_fr, s_de) THEN 'de'
-        |            ELSE 'und' END AS predicted_lang
-        |FROM s""".stripMargin,
+      s"""WITH $langPredCtesSql
+         |SELECT d.doc_id, d.lang, lpred.predicted_lang
+         |FROM documents d JOIN lpred USING (doc_id)""".stripMargin,
 
     "q23_dedup_exact" ->
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
@@ -3150,44 +3203,18 @@ object QueriesScale {
          |QUALIFY row_number() OVER w <= 5""".stripMargin,
 
     "q41_clean_corpus" ->
-      """WITH t AS (
-        |  SELECT doc_id, text,
-        |         len(list_filter(regexp_split_to_array(text, '\s+'),
-        |             x -> x <> '')) AS n_tokens,
-        |         ' ' || lower(text) || ' ' AS pt,
-        |         md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
-        |           AS fingerprint
-        |  FROM documents),
-        |s AS (
-        |  SELECT doc_id, n_tokens, fingerprint,
-        |    (length(pt) - length(replace(pt, ' the ', ''))) / 5
-        |    + (length(pt) - length(replace(pt, ' and ', ''))) / 5
-        |    + (length(pt) - length(replace(pt, ' of ', ''))) / 4 AS s_en,
-        |    (length(pt) - length(replace(pt, ' el ', ''))) / 4
-        |    + (length(pt) - length(replace(pt, ' la ', ''))) / 4
-        |    + (length(pt) - length(replace(pt, ' que ', ''))) / 5 AS s_es,
-        |    (length(pt) - length(replace(pt, ' le ', ''))) / 4
-        |    + (length(pt) - length(replace(pt, ' la ', ''))) / 4
-        |    + (length(pt) - length(replace(pt, ' et ', ''))) / 4 AS s_fr,
-        |    (length(pt) - length(replace(pt, ' der ', ''))) / 5
-        |    + (length(pt) - length(replace(pt, ' und ', ''))) / 5
-        |    + (length(pt) - length(replace(pt, ' die ', ''))) / 5 AS s_de
-        |  FROM t),
+      s"""WITH $langPredCtesSql,
+         |t AS (
+         |  SELECT doc_id,
+         |         len(list_filter(regexp_split_to_array(text, '\\s+'),
+         |             x -> x <> '')) AS n_tokens,
+         |         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+         |           AS fingerprint
+         |  FROM documents),
         |lang AS (
-        |  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-        |         fingerprint,
-        |         CASE WHEN GREATEST(s_en, s_es, s_fr, s_de) <= 0
-        |              THEN 'und'
-        |              WHEN s_en = GREATEST(s_en, s_es, s_fr, s_de)
-        |              THEN 'en'
-        |              WHEN s_es = GREATEST(s_en, s_es, s_fr, s_de)
-        |              THEN 'es'
-        |              WHEN s_fr = GREATEST(s_en, s_es, s_fr, s_de)
-        |              THEN 'fr'
-        |              WHEN s_de = GREATEST(s_en, s_es, s_fr, s_de)
-        |              THEN 'de'
-        |              ELSE 'und' END AS predicted_lang
-        |  FROM s),
+        |  SELECT t.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |         fingerprint, lpred.predicted_lang
+        |  FROM t JOIN lpred USING (doc_id)),
         |filtered AS (
         |  SELECT * FROM lang
         |  WHERE n_tokens >= 20 AND predicted_lang <> 'und')
@@ -3303,41 +3330,15 @@ object QueriesScale {
     // aggregates per split.
     "q85_training_data_build" ->
       s"""WITH $toksSql,
+         |$langPredCtesSql,
          |t AS (
          |  SELECT doc_id, len(tk) AS n_tokens,
-         |         ' ' || lower(text) || ' ' AS pt,
          |         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
          |           AS fingerprint
          |  FROM toks),
-         |s AS (
-         |  SELECT doc_id, n_tokens, fingerprint,
-         |    (length(pt) - length(replace(pt, ' the ', ''))) / 5
-         |    + (length(pt) - length(replace(pt, ' and ', ''))) / 5
-         |    + (length(pt) - length(replace(pt, ' of ', ''))) / 4 AS s_en,
-         |    (length(pt) - length(replace(pt, ' el ', ''))) / 4
-         |    + (length(pt) - length(replace(pt, ' la ', ''))) / 4
-         |    + (length(pt) - length(replace(pt, ' que ', ''))) / 5 AS s_es,
-         |    (length(pt) - length(replace(pt, ' le ', ''))) / 4
-         |    + (length(pt) - length(replace(pt, ' la ', ''))) / 4
-         |    + (length(pt) - length(replace(pt, ' et ', ''))) / 4 AS s_fr,
-         |    (length(pt) - length(replace(pt, ' der ', ''))) / 5
-         |    + (length(pt) - length(replace(pt, ' und ', ''))) / 5
-         |    + (length(pt) - length(replace(pt, ' die ', ''))) / 5 AS s_de
-         |  FROM t),
          |lang AS (
-         |  SELECT doc_id, n_tokens, fingerprint,
-         |         CASE WHEN GREATEST(s_en, s_es, s_fr, s_de) <= 0
-         |              THEN 'und'
-         |              WHEN s_en = GREATEST(s_en, s_es, s_fr, s_de)
-         |              THEN 'en'
-         |              WHEN s_es = GREATEST(s_en, s_es, s_fr, s_de)
-         |              THEN 'es'
-         |              WHEN s_fr = GREATEST(s_en, s_es, s_fr, s_de)
-         |              THEN 'fr'
-         |              WHEN s_de = GREATEST(s_en, s_es, s_fr, s_de)
-         |              THEN 'de'
-         |              ELSE 'und' END AS predicted_lang
-         |  FROM s),
+         |  SELECT t.doc_id, n_tokens, fingerprint, lpred.predicted_lang
+         |  FROM t JOIN lpred USING (doc_id)),
          |cleaned AS (
          |  SELECT doc_id FROM lang
          |  WHERE n_tokens >= 20 AND predicted_lang <> 'und'
@@ -3625,14 +3626,14 @@ object QueriesScale {
     // Language scores from q41, quality micro-units from q90 — the
     // cascade flags are pure integer/string compares on top.
     "q99_filter_funnel" ->
-      """WITH t AS (
-        |  SELECT doc_id, source, text,
-        |         list_filter(regexp_split_to_array(text, '\s+'),
-        |             x -> x <> '') AS tk,
-        |         ' ' || lower(text) || ' ' AS pt,
-        |         md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
-        |           AS fingerprint
-        |  FROM documents),
+      s"""WITH $langPredCtesSql,
+         |t AS (
+         |  SELECT doc_id, source, text,
+         |         list_filter(regexp_split_to_array(text, '\\s+'),
+         |             x -> x <> '') AS tk,
+         |         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+         |           AS fingerprint
+         |  FROM documents),
         |s AS (
         |  SELECT doc_id, source, fingerprint, len(tk) AS n_tokens,
         |    CASE WHEN len(tk) > 0
@@ -3644,39 +3645,17 @@ object QueriesScale {
         |         THEN CAST(length(regexp_replace(text,
         |                '[^[:punct:]]', '', 'g')) AS DOUBLE)
         |              / length(text)
-        |         END AS punct_ratio,
-        |    (length(pt) - length(replace(pt, ' the ', ''))) / 5
-        |    + (length(pt) - length(replace(pt, ' and ', ''))) / 5
-        |    + (length(pt) - length(replace(pt, ' of ', ''))) / 4 AS s_en,
-        |    (length(pt) - length(replace(pt, ' el ', ''))) / 4
-        |    + (length(pt) - length(replace(pt, ' la ', ''))) / 4
-        |    + (length(pt) - length(replace(pt, ' que ', ''))) / 5 AS s_es,
-        |    (length(pt) - length(replace(pt, ' le ', ''))) / 4
-        |    + (length(pt) - length(replace(pt, ' la ', ''))) / 4
-        |    + (length(pt) - length(replace(pt, ' et ', ''))) / 4 AS s_fr,
-        |    (length(pt) - length(replace(pt, ' der ', ''))) / 5
-        |    + (length(pt) - length(replace(pt, ' und ', ''))) / 5
-        |    + (length(pt) - length(replace(pt, ' die ', ''))) / 5 AS s_de
+        |         END AS punct_ratio
         |  FROM t),
         |u AS (
         |  SELECT doc_id, source, fingerprint, n_tokens,
-        |         CASE WHEN GREATEST(s_en, s_es, s_fr, s_de) <= 0
-        |              THEN 'und'
-        |              WHEN s_en = GREATEST(s_en, s_es, s_fr, s_de)
-        |              THEN 'en'
-        |              WHEN s_es = GREATEST(s_en, s_es, s_fr, s_de)
-        |              THEN 'es'
-        |              WHEN s_fr = GREATEST(s_en, s_es, s_fr, s_de)
-        |              THEN 'fr'
-        |              WHEN s_de = GREATEST(s_en, s_es, s_fr, s_de)
-        |              THEN 'de'
-        |              ELSE 'und' END AS predicted_lang,
+        |         lpred.predicted_lang,
         |         CAST(floor(round(
         |             0.5 * LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
         |             + 0.3 * (1.0 - abs(COALESCE(stop_ratio, 0.0) - 0.4))
         |             + 0.2 * (1.0 - COALESCE(punct_ratio, 0.0)), 6)
         |           * 1e6 + 0.5) AS BIGINT) AS q_units
-        |  FROM s),
+        |  FROM s JOIN lpred USING (doc_id)),
         |r AS (
         |  SELECT *, row_number() OVER (
         |      PARTITION BY fingerprint ORDER BY doc_id ASC) = 1

@@ -40,38 +40,58 @@ class TextForecastSpec extends SparkSpec {
     assert(approx(r.getAs[Double]("nat"), 5.0 / 8.0))
   }
 
-  test("langId votes by marker words with first-wins ties") {
+  test("langId trigram cosine: clear text, compounds, short text") {
+    // clear-language fixtures, plus the marker-word failure cases the
+    // r5 verdict called out: German compounds / French plurals /
+    // Spanish text containing NO marker word as a standalone token
+    // (the old vote returned 'und' for all three), and short text
     val df = Seq(
-      "the cat and the dog of the house",
-      "le chat et la maison",
-      "der hund und die katze",
-      "xyz qqq www"
+      "the cat and the dog of the house",  // en, both designs
+      "le chat et la maison",              // fr, both designs
+      "der hund und die katze",            // de, both designs
+      "xyz qqq www",                       // no profile hits -> und
+      "schneller verstehen",               // de compounds; marker: und
+      "les enfants chantent ensemble",     // fr plural; marker: und
+      "buenos dias a todos los vecinos",   // es no-marker; marker: und
+      "the cat"                            // short en
     ).toDF("text").select(TextAnalysis.langId($"text").as("l"))
     assert(df.collect().map(_.getString(0)).toSeq ==
-      Seq("en", "fr", "de", "und"))
+      Seq("en", "fr", "de", "und", "de", "fr", "es", "en"))
   }
 
-  test("property: native langId matches the replace-count oracle " +
-      "formula on random marker soups") {
-    // differential check of the native expression against an
-    // INDEPENDENT model implementing the oracle's arithmetic:
-    // count(m) = (len(p) - len(p.replace(m, ""))) / len(m) over the
-    // padded lowercase text, greatest with first-wins ties, 'und' on 0
-    val gen = org.scalacheck.Gen.listOfN(12, org.scalacheck.Gen.oneOf(
+  test("property: native langId matches an independent trigram-cosine " +
+      "model on random mixed-language soups") {
+    // differential check of the packed-long native expression against
+    // an INDEPENDENT String-keyed model of the same contract: count
+    // all length-3 windows of ' '+lower(text)+' ', integer dot with
+    // each profile, one rounded float cosine, strict-> argmax with
+    // first-wins ties, 'und' when no profile trigram hits
+    import graft.functions.PortableRound
+    val gen = org.scalacheck.Gen.listOfN(10, org.scalacheck.Gen.oneOf(
       "the", "and", "of", "el", "la", "que", "le", "et", "der", "und",
-      "die", "cat", "DOG", "xyz", "the", "la"))
+      "die", "cat", "DOG", "xyz", "niño", "straße", "l'eau", "q",
+      "entwicklung", "information", "", "2.5", "---"))
       .map(_.mkString(" "))
     def model(text: String): String = {
       val p = " " + text.toLowerCase(java.util.Locale.ROOT) + " "
-      val scores = TextAnalysis.defaultMarkers.map { case (lang, ms) =>
-        lang -> ms.map(m =>
-          (p.length - p.replace(m, "").length) / m.length).sum
+      val counts = (0 to p.length - 3).map(i => p.substring(i, i + 3))
+        .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val n2 = counts.values.map(v => v * v).sum
+      val scores = TextAnalysis.defaultTrigramProfiles.map {
+        case (lang, prof) =>
+          val dot = prof.map { case (t, w) =>
+            counts.getOrElse(t, 0L) * w }.sum
+          val l2 = prof.map(tw => tw._2.toDouble * tw._2).sum
+          lang -> (if (dot > 0)
+            PortableRound.proundScala(
+              dot.toDouble / math.sqrt(n2.toDouble * l2), 6)
+          else 0.0)
       }
       val best = scores.map(_._2).max
       if (best <= 0) "und"
       else scores.find(_._2 == best).get._1
     }
-    val texts = Iterator.continually(gen.sample).flatten.take(60).toSeq
+    val texts = Iterator.continually(gen.sample).flatten.take(80).toSeq
     val got = texts.toDF("text")
       .select(TextAnalysis.langId($"text").as("l"))
       .collect().map(_.getString(0)).toSeq
