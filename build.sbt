@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench-artifact hygiene (r5 verdict item 6): the driver parses the
+// FINAL line of combined output as the headline JSON. StdoutOutput
+// passes the forked JVM's stdout through verbatim (no "[info] "
+// prefix), and showSuccess=false drops the "[success] Total time"
+// trailer that previously printed AFTER the headline.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// the lint can't see command-level reads of showSuccess; scope
+// fallback (Project -> ThisBuild -> Global) does apply it
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
