@@ -501,8 +501,14 @@ object QueriesScale {
     // the structure of a billion-vector RAM-resident index.
     "q62_ivfpq_topk" -> q { (spark, dir) =>
       val v = vecs(spark, dir)
+      // TRAINED coarse quantizer (r5 verdict item 4): distributed
+      // fitIvfKmeans from the deterministic kmeansInit sample; the
+      // oracle re-derives the same training relationally
+      // (trainedCentsSql), so the hash match verifies fit AND search.
+      val cents = Similarity.fitIvfKmeans(v,
+        Similarity.kmeansInit(v, 8), iters = 2)._1
       Pq.ivfAdcTopK(v, v.filter(col("vec_id") % 40 === 0),
-        Similarity.gridCentroids(8, 64), Pq.codebookLiteral(8, 16, 8),
+        cents, Pq.codebookLiteral(8, 16, 8),
         k = 5, nprobe = 4)
     },
 
@@ -625,8 +631,15 @@ object QueriesScale {
     // Similarity.fitIvfCentroids (recall-pinned in AsOfIvfSpec).
     "q36_ann_ivf" -> q { (spark, dir) =>
       val v = vecs(spark, dir)
+      // TRAINED coarse quantizer (r5 verdict item 4): the offline fit
+      // is two distributed Lloyd iterations from the deterministic
+      // data-anchored init; the online search is unchanged. The
+      // oracle re-derives the training relationally (trainedCentsSql)
+      // so the hash match verifies fit AND search end-to-end.
+      val cents = Similarity.fitIvfKmeans(v,
+        Similarity.kmeansInit(v, 8), iters = 2)._1
       Similarity.ivfTopK(v, v.filter(col("vec_id") % 40 === 0),
-          Similarity.gridCentroids(8, 64), k = 5, nprobe = 4,
+          cents, k = 5, nprobe = 4,
           roundSim = Some(6))
         .select(col("query_id"), col("neighbor_id"), col("rank"),
           col("cosine_sim"))
@@ -1880,7 +1893,10 @@ object QueriesScale {
     "q111_residual_ivfpq" -> q { (spark, dir) =>
       val v = vecs(spark, dir)
       val qv = v.filter(col("vec_id") % 40 === 0)
-      Pq.residualIvfAdcTopK(v, qv, Similarity.gridCentroids(8, 64),
+      // trained coarse quantizer, same fit as q36/q62 (r5 item 4)
+      val cents = Similarity.fitIvfKmeans(v,
+        Similarity.kmeansInit(v, 8), iters = 2)._1
+      Pq.residualIvfAdcTopK(v, qv, cents,
           Pq.codebookLiteral(8, 16, 8), k = 5, nprobe = 4)
         .select(col("query_id"), col("neighbor_id"),
           col("rank").cast("int").as("rank"), col("adc_dist"))
@@ -1986,6 +2002,71 @@ object QueriesScale {
     s"""cents(c, w, nrm) AS (
        |  SELECT * FROM (VALUES
        |      $rows) AS t(c, w, nrm))""".stripMargin
+  }
+
+  /** Trained-centroid CTE chain (r5 verdict item 4): re-derives
+    * `Similarity.fitIvfKmeans(corpus, kmeansInit(corpus, nlist),
+    * iters)` RELATIONALLY so the q36/q62/q111 oracles verify the
+    * distributed training end-to-end, not just the search. Init = the
+    * nlist vectors with the smallest md5('kmi:' || id) (kmeansInit's
+    * deterministic Forgy sample); each unrolled iteration is exactly
+    * q93's kmeansRefine SQL (cosine assignment, integer-quantized
+    * means) plus the empty-cell carry. Exposes `cents(c, w, nrm)`
+    * with w in dim order and nrm = sqrt of the IN-ORDER sum of
+    * squares — the same fold order the Spark literals use, so both
+    * engines score identical doubles.
+    */
+  private def trainedCentsSql(nlist: Int, iters: Int,
+                              dims: Int = 64): String = {
+    val init =
+      s"""cents0(c, w, nrm) AS (
+         |  SELECT rn - 1 AS c, w,
+         |         sqrt(list_sum(list_transform(w, x -> x * x))) AS nrm
+         |  FROM (SELECT list_transform(embedding,
+         |               x -> CAST(x AS DOUBLE)) AS w,
+         |               row_number() OVER (
+         |                 ORDER BY md5('kmi:' || CAST(vec_id AS VARCHAR))
+         |                   ASC, CAST(vec_id AS VARCHAR) ASC) AS rn
+         |        FROM embeddings)
+         |  WHERE rn <= $nlist)"""
+    val steps = (1 to iters).map { t =>
+      val prev = s"cents${t - 1}"
+      s"""km_sc$t AS (
+         |  SELECT e.vec_id, c.c AS cell,
+         |         list_sum(list_transform(
+         |             generate_series(1, len(e.embedding)),
+         |             i -> CAST(e.embedding[i] AS DOUBLE) * c.w[i]))
+         |           / c.nrm AS s
+         |  FROM embeddings e CROSS JOIN $prev c),
+         |km_as$t AS (
+         |  SELECT vec_id, list_position(ls, list_max(ls)) - 1 AS cell
+         |  FROM (SELECT vec_id, list(s ORDER BY cell) AS ls
+         |        FROM km_sc$t GROUP BY vec_id)),
+         |km_m$t AS (
+         |  SELECT a.cell, gs.i AS i,
+         |         CAST(floor(CAST(e.embedding[gs.i] AS DOUBLE)
+         |              * 1000000.0 + 0.5) AS BIGINT) AS u
+         |  FROM embeddings e
+         |  JOIN km_as$t a USING (vec_id)
+         |  CROSS JOIN (SELECT unnest(generate_series(1, $dims)) AS i) gs),
+         |km_g$t AS (
+         |  SELECT cell, i,
+         |         round(CAST(SUM(u) AS DOUBLE) / 1000000.0 / COUNT(*), 6)
+         |           AS v
+         |  FROM km_m$t GROUP BY cell, i),
+         |km_v$t AS (
+         |  SELECT p.c AS cell, gs.i AS i, COALESCE(g.v, p.w[gs.i]) AS v
+         |  FROM $prev p
+         |  CROSS JOIN (SELECT unnest(generate_series(1, $dims)) AS i) gs
+         |  LEFT JOIN km_g$t g ON g.cell = p.c AND g.i = gs.i),
+         |cents$t(c, w, nrm) AS (
+         |  SELECT cell, list(v ORDER BY i) AS w,
+         |         sqrt(list_sum(list_transform(list(v ORDER BY i),
+         |           x -> x * x))) AS nrm
+         |  FROM km_v$t GROUP BY cell)"""
+    }
+    ((init +: steps) :+ s"cents AS (SELECT * FROM cents$iters)")
+      .mkString(",\n|")
   }
 
   /** DuckDB HLL register set of `table`.`key` — the q71 pipeline as a
@@ -2759,7 +2840,7 @@ object QueriesScale {
         |FROM agg""".stripMargin,
 
     "q62_ivfpq_topk" ->
-      s"""WITH ${centsSql(8)},
+      s"""WITH ${trainedCentsSql(8, 2)},
          |scored AS (
          |  SELECT e.vec_id, c.c AS cell,
          |         list_sum(list_transform(
@@ -3144,7 +3225,7 @@ object QueriesScale {
          |WHERE cosine_sim >= 0.35""".stripMargin,
 
     "q36_ann_ivf" ->
-      s"""WITH ${centsSql(8)},
+      s"""WITH ${trainedCentsSql(8, 2)},
          |scored AS (
          |  SELECT e.vec_id, c.c AS cell,
          |         list_sum(list_transform(
@@ -4044,7 +4125,7 @@ object QueriesScale {
     // q62's oracle with the residual step: codes fit on
     // v − centroid(cell), ADC on the query's per-probe residual.
     "q111_residual_ivfpq" ->
-      s"""WITH ${centsSql(8)},
+      s"""WITH ${trainedCentsSql(8, 2)},
          |scored AS (
          |  SELECT e.vec_id, c.c AS cell,
          |         list_sum(list_transform(

@@ -47,25 +47,32 @@ object Pq {
     (0 until m).map(s => (0 until k).map(t =>
       (0 until dsub).map(j => pqComponent(s, t, j))))
 
-  /** OFFLINE fit: seeded KMeans per subspace over the sliced
-    * subvectors — at scale this is its own job and the codebooks are
-    * persisted; the online encode never re-fits. The collect is
-    * inherent and tiny (m*k centroid subvectors).
+  /** OFFLINE fit, fully in-engine (r5 verdict item 4 — replaces the
+    * MLlib KMeans path): per subspace, iterated
+    * [[Similarity.fitIvfKmeans]] with `l2` assignment (matching the
+    * encode path's argmin-L2, [[codes]]) from the deterministic
+    * [[codebookLiteral]] init. Every exchange is codebook-sized and
+    * the only driver materialization is the k×dsub refined table per
+    * (subspace, iteration) — at scale this is its own job and the
+    * codebooks are persisted; the online encode never re-fits.
     */
   def fitCodebooks(corpus: DataFrame, m: Int, k: Int,
-                   seed: Long = 42L, vecCol: String = "embedding")
+                   iters: Int = 3, tol: Option[Double] = None,
+                   idCol: String = "vec_id", vecCol: String = "embedding")
       : Seq[Seq[Seq[Double]]] = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val dim = corpus.select(size(col(vecCol))).head().getInt(0)
     require(dim % m == 0, s"PQ: dim $dim not divisible by m=$m")
     val dsub = dim / m
+    // ONE data-anchored init selection shared across subspaces (each
+    // subspace trains on its slice of the same k sampled vectors)
+    val initVecs = Similarity.kmeansInit(corpus, k, idCol, vecCol)
     (0 until m).map { s =>
-      val sub = corpus.select(array_to_vector(
-        slice(col(vecCol), s * dsub + 1, dsub).cast("array<double>"))
-        .as("__f"))
-      new KMeans().setK(k).setSeed(seed + s).setFeaturesCol("__f")
-        .fit(sub).clusterCenters.map(_.toArray.toSeq).toSeq
+      val sub = corpus.select(col(idCol),
+        slice(col(vecCol), s * dsub + 1, dsub).as("__sub"))
+      val init = initVecs.map(_.slice(s * dsub, s * dsub + dsub))
+      Similarity.fitIvfKmeans(sub, init, iters, tol,
+        quantDp = 6, idCol = idCol, vecCol = "__sub", metric = "l2")
+        ._1.map(_.toSeq)
     }
   }
 

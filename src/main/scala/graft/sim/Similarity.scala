@@ -179,21 +179,74 @@ object Similarity {
   def gridCentroids(nlist: Int, dims: Int): Seq[Array[Double]] =
     (0 until nlist).map(c => Array.tabulate(dims)(ivfComponent(c, _)))
 
-  /** OFFLINE IVF fit: train the coarse quantizer once (seeded KMeans)
-    * and return its centroids for reuse across queries — at scale this
-    * runs as its own job and the centroids are persisted; the online
-    * path ([[ivfTopK]]) never re-fits. The collect is inherent and
-    * tiny: nlist centroid vectors.
+  /** OFFLINE IVF fit, fully in-engine (r5 verdict item 4 — replaces
+    * the MLlib KMeans path, the index family's last driver-side fit):
+    * iterated [[kmeansRefine]] from a deterministic init. Every
+    * per-iteration exchange is centroid-sized (map-side partial agg —
+    * kmeansRefine's contract) and the ONLY driver materialization is
+    * the ≤ nlist×dims refined-centroid table each round — the collect
+    * that is inherent to "return centroids", never corpus rows.
+    *
+    * Deterministic and engine-reproducible: integer-quantized means
+    * (kmeansRefine) from a literal init — the same fit is expressible
+    * as unrolled SQL, which is how q36/q62/q111's oracles re-derive
+    * the trained centroids independently.
+    *
+    * `tol` gates convergence post-hoc: stop after the iteration whose
+    * max component shift (already 6-dp-quantized) is ≤ tol. Empty
+    * cells keep their previous centroid. Returns (centroids,
+    * iterations actually run).
     */
-  def fitIvfCentroids(corpus: DataFrame, nlist: Int, seed: Long = 42L,
-                      vecCol: String = "embedding"): Seq[Array[Double]] = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val withFeatures = corpus.withColumn("__f",
-      array_to_vector(col(vecCol)))
-    val model = new KMeans().setK(nlist).setSeed(seed)
-      .setFeaturesCol("__f").fit(withFeatures)
-    model.clusterCenters.map(_.toArray).toSeq
+  /** Deterministic data-anchored (Forgy-style) k-means init: the `k`
+    * corpus vectors with the smallest `md5("kmi:" || id)` — an
+    * engine-reproducible uniform sample (the q98 'cbs:' discipline),
+    * cell order = md5 order. One codebook-sized collect (k rows via
+    * TakeOrdered — never the corpus). Data-anchored init is what
+    * makes Lloyd from-literals competitive: the md5 grid literals
+    * land far from the data manifold and 2-3 iterations can't walk
+    * them in.
+    */
+  def kmeansInit(corpus: DataFrame, k: Int, idCol: String = "vec_id",
+                 vecCol: String = "embedding"): Seq[Array[Double]] = {
+    corpus
+      .select(col(idCol).cast("string").as("__id"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .orderBy(md5(concat(lit("kmi:"), col("__id"))).asc,
+        col("__id").asc)
+      .limit(k)
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+      .toSeq
+  }
+
+  def fitIvfKmeans(corpus: DataFrame, init: Seq[Array[Double]],
+                   iters: Int, tol: Option[Double] = None,
+                   quantDp: Int = 6, idCol: String = "vec_id",
+                   vecCol: String = "embedding",
+                   metric: String = "cosine")
+      : (Seq[Array[Double]], Int) = {
+    require(iters >= 1, "fitIvfKmeans: iters must be >= 1")
+    var cur = init.map(_.clone())
+    var done = 0
+    var stop = false
+    while (done < iters && !stop) {
+      val refined = kmeansRefine(corpus, cur, idCol, vecCol, quantDp,
+          metric)
+        .select(col("cell"), col("dim"), col("centroid_value"),
+          col("shift"))
+        .collect()
+      val next = cur.map(_.clone()).toArray
+      var maxShift = 0.0
+      refined.foreach { r =>
+        next(r.getAs[Int]("cell"))(r.getAs[Int]("dim")) =
+          r.getAs[Double]("centroid_value")
+        maxShift = math.max(maxShift, r.getAs[Double]("shift"))
+      }
+      cur = next.toSeq
+      done += 1
+      if (tol.exists(maxShift <= _)) stop = true
+    }
+    (cur, done)
   }
 
   /** IVF (inverted-file) ANN, ONLINE path: assign → probe → rescore
@@ -222,6 +275,25 @@ object Similarity {
   /** First index achieving the max score — ties to the lowest cell. */
   private[sim] def cellOf(scores: Column): Column =
     (array_position(scores, array_max(scores)) - 1).cast("int")
+
+  /** Per-cell squared L2 distances Σ_i (v_i − c_i)² over the centroid
+    * LITERALS, summed in dim order (portable) — the assignment metric
+    * PQ codebook training uses, matching the encode path's argmin-L2
+    * ([[Pq.codes]]).
+    */
+  private[sim] def centroidL2(vec: Column,
+                              centroids: Seq[Array[Double]]): Column =
+    array(centroids.map { cArr =>
+      aggregate(
+        zip_with(vec.cast("array<double>"),
+          array(cArr.toSeq.map(lit): _*),
+          (x, c) => (x - c) * (x - c)),
+        lit(0.0), (a, z) => a + z)
+    }: _*)
+
+  /** First index achieving the min distance — ties to the lowest cell. */
+  private[sim] def cellOfMin(dists: Column): Column =
+    (array_position(dists, array_min(dists)) - 1).cast("int")
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
               centroids: Seq[Array[Double]], k: Int, nprobe: Int = 4,
@@ -464,16 +536,23 @@ object Similarity {
     */
   def kmeansRefine(corpus: DataFrame, centroids: Seq[Array[Double]],
                    idCol: String = "vec_id", vecCol: String = "embedding",
-                   quantDp: Int = 6): DataFrame = {
+                   quantDp: Int = 6, metric: String = "cosine"): DataFrame = {
     import graft.functions.PortableRound.pround
     require(centroids.nonEmpty, "kmeansRefine: centroids must be non-empty")
+    require(metric == "cosine" || metric == "l2",
+      s"kmeansRefine: metric must be cosine or l2, got $metric")
     val unit = math.pow(10.0, quantDp)
+    // assignment rule matches the online path it trains for: cosine
+    // (IVF cell routing, cellOf) or squared-L2 (PQ encode, Pq.codes)
+    val assign: Column => Column =
+      if (metric == "cosine") v => cellOf(centroidScores(v, centroids))
+      else v => cellOfMin(centroidL2(v, centroids))
     // parallelism spread for the per-row scoring (single-row-group
     // parquet reads as one split); collapses with an upstream
     // repartition on the same key
     val assigned = corpus.select(col(idCol), col(vecCol))
       .repartition(col(idCol))
-      .withColumn("cell", cellOf(centroidScores(col(vecCol), centroids)))
+      .withColumn("cell", assign(col(vecCol)))
     val exploded = assigned
       .select(col("cell"), posexplode(col(vecCol)).as(Seq("dim", "__x")))
       .select(col("cell"), col("dim"),

@@ -42,10 +42,10 @@ class AnnRecallSpec extends SparkSpec {
     val truth = Similarity
       .bruteForceTopKL2(v, qv, k, roundDist = Some(6))
       .select(col("query_id"), col("neighbor_id"))
-    // production path: offline KMeans codebooks (seed pinned), ADC
-    // over the full code table — isolates quantization loss from
-    // routing loss
-    val cb = Pq.fitCodebooks(v, m = 8, k = 16, seed = 42L)
+    // production path: offline in-engine codebook fit (deterministic
+    // init, iterated kmeansRefine), ADC over the full code table —
+    // isolates quantization loss from routing loss
+    val cb = Pq.fitCodebooks(v, m = 8, k = 16)
     val codes = v
       .withColumn("__d", Pq.distances(col("embedding"), cb))
       .select(col("vec_id"), Pq.codes(col("__d")).as("pq_codes"))
@@ -54,7 +54,7 @@ class AnnRecallSpec extends SparkSpec {
     val nTruth = truth.count()
     val nHits = truth.join(approx, Seq("query_id", "neighbor_id")).count()
     val recall = nHits.toDouble / nTruth
-    // measured ~0.28 with MLlib KMeans seed 42 (aggressive 32x
+    // measured ~0.28 with the in-engine L2 fit (aggressive 32x
     // compression: 64 float dims -> 8 byte codes); floor well under
     assert(nTruth == 65)
     assert(recall >= 0.15,

@@ -51,7 +51,7 @@ class PqSpec extends SparkSpec {
     // squared-L2 top-k. PQ with m=8 subspaces over 64 dims is lossy by
     // design, and the synthetic embeddings are near-uniform (little
     // cluster structure for KMeans to exploit), so absolute recall is
-    // modest: the seeded fit measures 0.292 here vs a random-guess
+    // modest: the deterministic fit measures ~0.29 here vs a random-guess
     // baseline of k/corpus ≈ 0.02. The floor is pinned just under the
     // deterministic measured value; a real regression (wrong codes,
     // wrong subspace slicing, ADC distance bug) craters recall toward
