@@ -124,6 +124,15 @@ object QueriesScale {
        |              ELSE 'und' END AS predicted_lang
        |  FROM lp_p LEFT JOIN lp_piv USING (doc_id))"""
 
+  /** Hex of the 4×2 PPM header the q68 AVI frames carry — generated
+    * from the actual encoder so the oracle constant cannot drift.
+    */
+  private lazy val ppmHeaderHex42: String = {
+    import graft.multimodal.Multimodal.Ppm
+    Ppm.encode(Ppm.Image(4, 2, new Array[Byte](24))).take(11)
+      .map("%02x".format(_)).mkString
+  }
+
   /** The q21 composite quality score (6-dp rounded) over a `st`
     * TextStats struct column — shared by q21/q88/q90 so the formula
     * cannot drift between the scoring, survivor-selection, and
@@ -692,17 +701,18 @@ object QueriesScale {
           col("n_dups"))
     },
 
-    // Video-shaped frame sampling over the scale-proportional asset
-    // table: every stride-th fixed-size chunk becomes a frame row
-    // (the container-demux stub behind the mapPartitions seam). One
-    // row per sampled frame — the flatMap explode shape a real
-    // demuxer has; no shuffle, output ∝ SF. Frame content is pinned
-    // by md5 over the frame's hex encoding (engine-portable).
+    // REAL video demux (r5 verdict item 5): every asset is a genuine
+    // RIFF/AVI container (Avi.encode — spec-shaped hdrl/movi/idx1) of
+    // PPM frames; sampleFrames walks the container (Avi.demux) and
+    // emits every stride-th frame. Frame bytes are a pure function of
+    // (group, frame, position), so the oracle recomputes them WITHOUT
+    // parsing AVI — the hash match proves the encode→demux round trip
+    // preserved every byte. flatMap explode shape, no shuffle,
+    // output ∝ SF.
     "q68_frame_sample" -> q { (spark, dir) =>
       import graft.multimodal.Multimodal
       Multimodal.sampleFrames(
-          Multimodal.assetsFromVectors(vecs(spark, dir)),
-          frameBytes = 64, stride = 2)
+          Multimodal.aviAssetsFromVectors(vecs(spark, dir)), stride = 2)
         .select(col("asset_id"), col("frame_idx"),
           length(col("frame_payload")).as("n_frame_bytes"),
           md5(lower(hex(col("frame_payload")))).as("frame_hash"))
@@ -2435,30 +2445,25 @@ object QueriesScale {
         |       fps[1] AS min_fp, fps[len(fps)] AS max_fp
         |FROM f""".stripMargin,
 
+    // The oracle recomputes each demuxed frame's exact bytes (PPM
+    // header + the (g, f, j) pixel function) — never parsing AVI —
+    // so the hash compare IS the container round-trip proof.
     "q68_frame_sample" ->
-      """WITH a AS (
-        |  SELECT vec_id AS asset_id, vec_id % 97 AS g,
-        |         128 + (vec_id % 97) % 64 AS n
-        |  FROM embeddings),
-        |hx AS (
-        |  SELECT asset_id, n,
-        |         lower(array_to_string(list_transform(
-        |           generate_series(0, n - 1),
-        |           j -> lpad(to_hex((g * 31 + j * 7) % 256), 2, '0')),
-        |           '')) AS h
-        |  FROM a),
-        |fr AS (
-        |  SELECT asset_id, n, h,
-        |         unnest(generate_series(0,
-        |           CAST(ceil(n / 64.0) AS BIGINT) - 1)) AS frame_idx
-        |  FROM hx)
-        |SELECT asset_id, CAST(frame_idx AS INT) AS frame_idx,
-        |       CAST(LEAST(64, n - frame_idx * 64) AS INT)
-        |         AS n_frame_bytes,
-        |       md5(substr(h, CAST(frame_idx * 128 + 1 AS INT),
-        |           CAST(LEAST(64, n - frame_idx * 64) * 2 AS INT)))
-        |         AS frame_hash
-        |FROM fr WHERE frame_idx % 2 = 0""".stripMargin,
+      s"""WITH a AS (
+         |  SELECT vec_id AS asset_id, vec_id % 97 AS g,
+         |         3 + (vec_id % 97) % 5 AS nf
+         |  FROM embeddings),
+         |fr AS (
+         |  SELECT asset_id, g,
+         |         unnest(generate_series(0, nf - 1)) AS frame_idx
+         |  FROM a)
+         |SELECT asset_id, CAST(frame_idx AS INT) AS frame_idx,
+         |       CAST(${11 + 24} AS INT) AS n_frame_bytes,
+         |       md5('$ppmHeaderHex42' || lower(array_to_string(
+         |           list_transform(generate_series(0, 23),
+         |           j -> lpad(to_hex((g * 31 + frame_idx * 13 + j * 7)
+         |                     % 256), 2, '0')), ''))) AS frame_hash
+         |FROM fr WHERE frame_idx % 2 = 0""".stripMargin,
 
     "q69_resize" ->
       """WITH a AS (
