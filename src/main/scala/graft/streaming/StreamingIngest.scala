@@ -34,6 +34,86 @@ object StreamingIngest {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
 
+  /** Exactly-once canonical sink (r5 verdict item 8): foreachBatch +
+    * a per-batch transaction manifest, composing the streaming ingest
+    * with [[graft.sources.Snapshots.compact]]'s atomic-rename
+    * discipline.
+    *
+    * Each micro-batch publishes as its own `batch=<id>` partition
+    * via write-to-tmp → ONE directory rename → marker file in
+    * `_txn/`; the marker is the COMMIT POINT. Idempotence under
+    * every crash window:
+    *   - crash before the rename: only `__tmp_batch_*` garbage
+    *     exists; replay deletes and rewrites it;
+    *   - crash between rename and marker (the torn window): the data
+    *     directory exists but is INVISIBLE to
+    *     [[readCanonicalCommitted]] (no marker); replay deletes the
+    *     orphan and republishes;
+    *   - replay of a committed batch (Spark restarts deliver the same
+    *     batchId with the same data): the marker short-circuits — the
+    *     batch publishes exactly once.
+    * Readers go through [[readCanonicalCommitted]], which loads ONLY
+    * marker-committed partitions — a reader can never observe a torn
+    * batch. (Spark's parquet sink gets this from `_spark_metadata`;
+    * this manifest keeps the canonical table readable by ANY parquet
+    * reader given the tiny `_txn` listing, and composes with
+    * `Snapshots.latest`-style merge views downstream.)
+    */
+  def toCanonicalExactlyOnce(df: DataFrame, canonicalPath: String,
+                             checkpoint: String): DataStreamWriter[Row] =
+    df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        commitBatch(batch, canonicalPath, batchId)
+      }
+
+  /** One transactional batch publish; `afterPublish` is a test seam
+    * that fires INSIDE the torn window (after the data rename, before
+    * the marker) so crash-recovery is provable in a spec.
+    */
+  private[graft] def commitBatch(batch: DataFrame, canonicalPath: String,
+                                 batchId: Long,
+                                 afterPublish: () => Unit = () => ())
+      : Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = batch.sparkSession
+    val root = new Path(canonicalPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(root, s"_txn/$batchId")
+    if (fs.exists(marker)) return // committed on a previous attempt
+    val dataDir = new Path(root, s"batch=$batchId")
+    val tmpDir = new Path(root, s"__tmp_batch_$batchId")
+    // orphans from a crash inside either window
+    fs.delete(dataDir, true)
+    fs.delete(tmpDir, true)
+    batch.write.mode("overwrite").parquet(tmpDir.toString)
+    if (!fs.rename(tmpDir, dataDir))
+      throw new java.io.IOException(
+        s"commitBatch: cannot publish $tmpDir -> $dataDir")
+    afterPublish()
+    fs.mkdirs(new Path(root, "_txn"))
+    fs.create(marker, true).close()
+  }
+
+  /** Only marker-committed batch partitions — the exactly-once view. */
+  def readCanonicalCommitted(spark: SparkSession,
+                             canonicalPath: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(canonicalPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val txn = new Path(root, "_txn")
+    val ids =
+      if (!fs.exists(txn)) Array.empty[Long]
+      else fs.listStatus(txn).map(_.getPath.getName)
+        .flatMap(n => scala.util.Try(n.toLong).toOption).sorted
+    require(ids.nonEmpty,
+      s"readCanonicalCommitted: no committed batches under $canonicalPath")
+    spark.read.parquet(
+      ids.map(i => s"$canonicalPath/batch=$i"): _*)
+  }
+
   /** Event-time tumbling/sliding window aggregate with watermark over
     * an event stream (`ts`, `event_type`, `value`) — the engine
     * capability the reference approximates with its 30-min TTL batch
