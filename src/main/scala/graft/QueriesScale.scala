@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.PortableRound.pround
+import graft.operators.FuzzyJoin
 import graft.text.TextAnalysis
 import graft.dedup.Dedup
 import graft.sim.{Pq, Similarity}
@@ -157,6 +158,16 @@ object QueriesScale {
       |         list_filter(regexp_split_to_array(text, '\s+'),
       |                     x -> x <> '') AS tk
       |  FROM documents)""".stripMargin
+
+  /** DuckDB replace-chain for the pinned BPE merge table — generated
+    * from the SAME constant `TextAnalysis.bpePieceCount` folds into
+    * the Spark plan (merge symbols are [a-z ]-only, so plain
+    * single-quoting is safe).
+    */
+  private def bpeChainSql(inner: String): String =
+    TextAnalysis.defaultBpeMerges.foldLeft(inner) { case (acc, (f, t)) =>
+      s"replace($acc, '$f', '$t')"
+    }
 
   private val sigsSql =
     s"""$toksSql,
@@ -1910,6 +1921,103 @@ object QueriesScale {
           Pq.codebookLiteral(8, 16, 8), k = 5, nprobe = 4)
         .select(col("query_id"), col("neighbor_id"),
           col("rank").cast("int").as("rank"), col("adc_dist"))
+    },
+
+    // BPE-apply tokenizer: segment every whitespace token under the
+    // pinned merge table (priority-ordered replace-all over the
+    // space-joined character form — the reference BPE application
+    // algorithm) and account pieces per document. Scale shape: the
+    // merge chain is sixteen codegen'd `replace` calls inside ONE
+    // higher-order `transform` — pure per-row string work with ZERO
+    // exchange (per-doc output, no aggregation); at 100 TB this is
+    // scan-bound and embarrassingly parallel. The merge table
+    // constant-folds into the plan; a learned 32k-merge vocabulary
+    // would swap in without changing the plan shape.
+    "q112_bpe_apply" -> q { (spark, dir) =>
+      val tks = TextAnalysis.tokens(col("text"))
+      val pieces =
+        transform(tks, w => TextAnalysis.bpePieceCount(w).cast("long"))
+      docs(spark, dir)
+        .select(col("doc_id"),
+          size(tks).cast("long").as("n_tokens"),
+          coalesce(aggregate(pieces, lit(0L), (a, x) => a + x), lit(0L))
+            .as("n_pieces"),
+          coalesce(aggregate(transform(tks, w => length(w).cast("long")),
+            lit(0L), (a, x) => a + x), lit(0L)).as("n_chars"))
+        .withColumn("pieces_per_token",
+          when(col("n_tokens") > 0,
+            pround(col("n_pieces").cast("double") / col("n_tokens"), 6)))
+    },
+
+    // Edit-distance fuzzy join: every master part name within 2 edits
+    // of a 5% probe set — the "match incoming records against the
+    // canonical entity table" shape (fuzzy entity resolution). The
+    // oracle is the naive quadratic join; the Spark plan is PassJoin
+    // (segment-signature equi-join + exact rescore — see
+    // operators/FuzzyJoin.scala for the pigeonhole argument). Scale
+    // shape: one shuffle per side with constant fan-out ((2t+1)²(t+1)
+    // keys/row worst case) instead of |probe|·|master| levenshtein
+    // calls; the signature join is a provable candidate superset, so
+    // the rescored output is EXACTLY the naive join's — which is what
+    // the hash compare proves.
+    "q113_fuzzy_join" -> q { (spark, dir) =>
+      val names = t(spark, dir, "part")
+        .select(col("p_partkey").as("k"), col("p_name").as("s"))
+        .repartition(col("k"))
+      val probe = names.filter(col("k") % 20 === 0)
+      FuzzyJoin.editDistanceJoin(probe, names, "k", "s", tau = 2,
+        excludeSelfPairs = true)
+    },
+
+    // Asymmetric containment rescore of the LSH candidates: C(a→b) =
+    // |A∩B|/|A| in both directions — catches "b embeds a" (quotes,
+    // boilerplate, eval-set leakage) that symmetric Jaccard (q70)
+    // dilutes when sizes differ. Same semi-join-prune scale shape as
+    // q70; candidate-recall caveat documented on
+    // Dedup.containmentPairs.
+    "q114_containment" -> q { (spark, dir) =>
+      Dedup.containmentPairs(docs(spark, dir), containThreshold = 0.5)
+        .select(col("id_a"), col("id_b"),
+          pround(col("c_ab"), 6).as("c_ab"),
+          pround(col("c_ba"), 6).as("c_ba"))
+    },
+
+    // Code-switch / mixed-language detection: langID per 32-token
+    // chunk, rolled up to per-doc language mix (distinct non-'und'
+    // chunk languages, dominant language by chunk count with pinned
+    // tiebreak, dominant share). Doc-level langID (q22) routes a
+    // 60/40 bilingual document wholly into its majority language and
+    // silently skews the downstream mix accounting — this is the
+    // chunk-granular view that catches it. Scale shape: chunk explode
+    // is per-row (no shuffle), langID is the native single-pass
+    // trigram expression, and the rollup is a (doc_id, lang) partial
+    // agg followed by a window over the ≤|langs| rows per doc — the
+    // corpus-sized exchange is ONE hash partition on doc_id.
+    "q115_code_switch" -> q { (spark, dir) =>
+      val ch = docs(spark, dir)
+        .select(col("doc_id"),
+          explode(TextAnalysis.tokenChunks(col("text"), 32, 32)).as("c"))
+        .select(col("doc_id"),
+          TextAnalysis.langId(concat_ws(" ", col("c.chunk_tokens")))
+            .as("chunk_lang"))
+      val per = ch.groupBy("doc_id", "chunk_lang")
+        .agg(count(lit(1)).cast("long").as("n"))
+      val tot = per.groupBy("doc_id").agg(
+        sum("n").cast("long").as("n_chunks"),
+        sum(when(col("chunk_lang") =!= "und", 1L).otherwise(0L))
+          .cast("long").as("n_langs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("n").desc, col("chunk_lang").asc)
+      val dom = per.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("chunk_lang").as("dominant_lang"),
+          col("n").as("dom_n"))
+      tot.join(dom, "doc_id")
+        .select(col("doc_id"), col("n_chunks"), col("n_langs"),
+          col("dominant_lang"),
+          pround(col("dom_n").cast("double") / col("n_chunks"), 6)
+            .as("dom_share"),
+          (col("n_langs") >= 2).as("is_mixed"))
     }
   )
 
@@ -4193,6 +4301,151 @@ object QueriesScale {
          |FROM p
          |WINDOW w AS (PARTITION BY query_id
          |             ORDER BY adc_dist ASC, neighbor_id ASC)
-         |QUALIFY row_number() OVER w <= 5""".stripMargin
+         |QUALIFY row_number() OVER w <= 5""".stripMargin,
+
+    // The merge chain is generated from the SAME Scala constant the
+    // Spark expression folds in (TextAnalysis.defaultBpeMerges) — one
+    // definition, zero drift between engines.
+    "q112_bpe_apply" ->
+      s"""WITH $toksSql,
+         |pc AS (
+         |  SELECT doc_id, tk,
+         |         list_transform(tk, w -> CAST(len(string_split(
+         |           ${bpeChainSql(
+                        "trim(regexp_replace(w, '(.)', '\\1 ', 'g'))")},
+         |           ' ')) AS BIGINT)) AS pieces
+         |  FROM toks)
+         |SELECT doc_id,
+         |       CAST(len(tk) AS BIGINT) AS n_tokens,
+         |       CAST(COALESCE(list_sum(pieces), 0) AS BIGINT)
+         |         AS n_pieces,
+         |       CAST(COALESCE(list_sum(list_transform(tk,
+         |         w -> length(w))), 0) AS BIGINT) AS n_chars,
+         |       CASE WHEN len(tk) > 0
+         |            THEN round(CAST(COALESCE(list_sum(pieces), 0)
+         |                   AS DOUBLE) / len(tk), 6)
+         |            END AS pieces_per_token
+         |FROM pc""".stripMargin,
+
+    // The naive quadratic formulation IS the spec here: DuckDB brute-
+    // forces levenshtein over the length band, Spark runs PassJoin —
+    // identical output is the point.
+    "q113_fuzzy_join" ->
+      s"""SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+         |       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+         |FROM part a JOIN part b ON b.p_partkey <> a.p_partkey
+         |WHERE a.p_partkey % 20 = 0
+         |  AND abs(length(a.p_name) - length(b.p_name)) <= 2
+         |  AND levenshtein(a.p_name, b.p_name) <= 2""".stripMargin,
+
+    // q70's candidate CTEs with the asymmetric rescore; the filter
+    // compares UNROUNDED doubles in both engines (exact int/int
+    // division — bit-identical), as q70 does.
+    "q114_containment" ->
+      s"""WITH $sigsSql,
+         |bands AS (
+         |  SELECT doc_id, sig, b.b AS band_idx,
+         |         md5(array_to_string(sig[b.b*4+1:b.b*4+4], '|'))
+         |           AS band_hash
+         |  FROM sigs CROSS JOIN (SELECT unnest([0,1,2,3]) AS b) b),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b
+         |  FROM bands a
+         |  JOIN bands bb ON a.band_idx = bb.band_idx
+         |               AND a.band_hash = bb.band_hash
+         |               AND a.doc_id < bb.doc_id),
+         |j AS (
+         |  SELECT c.id_a, c.id_b,
+         |         CASE WHEN len(sa.shl) > 0
+         |              THEN CAST(len(list_intersect(sa.shl, sb.shl))
+         |                     AS DOUBLE) / len(sa.shl)
+         |              ELSE 0.0 END AS cab,
+         |         CASE WHEN len(sb.shl) > 0
+         |              THEN CAST(len(list_intersect(sa.shl, sb.shl))
+         |                     AS DOUBLE) / len(sb.shl)
+         |              ELSE 0.0 END AS cba
+         |  FROM cand c
+         |  JOIN shd sa ON sa.doc_id = c.id_a
+         |  JOIN shd sb ON sb.doc_id = c.id_b)
+         |SELECT id_a, id_b, round(cab, 6) AS c_ab, round(cba, 6) AS c_ba
+         |FROM j WHERE greatest(cab, cba) >= 0.5""".stripMargin,
+
+    // Chunk-level twin of the q22 trigram-profile chain (same profile
+    // VALUES literals, same cosine/argmax/'und' rules), keyed by
+    // (doc_id, chunk_idx); the rollup mirrors the Spark two-level agg
+    // + pinned-tiebreak window.
+    "q115_code_switch" ->
+      s"""WITH $toksSql,
+         |ck AS (
+         |  SELECT doc_id, CAST((u.s - 1) // 32 AS INT) AS chunk_idx,
+         |         ' ' || array_to_string(tk[u.s:u.s+31], ' ') || ' '
+         |           AS pt
+         |  FROM toks, LATERAL (SELECT unnest(generate_series(
+         |    1, greatest(len(tk), 1), 32)) AS s) u),
+         |cl_tg AS (
+         |  SELECT doc_id, chunk_idx,
+         |         substr(pt, CAST(i AS INT), 3) AS t3
+         |  FROM ck, LATERAL (SELECT unnest(generate_series(
+         |    1, length(pt) - 2)) AS i) u),
+         |cl_c AS (
+         |  SELECT doc_id, chunk_idx, t3, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM cl_tg GROUP BY 1, 2, 3),
+         |cl_n2 AS (
+         |  SELECT doc_id, chunk_idx, SUM(n * n) AS nn
+         |  FROM cl_c GROUP BY 1, 2),
+         |lp_prof(plang, t3, w) AS (VALUES
+         |  $langProfileValuesSql),
+         |lp_pl(plang, l2) AS (VALUES $langProfileNormsSql),
+         |cl_d AS (
+         |  SELECT c.doc_id, c.chunk_idx, lp_prof.plang,
+         |         SUM(c.n * lp_prof.w) AS dot
+         |  FROM cl_c c JOIN lp_prof USING (t3) GROUP BY 1, 2, 3),
+         |cl_sc AS (
+         |  SELECT n2.doc_id, n2.chunk_idx, lp_pl.plang,
+         |         CASE WHEN COALESCE(d.dot, 0) > 0
+         |              THEN round(d.dot / sqrt(n2.nn * lp_pl.l2), 6)
+         |              ELSE 0 END AS s
+         |  FROM cl_n2 n2 CROSS JOIN lp_pl
+         |  LEFT JOIN cl_d d ON d.doc_id = n2.doc_id
+         |    AND d.chunk_idx = n2.chunk_idx AND d.plang = lp_pl.plang),
+         |cl_piv AS (
+         |  SELECT doc_id, chunk_idx,
+         |         MAX(CASE WHEN plang = 'en' THEN s END) AS s_en,
+         |         MAX(CASE WHEN plang = 'es' THEN s END) AS s_es,
+         |         MAX(CASE WHEN plang = 'fr' THEN s END) AS s_fr,
+         |         MAX(CASE WHEN plang = 'de' THEN s END) AS s_de
+         |  FROM cl_sc GROUP BY 1, 2),
+         |cpred AS (
+         |  SELECT ck.doc_id, ck.chunk_idx,
+         |         CASE WHEN COALESCE(
+         |                GREATEST(s_en, s_es, s_fr, s_de), 0) <= 0
+         |              THEN 'und'
+         |              WHEN s_en = GREATEST(s_en, s_es, s_fr, s_de)
+         |              THEN 'en'
+         |              WHEN s_es = GREATEST(s_en, s_es, s_fr, s_de)
+         |              THEN 'es'
+         |              WHEN s_fr = GREATEST(s_en, s_es, s_fr, s_de)
+         |              THEN 'fr'
+         |              WHEN s_de = GREATEST(s_en, s_es, s_fr, s_de)
+         |              THEN 'de'
+         |              ELSE 'und' END AS chunk_lang
+         |  FROM ck LEFT JOIN cl_piv USING (doc_id, chunk_idx)),
+         |per AS (
+         |  SELECT doc_id, chunk_lang, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM cpred GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_chunks,
+         |         CAST(SUM(CASE WHEN chunk_lang <> 'und'
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_langs
+         |  FROM per GROUP BY 1),
+         |dom AS (
+         |  SELECT doc_id, chunk_lang AS dominant_lang, n,
+         |         row_number() OVER (PARTITION BY doc_id
+         |           ORDER BY n DESC, chunk_lang ASC) AS rn
+         |  FROM per)
+         |SELECT t.doc_id, t.n_chunks, t.n_langs, d.dominant_lang,
+         |       round(CAST(d.n AS DOUBLE) / t.n_chunks, 6) AS dom_share,
+         |       (t.n_langs >= 2) AS is_mixed
+         |FROM tot t JOIN dom d ON d.doc_id = t.doc_id AND d.rn = 1""".stripMargin
   )
 }

@@ -248,6 +248,57 @@ object Dedup {
     when(uni > 0, inter / uni).otherwise(lit(0.0))
   }
 
+  /** Directional shingle containment C(a→b) = |A ∩ B| / |A| — the
+    * asymmetric twin of Jaccard. A short document quoted wholesale
+    * inside a long one scores ~1.0 here while its Jaccard (≈|A|/|B|)
+    * vanishes — the signal that separates "b embeds a" (licensing /
+    * boilerplate / eval-set quotes) from "a and b are near-equal".
+    */
+  def containment(shinglesA: Column, shinglesB: Column): Column = {
+    val a = array_distinct(shinglesA)
+    val b = array_distinct(shinglesB)
+    when(size(a) > 0,
+      size(array_intersect(a, b)).cast("double") / size(a))
+      .otherwise(lit(0.0))
+  }
+
+  /** Containment rescore of the MinHash-LSH candidate pairs: both
+    * directions (c_ab = share of a inside b, c_ba the reverse), kept
+    * when either direction clears `containThreshold`. Same
+    * semi-join-prune-then-rescore scale shape as [[nearDuplicates]] —
+    * only candidate docs build/shuffle shingle arrays.
+    *
+    * Candidate recall caveat, stated rather than hidden: banded
+    * MinHash collision probability tracks JACCARD, so a subset pair
+    * with wildly different sizes (tiny Jaccard despite containment
+    * ~1) can miss candidacy; exhaustive containment search needs a
+    * bottom-k/containment-LSH signature. On corpora whose docs are
+    * within a size decade of each other (this one; most curated text
+    * sources) the banded candidates cover the containment pairs that
+    * matter, and the rescore is exact on every candidate.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text", k: Int = 16,
+                       bands: Int = 4, shingleSize: Int = 3,
+                       containThreshold: Double = 0.6): DataFrame = {
+    val cands = minhashPairs(docs, idCol, textCol, k, bands, shingleSize,
+      threshold = 0.0)
+    val candIds = cands
+      .select(explode(array(col("id_a"), col("id_b"))).as(idCol))
+      .distinct()
+    val sh = docs.join(candIds, Seq(idCol), "left_semi")
+      .select(col(idCol),
+        array_distinct(TextAnalysis.shingles(col(textCol), shingleSize))
+          .as("sh"))
+    cands
+      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        containment(col("sh_a"), col("sh_b")).as("c_ab"),
+        containment(col("sh_b"), col("sh_a")).as("c_ba"))
+      .filter(greatest(col("c_ab"), col("c_ba")) >= containThreshold)
+  }
+
   /** Duplicate-cluster resolution: connected components over a
     * near-dup pair graph, labeling every member with the MINIMUM id in
     * its component (the canonical "keep" doc). This is the step AFTER

@@ -120,6 +120,39 @@ object TextAnalysis {
   def bpeTokenCount(text: Column): Column =
     regexp_count(text, lit(bpeishPattern))
 
+  /** Pinned BPE merge table, priority order. Each entry merges the
+    * space-separated symbol pair on the left into the single symbol on
+    * the right, applied replace-all over the space-joined character
+    * representation of one word — the standard fast application of a
+    * learned merge list (Sennrich et al. 2016 reference
+    * implementation applies merges the same way: per rank, all
+    * occurrences). The table is a fixed literal so the DuckDB oracle
+    * replays the identical chain and the segmentation is
+    * engine-portable; a production run would substitute its learned
+    * vocabulary, the plan shape is unchanged.
+    */
+  val defaultBpeMerges: Seq[(String, String)] = Seq(
+    "t h" -> "th", "th e" -> "the", "i n" -> "in", "a n" -> "an",
+    "r o" -> "ro", "ro w" -> "row", "o w" -> "ow", "v a" -> "va",
+    "va l" -> "val", "val u" -> "valu", "valu e" -> "value",
+    "s t" -> "st", "f a" -> "fa", "fa st" -> "fast",
+    "e y" -> "ey", "k ey" -> "key")
+
+  /** One word → its BPE piece count under `merges`: split to
+    * space-joined characters, then fold the merge chain (each step one
+    * codegen'd `replace`), then count remaining symbols. Pure per-row
+    * string work — whole-stage codegen, zero exchange.
+    */
+  def bpePieceCount(word: Column,
+                    merges: Seq[(String, String)] = defaultBpeMerges)
+      : Column = {
+    val chars = trim(regexp_replace(word, "(.)", "$1 "))
+    val merged = merges.foldLeft(chars) { case (acc, (from, to)) =>
+      call_function("replace", acc, lit(from), lit(to))
+    }
+    size(split(merged, " "))
+  }
+
   /** Document fingerprint: md5 of the whitespace-normalized, lowercased
     * text. Identical content ⇒ identical fingerprint regardless of
     * spacing/case — the key for exact dedup.

@@ -426,4 +426,39 @@ class DedupSimilaritySpec extends SparkSpec {
       new Directory(new java.io.File(dir)).deleteRecursively()
     }
   }
+
+  test("containment is asymmetric where jaccard is diluted") {
+    // doc 11's shingles are a strict subset of doc 10's: containment
+    // 11→10 is exactly 1.0 while jaccard is |A|/|B| < 0.5 — the quote
+    // case symmetric similarity misses.
+    val quoted = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota " +
+        "kappa lambda mu nu xi omicron pi rho sigma tau"),
+      (11L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (12L, "totally unrelated text about query planners and shuffles")
+    ).toDF("doc_id", "text")
+    val sh = TextAnalysis.shingles(col("text"), 3)
+    val pair = quoted.filter($"doc_id" === 10L)
+      .select(sh.as("sh_b")).crossJoin(
+        quoted.filter($"doc_id" === 11L).select(sh.as("sh_a")))
+    val r = pair.select(
+      Dedup.containment($"sh_a", $"sh_b").as("c_ab"),
+      Dedup.containment($"sh_b", $"sh_a").as("c_ba"),
+      Dedup.jaccard($"sh_a", $"sh_b").as("jac")).collect().head
+    assert(approx(r.getAs[Double]("c_ab"), 1.0))
+    assert(r.getAs[Double]("c_ba") < 0.5)
+    assert(r.getAs[Double]("jac") < 0.5)
+    // operator surface: a prefix-subset pair (13 ⊂ 10, high enough
+    // jaccard to band-collide) survives a containment threshold that
+    // its smaller-side jaccard direction would not clear, and the
+    // unrelated doc stays out
+    val corpus = quoted.union(Seq(
+      (13L, "alpha beta gamma delta epsilon zeta eta theta iota " +
+        "kappa lambda mu nu xi omicron pi rho")).toDF("doc_id", "text"))
+    val pairs = Dedup.containmentPairs(corpus, containThreshold = 0.99)
+      .collect().map(r2 => (r2.getLong(0), r2.getLong(1)))
+    assert(pairs.contains((10L, 13L)) || pairs.contains((13L, 10L)),
+      s"subset pair missing from $pairs")
+    assert(!pairs.exists { case (a, b) => a == 12L || b == 12L })
+  }
 }

@@ -215,4 +215,41 @@ class TextForecastSpec extends SparkSpec {
       .collect().map(_.getString(0)).distinct
     assert(viaSql.toSeq == Seq("caf\u00e9 du monde"))
   }
+
+  test("BPE apply: piece counts under the pinned merge table") {
+    // hand-applied chain (priority order, replace-all per merge):
+    //   the    t h e -> th e -> the                      = 1 piece
+    //   value  v a l u e -> va -> val -> valu -> value   = 1
+    //   row    r o w -> ro w -> row                      = 1
+    //   fast   f a s t -> (s t) f a st -> fa st -> fast  = 1
+    //   key    k e y -> (e y) k ey -> key                = 1
+    //   window w i n d o w -> w in d o w -> w in d ow    = 4
+    //   scan   s c a n -> s c an                         = 3
+    //   a      single char, no merge                     = 1
+    val expect = Map("the" -> 1, "value" -> 1, "row" -> 1, "fast" -> 1,
+      "key" -> 1, "window" -> 4, "scan" -> 3, "a" -> 1)
+    val got = expect.keys.toSeq.toDF("w")
+      .select($"w", TextAnalysis.bpePieceCount($"w").as("n"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got == expect)
+    // a reference scalar implementation of the same chain, fuzzed over
+    // random lowercase words \u2014 guards the column expression against
+    // regex/replace edge cases (overlaps resolve leftmost-first in
+    // both paths)
+    def refPieces(w: String): Int = {
+      var s = w.toCharArray.mkString(" ")
+      TextAnalysis.defaultBpeMerges.foreach { case (f, t) =>
+        s = s.replace(f, t)
+      }
+      s.split(" ").length
+    }
+    val rnd = new scala.util.Random(42)
+    val words = Seq.fill(200)(
+      (1 to (1 + rnd.nextInt(10))).map(_ =>
+        ('a' + rnd.nextInt(26)).toChar).mkString)
+    val fuzz = words.toDF("w")
+      .select($"w", TextAnalysis.bpePieceCount($"w").as("n"))
+      .collect().map(r => r.getString(0) -> r.getInt(1))
+    fuzz.foreach { case (w, n) => assert(n == refPieces(w), s"word=$w") }
+  }
 }
