@@ -2002,20 +2002,24 @@ object QueriesScale {
             .as("chunk_lang"))
       val per = ch.groupBy("doc_id", "chunk_lang")
         .agg(count(lit(1)).cast("long").as("n"))
-      val tot = per.groupBy("doc_id").agg(
-        sum("n").cast("long").as("n_chunks"),
-        sum(when(col("chunk_lang") =!= "und", 1L).otherwise(0L))
-          .cast("long").as("n_langs"))
-      val w = Window.partitionBy(col("doc_id"))
+      // totals + argmax as windows over the SAME per-lang frame (≤
+      // |langs| rows per doc): one subtree, so the chunk explode and
+      // the (doc_id, lang) aggregate run exactly once — a tot⋈dom
+      // two-consumer shape would re-derive the explode on both sides
+      // (the tokenize-once discipline PlanAuditSpec enforces)
+      val wDoc = Window.partitionBy(col("doc_id"))
+      val wOrd = Window.partitionBy(col("doc_id"))
         .orderBy(col("n").desc, col("chunk_lang").asc)
-      val dom = per.withColumn("rn", row_number().over(w))
+      per
+        .withColumn("n_chunks", sum("n").over(wDoc).cast("long"))
+        .withColumn("n_langs",
+          sum(when(col("chunk_lang") =!= "und", 1L).otherwise(0L))
+            .over(wDoc).cast("long"))
+        .withColumn("rn", row_number().over(wOrd))
         .filter(col("rn") === 1)
-        .select(col("doc_id"), col("chunk_lang").as("dominant_lang"),
-          col("n").as("dom_n"))
-      tot.join(dom, "doc_id")
         .select(col("doc_id"), col("n_chunks"), col("n_langs"),
-          col("dominant_lang"),
-          pround(col("dom_n").cast("double") / col("n_chunks"), 6)
+          col("chunk_lang").as("dominant_lang"),
+          pround(col("n").cast("double") / col("n_chunks"), 6)
             .as("dom_share"),
           (col("n_langs") >= 2).as("is_mixed"))
     }

@@ -304,4 +304,43 @@ class PlanAuditSpec extends SparkSpec {
       v.fold(conf.unset(k))(conf.set(k, _))
     }
   }
+
+  test("BPE apply is scan-shaped: no join, no explode, one exchange") {
+    val p = plan("q112_bpe_apply")
+    assert(!p.contains("Join"), p.take(2000))
+    assert("(?m)^\\W*(\\*\\(\\d+\\)\\s*)?Generate\\b".r
+      .findFirstIn(p).isEmpty, p.take(2000))
+    // the only exchange is the docs() parallelism repartition — the
+    // merge chain itself adds zero shuffles
+    val nXchg = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("ReusedExchange") &&
+        !l.contains("BroadcastExchange"))
+    assert(nXchg <= 1, s"expected <=1 exchange, plan:\n${p.take(3000)}")
+  }
+
+  test("fuzzy join candidates come from a segment equi-join") {
+    // PassJoin's point: the candidate step must be a shuffled
+    // equi-join on (seg, i, m); nested loops may appear ONLY in the
+    // short-string residual branches (broadcast, empty on this data).
+    val p = plan("q113_fuzzy_join")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p.take(3000))
+    val nBnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(nBnlj <= 2,
+      s"expected <=2 residual nested loops, got $nBnlj:\n${p.take(3000)}")
+  }
+
+  test("code-switch chunks explode once and langId stays native") {
+    val conf = spark.conf
+    val saved = conf.getOption("spark.sql.adaptive.enabled")
+    try {
+      conf.set("spark.sql.adaptive.enabled", "false")
+      val p = plan("q115_code_switch")
+      val nGen =
+        "(?m)^\\W*(\\*\\(\\d+\\)\\s*)?Generate\\b".r.findAllIn(p).length
+      assert(nGen == 1, s"expected 1 Generate, got $nGen:\n${p.take(3000)}")
+      assert(p.toLowerCase.contains("langid"), p.take(2000))
+    } finally saved.fold(conf.unset("spark.sql.adaptive.enabled"))(
+      conf.set("spark.sql.adaptive.enabled", _))
+  }
 }
