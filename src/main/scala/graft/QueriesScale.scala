@@ -169,6 +169,21 @@ object QueriesScale {
       s"replace($acc, '$f', '$t')"
     }
 
+  /** q117 pixel-byte formula (DuckDB twin of
+    * `Multimodal.ppmAssetsNearDup`'s scramble — integer-exact in both
+    * engines; `seed`/`v` come from the img CTE).
+    */
+  private def dhashPxSql(kExpr: String): String =
+    s"((seed * (($kExpr) + 3) * 2654435761) % 256" +
+      s" + CASE WHEN ($kExpr) % 17 = v THEN 40 ELSE 0 END) % 256"
+
+  /** q117 dHash bit j from the 72-entry row-major gray list `gl`
+    * (1-based list indexing: cell (r, c) lives at gl[r*9 + c + 1]).
+    */
+  private def dhashBitSql(j: String): String =
+    s"(CASE WHEN gl[(($j)//8)*9 + (($j)%8) + 2]" +
+      s" > gl[(($j)//8)*9 + (($j)%8) + 1] THEN 1 ELSE 0 END)"
+
   private val sigsSql =
     s"""$toksSql,
        |sh AS (
@@ -1949,22 +1964,30 @@ object QueriesScale {
             pround(col("n_pieces").cast("double") / col("n_tokens"), 6)))
     },
 
-    // Edit-distance fuzzy join: every master part name within 2 edits
-    // of a 5% probe set — the "match incoming records against the
-    // canonical entity table" shape (fuzzy entity resolution). The
-    // oracle is the naive quadratic join; the Spark plan is PassJoin
-    // (segment-signature equi-join + exact rescore — see
-    // operators/FuzzyJoin.scala for the pigeonhole argument). Scale
-    // shape: one shuffle per side with constant fan-out ((2t+1)²(t+1)
-    // keys/row worst case) instead of |probe|·|master| levenshtein
-    // calls; the signature join is a provable candidate superset, so
-    // the rescored output is EXACTLY the naive join's — which is what
-    // the hash compare proves.
+    // Edit-distance fuzzy join: every document whose normalized
+    // 40-char prefix is within 2 edits of a 20% probe set — the "match
+    // incoming records against the canonical table" shape (fuzzy
+    // entity resolution / near-key matching). The oracle is the naive
+    // quadratic join; the Spark plan is PassJoin (segment-signature
+    // equi-join + exact rescore — see operators/FuzzyJoin.scala for
+    // the pigeonhole argument). Scale shape: one shuffle per side
+    // with constant fan-out ((2t+1)²(t+1) keys/row worst case)
+    // instead of |probe|·|master| levenshtein calls; the signature
+    // join is a provable candidate superset, so the rescored output
+    // is EXACTLY the naive join's — which is what the hash compare
+    // proves. Keyed on diverse 40-char doc prefixes (true matches =
+    // the corpus's engineered dup/near-dup structure, density flat in
+    // SF) rather than the 7-12-char part names, whose tiny string
+    // space makes EVERY name thousands of true ≤2-edit partners at
+    // scale — a quadratic OUTPUT no join algorithm can make linear
+    // (sf1 rehearsal: 17× wall at 10× data on names, linear on
+    // prefixes).
     "q113_fuzzy_join" -> q { (spark, dir) =>
-      val names = t(spark, dir, "part")
-        .select(col("p_partkey").as("k"), col("p_name").as("s"))
-        .repartition(col("k"))
-      val probe = names.filter(col("k") % 20 === 0)
+      val names = docs(spark, dir)
+        .select(col("doc_id").as("k"),
+          substring(lower(trim(regexp_replace(col("text"), "\\s+", " "))),
+            1, 40).as("s"))
+      val probe = names.filter(col("k") % 5 === 0)
       FuzzyJoin.editDistanceJoin(probe, names, "k", "s", tau = 2,
         excludeSelfPairs = true)
     },
@@ -2022,6 +2045,75 @@ object QueriesScale {
           pround(col("n").cast("double") / col("n_chunks"), 6)
             .as("dom_share"),
           (col("n_langs") >= 2).as("is_mixed"))
+    },
+
+    // Group-aware train/val/test split with a leakage guard: the
+    // split key is the dedup FINGERPRINT, not the doc id, so every
+    // exact-duplicate group lands wholly in one split — the naive
+    // per-doc split silently puts a train doc's verbatim twin in test
+    // and inflates eval. Output: per-split docs/groups/tokens plus
+    // how many of its groups the naive doc-id split would have torn
+    // across splits (the leakage being prevented, quantified). Scale
+    // shape: per-row native fingerprint/stats/hash-split, ONE corpus
+    // exchange (the fingerprint group agg), then a |splits|-row
+    // rollup; split membership is a pure function of (key, salt) —
+    // stable under repartitioning, re-runs, and new data.
+    "q116_group_split" -> q { (spark, dir) =>
+      import graft.sampling.Sampling
+      import graft.text.TextStatsExpression.textStats
+      val bounds = Seq("train" -> 0.8, "val" -> 0.9, "test" -> 1.0)
+      val base = docs(spark, dir)
+        .withColumn("st", textStats(col("text")))
+        .select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fp"),
+          col("st.n_tokens").cast("long").as("n_toks"))
+        .withColumn("split",
+          Sampling.assignSplit(col("fp"), bounds, "gsplit"))
+        .withColumn("naive_split",
+          Sampling.assignSplit(col("doc_id"), bounds, "gsplit"))
+      val grp = base.groupBy(col("fp"), col("split"))
+        .agg(count(lit(1)).cast("long").as("g_docs"),
+          sum("n_toks").cast("long").as("g_toks"),
+          countDistinct(col("naive_split")).cast("long").as("g_naive"))
+      grp.groupBy(col("split")).agg(
+        sum("g_docs").cast("long").as("n_docs"),
+        count(lit(1)).cast("long").as("n_groups"),
+        sum("g_toks").cast("long").as("n_tokens"),
+        sum(when(col("g_naive") > 1, 1L).otherwise(0L)).cast("long")
+          .as("n_leaky_groups_naive"))
+    },
+
+    // Perceptual image near-dup (dHash): decode REAL PPM bytes,
+    // 64-bit difference hash, banded-LSH pair join + exact hamming
+    // rescore — catches near-duplicate IMAGES (re-encodes, slight
+    // edits) that exact content hashing (q110) cannot see. The
+    // oracle recomputes the hash from the pixel formula WITHOUT
+    // parsing the container, so the hash match proves
+    // encode→decode→grayscale→dhash end to end. Scale shape: decode
+    // behind the mapPartitions seam (payload bytes never shuffle —
+    // only 24-byte hash rows do), then the SAME banded equi-join +
+    // rescore as SimHash text near-dup; no all-pairs loop. hamming
+    // <= 3 would guarantee band recall by pigeonhole; 10 trades
+    // recall for variant coverage, as q47 does.
+    "q117_image_phash" -> q { (spark, dir) =>
+      import graft.multimodal.Multimodal
+      val hashed = Multimodal.imageDHash(
+        Multimodal.ppmAssetsNearDup(vecs(spark, dir)))
+      val banded = hashed.repartition(col("asset_id"))
+        .select(col("asset_id"), col("dhash"),
+          posexplode(array((0 until 4).map(b =>
+            col("dhash").substr(b * 4 + 1, 4)): _*))
+            .as(Seq("band_idx", "band_val")))
+      val a = banded.select(col("asset_id").as("id_a"),
+        col("dhash").as("h_a"), col("band_idx"), col("band_val"))
+      val bb = banded.select(col("asset_id").as("id_b"),
+        col("dhash").as("h_b"), col("band_idx"), col("band_val"))
+      a.join(bb, Seq("band_idx", "band_val"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          Dedup.simhashHamming(col("h_a"), col("h_b")).as("hamming"))
+        .filter(col("hamming") <= 10)
+        .distinct()
     }
   )
 
@@ -4335,12 +4427,17 @@ object QueriesScale {
     // forces levenshtein over the length band, Spark runs PassJoin —
     // identical output is the point.
     "q113_fuzzy_join" ->
-      s"""SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
-         |       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
-         |FROM part a JOIN part b ON b.p_partkey <> a.p_partkey
-         |WHERE a.p_partkey % 20 = 0
-         |  AND abs(length(a.p_name) - length(b.p_name)) <= 2
-         |  AND levenshtein(a.p_name, b.p_name) <= 2""".stripMargin,
+      s"""WITH n AS (
+         |  SELECT doc_id AS k,
+         |         substr(lower(trim(regexp_replace(text, '\\s+', ' ',
+         |           'g'))), 1, 40) AS s
+         |  FROM documents)
+         |SELECT a.k AS a_key, b.k AS b_key,
+         |       CAST(levenshtein(a.s, b.s) AS INT) AS dist
+         |FROM n a JOIN n b ON b.k <> a.k
+         |WHERE a.k % 5 = 0
+         |  AND abs(length(a.s) - length(b.s)) <= 2
+         |  AND levenshtein(a.s, b.s) <= 2""".stripMargin,
 
     // q70's candidate CTEs with the asymmetric rescore; the filter
     // compares UNROUNDED doubles in both engines (exact int/int
@@ -4450,6 +4547,90 @@ object QueriesScale {
          |SELECT t.doc_id, t.n_chunks, t.n_langs, d.dominant_lang,
          |       round(CAST(d.n AS DOUBLE) / t.n_chunks, 6) AS dom_share,
          |       (t.n_langs >= 2) AS is_mixed
-         |FROM tot t JOIN dom d ON d.doc_id = t.doc_id AND d.rn = 1""".stripMargin
+         |FROM tot t JOIN dom d ON d.doc_id = t.doc_id AND d.rn = 1""".stripMargin,
+
+    // Same md5-fraction split arithmetic as q63 (keyed by fingerprint
+    // / doc id respectively), same fingerprint twin as q23.
+    "q116_group_split" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |         md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+        |           AS fp,
+        |         CAST(len(list_filter(regexp_split_to_array(text,
+        |           '\s+'), x -> x <> '')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |sp AS (
+        |  SELECT doc_id, fp, n_toks,
+        |         CASE WHEN fg < 0.8 THEN 'train'
+        |              WHEN fg < 0.9 THEN 'val' ELSE 'test' END AS split,
+        |         CASE WHEN fn < 0.8 THEN 'train'
+        |              WHEN fn < 0.9 THEN 'val' ELSE 'test' END
+        |           AS naive_split
+        |  FROM (SELECT *,
+        |          CAST(('0x' || substr(md5('gsplit' || fp), 1, 8))
+        |            AS BIGINT) / 4294967296.0 AS fg,
+        |          CAST(('0x' || substr(md5('gsplit'
+        |              || CAST(doc_id AS VARCHAR)), 1, 8))
+        |            AS BIGINT) / 4294967296.0 AS fn
+        |        FROM base)),
+        |grp AS (
+        |  SELECT fp, split, CAST(COUNT(*) AS BIGINT) AS g_docs,
+        |         CAST(SUM(n_toks) AS BIGINT) AS g_toks,
+        |         CAST(COUNT(DISTINCT naive_split) AS BIGINT) AS g_naive
+        |  FROM sp GROUP BY 1, 2)
+        |SELECT split, CAST(SUM(g_docs) AS BIGINT) AS n_docs,
+        |       CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |       CAST(SUM(g_toks) AS BIGINT) AS n_tokens,
+        |       CAST(SUM(CASE WHEN g_naive > 1 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_leaky_groups_naive
+        |FROM grp GROUP BY 1""".stripMargin,
+
+    // The oracle never sees PPM bytes: it recomputes gray/bits/hex
+    // from the pixel formula (dhashPxSql — the same integer scramble
+    // the Scala builder runs), then the q47-style banded join +
+    // nibble-xor hamming. A Spark↔oracle hash match therefore proves
+    // the whole encode→decode→grayscale→dhash path bit-for-bit.
+    "q117_image_phash" ->
+      s"""WITH img AS (
+         |  SELECT vec_id AS asset_id,
+         |         CASE WHEN vec_id % 5 = 0 THEN (vec_id % 53) + 1
+         |              ELSE 54 + (vec_id % 100003) END AS seed,
+         |         CASE WHEN vec_id % 5 = 0
+         |              THEN CAST((vec_id // 53) % 4 AS INT)
+         |              ELSE 0 END AS v
+         |  FROM embeddings),
+         |gr AS (
+         |  SELECT asset_id, u.idx,
+         |         (${dhashPxSql("3*u.idx")} + ${dhashPxSql("3*u.idx+1")}
+         |          + ${dhashPxSql("3*u.idx+2")}) // 3 AS gy
+         |  FROM img, LATERAL (SELECT unnest(generate_series(0, 71))
+         |    AS idx) u),
+         |gl AS (
+         |  SELECT asset_id, list(gy ORDER BY idx) AS gl
+         |  FROM gr GROUP BY 1),
+         |hsh AS (
+         |  SELECT asset_id,
+         |         array_to_string(list_transform(generate_series(0, 15),
+         |           n -> substr('0123456789abcdef',
+         |             8*${dhashBitSql("4*n")} + 4*${dhashBitSql("4*n+1")}
+         |             + 2*${dhashBitSql("4*n+2")} + ${dhashBitSql("4*n+3")}
+         |             + 1, 1)), '') AS s
+         |  FROM gl),
+         |banded AS (
+         |  SELECT asset_id, s, b.b AS band_idx,
+         |         substr(s, b.b*4 + 1, 4) AS band_val
+         |  FROM hsh CROSS JOIN (SELECT unnest([0,1,2,3]) AS b) b),
+         |p AS (
+         |  SELECT DISTINCT a.asset_id AS id_a, bb.asset_id AS id_b,
+         |         CAST(list_sum(list_transform(generate_series(1, 16),
+         |           i -> bit_count(xor(
+         |             strpos('0123456789abcdef', substr(a.s, i, 1)) - 1,
+         |             strpos('0123456789abcdef', substr(bb.s, i, 1)) - 1
+         |           )))) AS INT) AS hamming
+         |  FROM banded a
+         |  JOIN banded bb ON a.band_idx = bb.band_idx
+         |               AND a.band_val = bb.band_val
+         |               AND a.asset_id < bb.asset_id)
+         |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 10""".stripMargin
   )
 }

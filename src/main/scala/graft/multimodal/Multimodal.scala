@@ -656,6 +656,85 @@ object Multimodal {
         "duration_ms", "codec")
   }
 
+  /** 9×8 RGB PPM asset table with engineered NEAR-duplicate
+    * structure: every 5th asset joins one of `dupGroups` duplicate
+    * groups (4 sparse-perturbation variants each — identical pixels
+    * for the same variant, a few changed bytes across variants); the
+    * rest are unique. Pixel bytes are a Knuth-multiplicative scramble
+    * of a per-image seed, so unrelated images are pseudo-random
+    * (expected dHash hamming ~32) while variants of one group differ
+    * by a +40 bump at a sparse byte stripe. The 4/5 unique share
+    * keeps the near-dup pair list linear-ish in corpus size (pair
+    * output is inherently quadratic in dup-class multiplicity — the
+    * dup classes here stay a bounded slice, like a real corpus).
+    * Seeds are bounded (< 100060) so the scramble product stays far
+    * from BIGINT overflow in any engine. One asset per embeddings row
+    * (count ∝ SF); per-row typed-map generation, same executor shape
+    * as [[assetsFromVectors]]. 9×8 is dHash's native sampling grid,
+    * so the hash needs no resample step and the oracle can recompute
+    * it from the pixel formula alone.
+    */
+  def ppmAssetsNearDup(vectors: DataFrame,
+                       dupGroups: Int = 53): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    require(dupGroups > 0, s"dupGroups=$dupGroups must be > 0")
+    vectors.select(col("vec_id").cast("long")).as[Long]
+      .map { id =>
+        val isDup = id % 5 == 0
+        val seed = if (isDup) (id % dupGroups) + 1
+                   else dupGroups + 1 + (id % 100003L)
+        val v = if (isDup) ((id / dupGroups) % 4).toInt else 0
+        val px = Array.tabulate(216) { k =>
+          val base = (seed * (k + 3) * 2654435761L) % 256
+          (if (k % 17 == v) (base + 40) % 256 else base).toByte
+        }
+        (id, "image", Ppm.encode(Ppm.Image(9, 8, px)), 9, 8, 0L, "ppm")
+      }
+      .toDF("asset_id", "media_type", "payload", "width", "height",
+        "duration_ms", "codec")
+  }
+
+  /** Difference-hash (dHash) over REAL decoded PPM bytes: grayscale =
+    * integer mean of (r, g, b); bit(row, col) = gray(row, col+1) >
+    * gray(row, col) over the 8 horizontal neighbor pairs of the first
+    * 8 rows → 64 bits, hex-packed nibble-first (the same packing as
+    * [[graft.dedup.Dedup.simhash]], so `simhashHamming` and its
+    * banded-pair join apply unchanged). The decode runs behind the
+    * mapPartitions seam — payload bytes never shuffle; output is
+    * (asset_id, 16-char hash). Images narrower than the 9×8 grid are
+    * skipped (a real pipeline resamples first; [[resizeAssets]] is
+    * that step).
+    */
+  def imageDHash(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("asset_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        Ppm.decode(payload)
+          .filter(im => im.width >= 9 && im.height >= 8)
+          .map { im =>
+            def gray(r: Int, c: Int): Int = {
+              val o = 3 * (r * im.width + c)
+              ((im.pixels(o) & 0xff) + (im.pixels(o + 1) & 0xff)
+                + (im.pixels(o + 2) & 0xff)) / 3
+            }
+            val bits = Array.tabulate(64) { j =>
+              val r = j / 8
+              val c = j % 8
+              if (gray(r, c + 1) > gray(r, c)) 1 else 0
+            }
+            val hex = (0 until 16).map { n =>
+              "0123456789abcdef".charAt(8 * bits(4 * n)
+                + 4 * bits(4 * n + 1) + 2 * bits(4 * n + 2)
+                + bits(4 * n + 3))
+            }.mkString
+            (id, hex)
+          }
+      }).toDF("asset_id", "dhash")
+  }
+
   /** Deterministic synthetic media table for tests (no codecs in this
     * environment): payload bytes derived from the asset id.
     */
