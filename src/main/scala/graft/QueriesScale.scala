@@ -184,6 +184,12 @@ object QueriesScale {
     s"(CASE WHEN gl[(($j)//8)*9 + (($j)%8) + 2]" +
       s" > gl[(($j)//8)*9 + (($j)%8) + 1] THEN 1 ELSE 0 END)"
 
+  /** q118 fingerprint bit j from the 65-entry frame-sum list `sl`
+    * (1-based list indexing: bit_j = sum(frame j+1) > sum(frame j)).
+    */
+  private def afpBitSql(j: String): String =
+    s"(CASE WHEN sl[($j) + 2] > sl[($j) + 1] THEN 1 ELSE 0 END)"
+
   private val sigsSql =
     s"""$toksSql,
        |sh AS (
@@ -2114,6 +2120,117 @@ object QueriesScale {
           Dedup.simhashHamming(col("h_a"), col("h_b")).as("hamming"))
         .filter(col("hamming") <= 10)
         .distinct()
+    },
+
+    // Audio perceptual near-dup: Haitsma–Kalker energy-delta
+    // fingerprint over REAL decoded PCM16 (RIFF/WAVE round-trip),
+    // then the same banded-LSH pair join + exact hamming rescore as
+    // q117's image dHash — one fingerprint exchange, payload bytes
+    // never shuffle. The oracle recomputes the fingerprint from the
+    // waveform formula, so a hash match proves the PCM encode →
+    // chunk-walk decode → frame-energy path bit-for-bit.
+    "q118_audio_fingerprint" -> q { (spark, dir) =>
+      import graft.multimodal.Multimodal
+      val fp = Multimodal.audioFingerprint(
+        Multimodal.wavAssetsNearDup(vecs(spark, dir)))
+      val banded = fp.repartition(col("asset_id"))
+        .select(col("asset_id"), col("afp"),
+          posexplode(array((0 until 4).map(b =>
+            col("afp").substr(b * 4 + 1, 4)): _*))
+            .as(Seq("band_idx", "band_val")))
+      val a = banded.select(col("asset_id").as("id_a"),
+        col("afp").as("h_a"), col("band_idx"), col("band_val"))
+      val bb = banded.select(col("asset_id").as("id_b"),
+        col("afp").as("h_b"), col("band_idx"), col("band_val"))
+      a.join(bb, Seq("band_idx", "band_val"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          Dedup.simhashHamming(col("h_a"), col("h_b")).as("hamming"))
+        .filter(col("hamming") <= 10)
+        .distinct()
+    },
+
+    // Model-based quality filter: a logistic classifier with PINNED
+    // offline-trained weights over the native single-pass text stats
+    // (the fastText-classifier-shaped gate of CCNet/GPT-3-style
+    // corpus pipelines, reduced to its engine-side shape: featurize →
+    // dot → sigmoid → threshold). Zero exchanges — scan-parallel per
+    // row, embarrassingly parallel at 100 TB. The keep decision
+    // compares the 6-dp-rounded probability so the gate is portable
+    // across engines (no ULP-boundary flips).
+    "q119_quality_classifier" -> q { (spark, dir) =>
+      import graft.text.TextStatsExpression.textStats
+      val stopR = coalesce(when(col("st.n_tokens") > 0,
+        col("st.n_stop").cast("double") / col("st.n_tokens")), lit(0.0))
+      val punctR = coalesce(when(col("st.n_chars") > 0,
+        col("st.n_punct").cast("double") / col("st.n_chars")), lit(0.0))
+      val avgLen = coalesce(when(col("st.n_tokens") > 0,
+        col("st.total_token_len").cast("double") / col("st.n_tokens")),
+        lit(0.0))
+      val z = lit(-2.0) +
+        lit(0.8) * log(lit(1.0) + col("st.n_tokens").cast("double")) +
+        lit(3.0) * stopR - lit(8.0) * punctR -
+        lit(0.5) * abs(avgLen - lit(5.0))
+      val p = pround(lit(1.0) / (lit(1.0) + exp(-z)), 6)
+      docs(spark, dir)
+        .withColumn("st", textStats(col("text")))
+        .select(col("doc_id"), p.as("p_keep"),
+          (p >= 0.6).as("keep"))
+    },
+
+    // Quality-weighted deterministic downsample: keep a doc iff its
+    // salted md5 uniform < its quality score — importance sampling
+    // with an engine-portable coin, so the SAME docs survive on any
+    // cluster, any partitioning, any engine (the q60 hashFraction
+    // discipline applied to sampling-by-weight). Per-source rollup
+    // proves the estimator: n_kept tracks sum(weights) = E[kept].
+    // One source-keyed exchange, counter-sized.
+    "q120_weighted_sample" -> q { (spark, dir) =>
+      import graft.sampling.Sampling
+      import graft.text.TextStatsExpression.textStats
+      docs(spark, dir)
+        .withColumn("st", textStats(col("text")))
+        .withColumn("w", qualityScore)
+        .withColumn("kept",
+          Sampling.hashFraction(col("doc_id"), "imp") < col("w"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("kept").cast("long")).as("n_kept"),
+          // micro-units (the repo's q-units discipline): the expected
+          // kept count sums as an exact integer, so the rollup is
+          // bit-portable regardless of float summation order
+          sum(floor(col("w") * 1e6 + lit(0.5)).cast("long"))
+            .as("expected_kept_units"))
+        .orderBy(col("source"))
+    },
+
+    // Hard-negative mining for contrastive training: for each query
+    // vector, the top-k most-similar vectors with a DIFFERENT label —
+    // the "looks alike, isn't" pairs an embedding model trains
+    // against. Scale shape: broadcast the query sample, scan the
+    // corpus once, and take per-query top-k with the bounded-heap
+    // aggregate — partial heaps absorb each partition map-side, the
+    // exchange carries ≤ k rows per (partition, query), no WindowExec
+    // and no corpus-sized sort anywhere. The oracle is the naive
+    // window form, so the hash proves heap == sort.
+    "q121_hard_negatives" -> q { (spark, dir) =>
+      import graft.functions.TopKAggregate
+      val v = vecs(spark, dir).select(col("vec_id"), col("label"),
+        col("embedding"), Similarity.l2Norm(col("embedding")).as("nrm"))
+      val qv = v.filter(col("vec_id") % 40 === 0)
+        .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+          col("embedding").as("qe"), col("nrm").as("qn"))
+      v.join(broadcast(qv), col("label") =!= col("q_label"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          pround(Similarity.dot(col("qe"), col("embedding"))
+            / (col("qn") * col("nrm")), 6).as("cosine_sim"))
+        .groupBy(col("query_id"))
+        .agg(TopKAggregate.topK(col("cosine_sim"),
+          col("neighbor_id"), 5).as("tk"))
+        .select(col("query_id"),
+          posexplode(col("tk")).as(Seq("pos", "s")))
+        .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+          col("s.id").as("neighbor_id"), col("s.score").as("cosine_sim"))
     }
   )
 
@@ -4631,6 +4748,147 @@ object QueriesScale {
          |  JOIN banded bb ON a.band_idx = bb.band_idx
          |               AND a.band_val = bb.band_val
          |               AND a.asset_id < bb.asset_id)
-         |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 10""".stripMargin
+         |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 10""".stripMargin,
+
+    // q118: the oracle regenerates the unsigned waveform from the
+    // wavAssetsNearDup formula (u = (seed*523 + j*2011) % 2^16 + 7v
+    // mod 2^16 — integer-exact in both engines), re-derives the 65
+    // frame sums and the 64 energy-delta bits, hex-packs, and runs
+    // the same banded join + nibble-xor hamming. A Spark↔oracle hash
+    // match therefore proves WAV encode → decode → fingerprint.
+    "q118_audio_fingerprint" ->
+      s"""WITH aud AS (
+         |  SELECT vec_id AS asset_id,
+         |         CASE WHEN vec_id % 5 = 0 THEN (vec_id % 53) + 1
+         |              ELSE 54 + (vec_id % 100003) END AS seed,
+         |         CASE WHEN vec_id % 5 = 0
+         |              THEN CAST((vec_id // 53) % 4 AS INT)
+         |              ELSE 0 END AS v
+         |  FROM embeddings),
+         |sums AS (
+         |  SELECT asset_id,
+         |         list_transform(generate_series(0, 64), f ->
+         |           list_sum(list_transform(generate_series(0, 4), k ->
+         |             ((seed * (f*5 + k + 3) * 2654435761) % 65536
+         |              + CASE WHEN f = v THEN 1000 ELSE 0 END)
+         |               % 65536))) AS sl
+         |  FROM aud),
+         |hsh AS (
+         |  SELECT asset_id,
+         |         array_to_string(list_transform(generate_series(0, 15),
+         |           n -> substr('0123456789abcdef',
+         |             8*${afpBitSql("4*n")} + 4*${afpBitSql("4*n+1")}
+         |             + 2*${afpBitSql("4*n+2")} + ${afpBitSql("4*n+3")}
+         |             + 1, 1)), '') AS s
+         |  FROM sums),
+         |banded AS (
+         |  SELECT asset_id, s, b.b AS band_idx,
+         |         substr(s, b.b*4 + 1, 4) AS band_val
+         |  FROM hsh CROSS JOIN (SELECT unnest([0,1,2,3]) AS b) b),
+         |p AS (
+         |  SELECT DISTINCT a.asset_id AS id_a, bb.asset_id AS id_b,
+         |         CAST(list_sum(list_transform(generate_series(1, 16),
+         |           i -> bit_count(xor(
+         |             strpos('0123456789abcdef', substr(a.s, i, 1)) - 1,
+         |             strpos('0123456789abcdef', substr(bb.s, i, 1)) - 1
+         |           )))) AS INT) AS hamming
+         |  FROM banded a
+         |  JOIN banded bb ON a.band_idx = bb.band_idx
+         |               AND a.band_val = bb.band_val
+         |               AND a.asset_id < bb.asset_id)
+         |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 10""".stripMargin,
+
+    // q119: the oracle rebuilds the same features from the q20/q21
+    // tokenization twins and applies the identical pinned weights in
+    // the identical association order, so the sigmoid probabilities
+    // agree to well past the 6-dp rounding.
+    "q119_quality_classifier" ->
+      s"""WITH $toksSql,
+         |r AS (
+         |  SELECT doc_id,
+         |         CAST(len(tk) AS DOUBLE) AS ntok,
+         |         COALESCE(CASE WHEN len(tk) > 0
+         |              THEN CAST(len(list_filter(tk, x -> list_contains(
+         |                     ['the','a','an','and','or','of','to','in',
+         |                      'is','it'], lower(x)))) AS DOUBLE) / len(tk)
+         |              END, 0.0) AS stop_ratio,
+         |         COALESCE(CASE WHEN length(text) > 0
+         |              THEN CAST(length(regexp_replace(text,
+         |                     '[^[:punct:]]', '', 'g')) AS DOUBLE)
+         |                   / length(text)
+         |              END, 0.0) AS punct_ratio,
+         |         COALESCE(CASE WHEN len(tk) > 0
+         |              THEN CAST(list_sum(list_transform(tk,
+         |                     x -> length(x))) AS DOUBLE) / len(tk)
+         |              END, 0.0) AS avg_len
+         |  FROM toks),
+         |s AS (
+         |  SELECT doc_id,
+         |         round(1.0 / (1.0 + exp(-((((-2.0
+         |           + 0.8 * ln(1.0 + ntok)) + 3.0 * stop_ratio)
+         |           - 8.0 * punct_ratio) - 0.5 * abs(avg_len - 5.0)))),
+         |           6) AS p_keep
+         |  FROM r)
+         |SELECT doc_id, p_keep, p_keep >= 0.6 AS keep FROM s""".stripMargin,
+
+    // q120: the portable md5 coin (q60's hashFraction twin) against
+    // the q21 quality score; expected-kept sums in exact micro-units.
+    "q120_weighted_sample" ->
+      s"""WITH $toksSql,
+         |r AS (
+         |  SELECT doc_id, len(tk) AS ntok,
+         |         CASE WHEN len(tk) > 0
+         |              THEN CAST(len(list_filter(tk, x -> list_contains(
+         |                     ['the','a','an','and','or','of','to','in',
+         |                      'is','it'], lower(x)))) AS DOUBLE) / len(tk)
+         |              END AS stop_ratio,
+         |         CASE WHEN length(text) > 0
+         |              THEN CAST(length(regexp_replace(text,
+         |                     '[^[:punct:]]', '', 'g')) AS DOUBLE)
+         |                   / length(text)
+         |              END AS punct_ratio
+         |  FROM toks),
+         |w AS (
+         |  SELECT doc_id,
+         |         round(0.5 * LEAST(CAST(ntok AS DOUBLE) / 100.0, 1.0)
+         |           + 0.3 * (1.0 - abs(COALESCE(stop_ratio, 0.0) - 0.4))
+         |           + 0.2 * (1.0 - COALESCE(punct_ratio, 0.0)), 6) AS w
+         |  FROM r),
+         |k AS (
+         |  SELECT d.source, w.w,
+         |         CASE WHEN CAST(('0x' || substr(md5('imp'
+         |             || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |             / 4294967296.0 < w.w THEN 1 ELSE 0 END AS kept
+         |  FROM documents d JOIN w ON d.doc_id = w.doc_id)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(kept) AS BIGINT) AS n_kept,
+         |       CAST(sum(CAST(floor(w * 1000000 + 0.5) AS BIGINT))
+         |         AS BIGINT) AS expected_kept_units
+         |FROM k GROUP BY source ORDER BY source""".stripMargin,
+
+    // q121: the oracle is the naive brute-force + window-rank form of
+    // hard-negative mining (q28's twin with the label-mismatch
+    // predicate); a hash match proves the bounded-heap aggregate
+    // equals the full sort.
+    "q121_hard_negatives" ->
+      """WITH v AS (
+        |  SELECT vec_id, label, embedding,
+        |         sqrt(list_sum(list_transform(embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         round(list_sum(list_transform(generate_series(1, 64),
+        |             i -> CAST(q.embedding[i] AS DOUBLE)
+        |                  * CAST(c.embedding[i] AS DOUBLE)))
+        |           / (q.nrm * c.nrm), 6) AS cosine_sim
+        |  FROM v q JOIN v c
+        |    ON q.vec_id % 40 = 0 AND c.label <> q.label)
+        |SELECT query_id, CAST(row_number() OVER w AS INT) AS rank,
+        |       neighbor_id, cosine_sim
+        |FROM p
+        |WINDOW w AS (PARTITION BY query_id
+        |             ORDER BY cosine_sim DESC, neighbor_id ASC)
+        |QUALIFY row_number() OVER w <= 5""".stripMargin
   )
 }

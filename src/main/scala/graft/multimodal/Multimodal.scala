@@ -419,6 +419,86 @@ object Multimodal {
       .toDF("asset_id", "media_type", "payload")
   }
 
+  /** Near-dup REAL-WAV asset table — the audio twin of
+    * [[ppmAssetsNearDup]]. Every fifth vec_id lands in one of
+    * `dupGroups` duplicate groups with a variant index v in 0..3; a
+    * variant bumps only the 5 samples of fingerprint frame v (+1000
+    * mod 2^16), so two variants of a group differ in at most 4
+    * energy-delta bits — all inside band 0, guaranteeing the banded
+    * join recalls the pair — while distinct seeds get uncorrelated
+    * waveforms via the Knuth multiplicative scramble (a constant
+    * phase offset would NOT work: the fingerprint is offset-
+    * invariant by design). Unsigned sample
+    * `u(j) = ((seed·(j+3)·2654435761) mod 2^16 + [j/5 = v]·1000)
+    * mod 2^16`, PCM16 value `u − 32768`, 325 samples (65 fingerprint
+    * frames of 5) at 8 kHz, round-tripped through the real RIFF/WAVE
+    * codec.
+    */
+  def wavAssetsNearDup(vectors: DataFrame,
+                       dupGroups: Int = 53): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    require(dupGroups > 0, s"dupGroups=$dupGroups must be > 0")
+    vectors.select(col("vec_id").cast("long")).as[Long]
+      .map { id =>
+        val isDup = id % 5 == 0
+        val seed = if (isDup) (id % dupGroups) + 1
+                   else dupGroups + 1 + (id % 100003L)
+        val v = if (isDup) ((id / dupGroups) % 4).toInt else 0
+        val samples = Array.tabulate(325) { j =>
+          val base = (seed * (j + 3) * 2654435761L) % 65536
+          val u = (base + (if (j / 5 == v) 1000L else 0L)) % 65536
+          (u - 32768).toShort
+        }
+        (id, "audio", Wav.encode(Wav.Audio(8000, samples)))
+      }
+      .toDF("asset_id", "media_type", "payload")
+  }
+
+  /** Haitsma–Kalker-style energy-delta audio fingerprint over REAL
+    * decoded PCM16 (the sign-of-energy-difference scheme of the
+    * classic "A Highly Robust Audio Fingerprinting System", ISMIR'02,
+    * collapsed to one band): samples biased to unsigned (s + 32768),
+    * summed over 65 consecutive frames of `frameLen`; bit_j
+    * (j = 0..63) = 1 iff frameSum(j+1) > frameSum(j); hex-packed
+    * nibble-first — the same packing as [[imageDHash]] /
+    * [[graft.dedup.Dedup.simhash]], so `simhashHamming` and the
+    * banded-LSH pair join apply unchanged. Robust to constant
+    * amplitude offsets by construction (all frame sums shift
+    * equally). Decode runs behind the mapPartitions seam — payload
+    * bytes never shuffle; clips shorter than `65·frameLen` samples
+    * are skipped (a real pipeline pads or windows first).
+    */
+  def audioFingerprint(assets: DataFrame, frameLen: Int = 5): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    require(frameLen > 0, s"frameLen=$frameLen must be > 0")
+    assets.select(col("asset_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        Wav.decode(payload)
+          .filter(_.samples.length >= 65 * frameLen)
+          .map { a =>
+            val sums = Array.tabulate(65) { f =>
+              var s = 0L; var k = 0
+              while (k < frameLen) {
+                s += a.samples(f * frameLen + k).toLong + 32768L
+                k += 1
+              }
+              s
+            }
+            val bits = Array.tabulate(64)(j =>
+              if (sums(j + 1) > sums(j)) 1 else 0)
+            val hex = (0 until 16).map { n =>
+              "0123456789abcdef".charAt(8 * bits(4 * n)
+                + 4 * bits(4 * n + 1) + 2 * bits(4 * n + 2)
+                + bits(4 * n + 3))
+            }.mkString
+            (id, hex)
+          }
+      }).toDF("asset_id", "afp")
+  }
+
   case class MediaFeature(
       asset_id: Long,
       media_type: String,
