@@ -190,6 +190,15 @@ object QueriesScale {
   private def afpBitSql(j: String): String =
     s"(CASE WHEN sl[($j) + 2] > sl[($j) + 1] THEN 1 ELSE 0 END)"
 
+  /** q122 frame-f pixel-byte formula (DuckDB twin of
+    * `Multimodal.aviAssetsNearDup`; `seed`/`v` from the vid CTE,
+    * frame index from the f CTE).
+    */
+  private def vdhashPxSql(kExpr: String): String =
+    s"((seed * (($kExpr) + 3) * 2654435761 + f.f * 997) % 256" +
+      s" + CASE WHEN f.f = v AND v > 0 AND ($kExpr) % 17 = 0" +
+      s" THEN 40 ELSE 0 END) % 256"
+
   private val sigsSql =
     s"""$toksSql,
        |sh AS (
@@ -2231,6 +2240,35 @@ object QueriesScale {
           posexplode(col("tk")).as(Seq("pos", "s")))
         .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
           col("s.id").as("neighbor_id"), col("s.score").as("cosine_sim"))
+    },
+
+    // Frame-level video near-dup: real AVI demux → per-frame dHash →
+    // videos sharing ≥ 3 of 4 exact frame hashes (the "same video,
+    // one scene re-cut" case). Scale shape: the join key is
+    // (frame_idx, frame_hash) — an equi-join whose fan-out is the
+    // dup-group size, never all-pairs; payload/frame bytes stay
+    // behind the demux seam, only 16-char hashes shuffle. The (asset,
+    // frame) pair rides through the image hasher packed in one long
+    // key (4 frames < 8). Oracle recomputes every frame hash from the
+    // pixel formula — a match proves AVI encode → container walk →
+    // PPM decode → dHash, per frame.
+    "q122_video_near_dup" -> q { (spark, dir) =>
+      import graft.multimodal.Multimodal
+      val frames = Multimodal.sampleFrames(
+        Multimodal.aviAssetsNearDup(vecs(spark, dir)), stride = 1)
+      val fh = Multimodal.imageDHash(frames.select(
+          (col("asset_id") * 8 + col("frame_idx")).as("asset_id"),
+          col("frame_payload").as("payload")))
+        .select((col("asset_id") / 8).cast("long").as("vid"),
+          pmod(col("asset_id"), lit(8)).cast("int").as("fi"),
+          col("dhash"))
+      val a = fh.select(col("vid").as("id_a"), col("fi"), col("dhash"))
+      val b = fh.select(col("vid").as("id_b"), col("fi"), col("dhash"))
+      a.join(b, Seq("fi", "dhash"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("n_shared_frames"))
+        .filter(col("n_shared_frames") >= 3)
     }
   )
 
@@ -4889,6 +4927,46 @@ object QueriesScale {
         |FROM p
         |WINDOW w AS (PARTITION BY query_id
         |             ORDER BY cosine_sim DESC, neighbor_id ASC)
-        |QUALIFY row_number() OVER w <= 5""".stripMargin
+        |QUALIFY row_number() OVER w <= 5""".stripMargin,
+
+    // q122: the oracle recomputes each demuxed frame's dHash from the
+    // aviAssetsNearDup pixel formula (no AVI parsing), then runs the
+    // same (frame_idx, hash) equi-join — a hash match proves AVI
+    // encode → container walk → PPM decode → dHash per frame.
+    "q122_video_near_dup" ->
+      s"""WITH vid AS (
+         |  SELECT vec_id AS asset_id,
+         |         CASE WHEN vec_id % 5 = 0 THEN (vec_id % 53) + 1
+         |              ELSE 54 + (vec_id % 100003) END AS seed,
+         |         CASE WHEN vec_id % 5 = 0
+         |              THEN CAST((vec_id // 53) % 4 AS INT)
+         |              ELSE 0 END AS v
+         |  FROM embeddings),
+         |gr AS (
+         |  SELECT asset_id, f.f, u.idx,
+         |         (${vdhashPxSql("3*u.idx")} + ${vdhashPxSql("3*u.idx+1")}
+         |          + ${vdhashPxSql("3*u.idx+2")}) // 3 AS gy
+         |  FROM vid, (SELECT unnest([0,1,2,3]) AS f) f,
+         |       LATERAL (SELECT unnest(generate_series(0, 71))
+         |         AS idx) u),
+         |gl AS (
+         |  SELECT asset_id, f, list(gy ORDER BY idx) AS gl
+         |  FROM gr GROUP BY 1, 2),
+         |hsh AS (
+         |  SELECT asset_id, f,
+         |         array_to_string(list_transform(generate_series(0, 15),
+         |           n -> substr('0123456789abcdef',
+         |             8*${dhashBitSql("4*n")} + 4*${dhashBitSql("4*n+1")}
+         |             + 2*${dhashBitSql("4*n+2")} + ${dhashBitSql("4*n+3")}
+         |             + 1, 1)), '') AS s
+         |  FROM gl),
+         |p AS (
+         |  SELECT a.asset_id AS id_a, b.asset_id AS id_b,
+         |         CAST(count(*) AS BIGINT) AS n_shared_frames
+         |  FROM hsh a JOIN hsh b ON a.f = b.f AND a.s = b.s
+         |                       AND a.asset_id < b.asset_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, n_shared_frames FROM p
+         |WHERE n_shared_frames >= 3""".stripMargin
   )
 }

@@ -697,6 +697,43 @@ object Multimodal {
         "duration_ms", "codec")
   }
 
+  /** Near-dup REAL-AVI asset table — the video twin of
+    * [[ppmAssetsNearDup]]/[[wavAssetsNearDup]]: 4 frames of 9×8 PPM
+    * per video inside a genuine RIFF/AVI container. Every fifth
+    * vec_id joins a duplicate group; variant v > 0 perturbs ONLY
+    * frame v (+40 on every 17th pixel byte), so a variant shares 3 of
+    * 4 exact frames with the group's base cut (v = 0) — the
+    * "re-encode with one changed scene" case frame-level video dedup
+    * must catch. Frame f's pixel byte k =
+    * `(seed·(k+3)·2654435761 + f·997) mod 256` (+40 bump when f = v,
+    * k ≡ 0 mod 17, v > 0) — a pure integer function, so the SQL
+    * oracle recomputes every frame hash without parsing AVI.
+    */
+  def aviAssetsNearDup(vectors: DataFrame,
+                       dupGroups: Int = 53): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    require(dupGroups > 0, s"dupGroups=$dupGroups must be > 0")
+    vectors.select(col("vec_id").cast("long")).as[Long]
+      .map { id =>
+        val isDup = id % 5 == 0
+        val seed = if (isDup) (id % dupGroups) + 1
+                   else dupGroups + 1 + (id % 100003L)
+        val v = if (isDup) ((id / dupGroups) % 4).toInt else 0
+        val frames = (0 until 4).map { f =>
+          Ppm.encode(Ppm.Image(9, 8, Array.tabulate(216) { k =>
+            val base = (seed * (k + 3) * 2654435761L + f * 997L) % 256
+            (if (f == v && v > 0 && k % 17 == 0) (base + 40) % 256
+             else base).toByte
+          }))
+        }
+        (id, "video", Avi.encode(Avi.Video(9, 8, 10, frames)),
+          9, 8, 400L, "avi")
+      }
+      .toDF("asset_id", "media_type", "payload", "width", "height",
+        "duration_ms", "codec")
+  }
+
   /** Exact payload dedup across assets (binary content hash →
     * groupBy shuffle on the hash only — payloads never shuffle).
     */
