@@ -330,6 +330,49 @@ class PlanAuditSpec extends SparkSpec {
       s"expected <=2 residual nested loops, got $nBnlj:\n${p.take(3000)}")
   }
 
+  test("perceptual near-dup pairs come from equi-joins, not all-pairs") {
+    // q118 (audio fingerprint bands) and q122 (video frame hashes):
+    // the pair join must be keyed — band/frame-hash equality — never
+    // a nested loop over the square
+    Seq("q118_audio_fingerprint", "q122_video_near_dup").foreach { n =>
+      val p = plan(n)
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$n pairs via a nested loop:\n${p.take(2000)}")
+      assert(p.contains("Join"), s"$n lost its pair join:\n${p.take(2000)}")
+    }
+  }
+
+  test("quality classifier is scan-shaped: no shuffle-for-compute") {
+    // the only exchange allowed is docs()'s REPARTITION_BY_COL
+    // parallelism spread (single-row-group test parquet); the
+    // classifier itself must add no aggregation/join exchange
+    val p = plan("q119_quality_classifier")
+    val ex = "(?<!Reused)Exchange".r.findAllIn(p).length
+    assert(ex <= 1 && (ex == 0 || p.contains("REPARTITION_BY_COL")),
+      s"q119 must be embarrassingly parallel:\n${p.take(2000)}")
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
+  test("weighted sample rolls up with a partial agg and no join") {
+    val p = plan("q120_weighted_sample")
+    assert(p.contains("partial_"),
+      s"q120 expected a map-side partial aggregate:\n${p.take(2000)}")
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
+  test("hard negatives broadcast queries and heap-aggregate, no window") {
+    // q121: corpus scanned once against a broadcast query sample
+    // (label-mismatch is a non-equi predicate -> nested loop over the
+    // BROADCAST side only), then the bounded-heap aggregate with its
+    // partial mode below the exchange; never a window sort
+    val p = plan("q121_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("partial_topkbyscore"),
+      s"q121 expected map-side partial heaps:\n${p.take(2000)}")
+    assert(!p.contains("Window"),
+      s"q121 must not fall back to a window sort:\n${p.take(2000)}")
+  }
+
   test("code-switch chunks explode once and langId stays native") {
     val conf = spark.conf
     val saved = conf.getOption("spark.sql.adaptive.enabled")
