@@ -2269,6 +2269,31 @@ object QueriesScale {
         .groupBy(col("id_a"), col("id_b"))
         .agg(count(lit(1)).as("n_shared_frames"))
         .filter(col("n_shared_frames") >= 3)
+    },
+
+    // Content-defined chunking dedup (rsync/LBFS boundaries): chunks
+    // cut where a rolling hash of the trailing 16 code points hits a
+    // residue, so one inserted word shifts ONE chunk's fingerprint,
+    // not every later one — the edit-stable alternative to q91's
+    // fixed token windows. The native expression keeps the true O(n)
+    // roll; the oracle recomputes each boundary with an O(n·w) window
+    // sum — a hash match proves every cut position. Scale shape:
+    // chunking is scan-parallel; the only corpus-sized exchanges
+    // carry (doc_id, 32-char chunk hash) pairs, keyed — chunk text
+    // never shuffles past the md5.
+    "q123_cdc_chunks" -> q { (spark, dir) =>
+      import graft.text.CdcExpression
+      val pairs = docs(spark, dir)
+        .select(col("doc_id"),
+          explode(CdcExpression.cdcChunks(col("text"))).as("chunk"))
+        .select(col("doc_id"), md5(col("chunk")).as("h"))
+        .distinct()
+      val hc = pairs.groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
+      pairs.join(hc, Seq("h"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_distinct_chunks"),
+          sum(when(col("n_docs") > 1, 1L).otherwise(0L))
+            .as("n_shared_chunks"))
     }
   )
 
@@ -4967,6 +4992,53 @@ object QueriesScale {
          |                       AND a.asset_id < b.asset_id
          |  GROUP BY 1, 2)
          |SELECT id_a, id_b, n_shared_frames FROM p
-         |WHERE n_shared_frames >= 3""".stripMargin
+         |WHERE n_shared_frames >= 3""".stripMargin,
+
+    // q123: the oracle recomputes every CDC boundary with an O(n·w)
+    // per-position window sum over code points (ord/substr count
+    // points in both engines; the power table is generated from the
+    // SAME Scala constants), reconstructs the chunks, and runs the
+    // same dedup rollup.
+    "q123_cdc_chunks" -> {
+      val bp = {
+        var p = 1L
+        val pows = Array.fill(16)(0L)
+        (0 until 16).foreach { k => pows(k) = p
+          p = p * graft.text.CdcExpression.B % graft.text.CdcExpression.M }
+        // bp[q+1] = B^(w-1-q): leftmost window point gets B^15
+        pows.reverse.mkString("[", ", ", "]")
+      }
+      s"""WITH ends0 AS (
+         |  SELECT doc_id, text,
+         |         list_filter(generate_series(16, length(text)), e ->
+         |           (list_sum(list_transform(generate_series(0, 15),
+         |             q -> CAST(ord(substr(text, e - 15 + q, 1))
+         |                  AS BIGINT) * ($bp)[q + 1])) % 1000000007)
+         |             % 64 = 0)
+         |           AS ends
+         |  FROM documents),
+         |ends1 AS (
+         |  SELECT doc_id, text,
+         |         CASE WHEN len(ends) > 0
+         |                   AND ends[len(ends)] = length(text)
+         |              THEN ends
+         |              ELSE list_append(ends, length(text)) END AS e2
+         |  FROM ends0),
+         |ch AS (
+         |  SELECT doc_id,
+         |         unnest(list_transform(generate_series(1, len(e2)),
+         |           i -> substr(text,
+         |             CASE WHEN i = 1 THEN 1 ELSE e2[i-1] + 1 END,
+         |             e2[i] - CASE WHEN i = 1 THEN 0 ELSE e2[i-1] END)))
+         |           AS chunk
+         |  FROM ends1),
+         |pairs AS (SELECT DISTINCT doc_id, md5(chunk) AS h FROM ch),
+         |hc AS (SELECT h, count(*) AS n_docs FROM pairs GROUP BY h)
+         |SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_distinct_chunks,
+         |       CAST(sum(CASE WHEN hc.n_docs > 1 THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_shared_chunks
+         |FROM pairs p JOIN hc USING (h)
+         |GROUP BY p.doc_id""".stripMargin
+    }
   )
 }

@@ -252,4 +252,51 @@ class TextForecastSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getInt(1))
     fuzz.foreach { case (w, n) => assert(n == refPieces(w), s"word=$w") }
   }
+
+  test("CDC chunks: lossless, O(n) roll == window sums, edit-stable") {
+    import spark.implicits._
+    import graft.text.CdcExpression
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 120).map(_ =>
+      ('a' + rnd.nextInt(26)).toChar.toString * (1 + rnd.nextInt(2)))
+      .mkString(" ")
+    def chunksOf(s: String): Seq[String] =
+      Seq(s).toDF("t")
+        .select(CdcExpression.cdcChunks($"t").as("c"))
+        .collect().head.getSeq[String](0)
+    // scalar reference: recompute every boundary with an independent
+    // O(n·w) window polynomial (the oracle's formulation)
+    def refChunks(s: String, w: Int = 16, div: Long = 64): Seq[String] = {
+      val cps = s.codePoints().toArray
+      val pow = Array.iterate(1L, w)(p => p * CdcExpression.B % CdcExpression.M)
+      val ends = (w - 1 until cps.length).filter { i =>
+        val h = (0 until w).map(q =>
+          cps(i - w + 1 + q) * pow(w - 1 - q) % CdcExpression.M)
+          .sum % CdcExpression.M
+        h % div == 0
+      }
+      val cuts = if (ends.nonEmpty && ends.last == cps.length - 1) ends
+                 else ends :+ (cps.length - 1)
+      cuts.zip(-1 +: cuts.dropRight(1)).map { case (e, p) =>
+        new String(cps, p + 1, e - p) }
+    }
+    val got = chunksOf(base)
+    assert(got == refChunks(base))
+    assert(got.mkString == base) // lossless: chunks concatenate back
+    assert(got.length > 2, s"fixture too smooth: ${got.length} chunks")
+    // edit stability — THE property fixed-size chunking lacks: insert
+    // a word mid-doc; every chunk fingerprint outside the edited
+    // region survives (boundaries re-sync after w untouched points)
+    val k = base.length / 2
+    val edited = base.substring(0, k) + "zzz " + base.substring(k)
+    val a = got.toSet
+    val b = chunksOf(edited).toSet
+    assert(chunksOf(edited).mkString == edited)
+    val survived = (a intersect b).size
+    assert(survived >= a.size - 2,
+      s"expected all but ~the edited chunk to survive: $survived/${a.size}")
+    // short doc = one chunk; empty doc = one empty chunk
+    assert(chunksOf("tiny") == Seq("tiny"))
+    assert(chunksOf("") == Seq(""))
+  }
 }
