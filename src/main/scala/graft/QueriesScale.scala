@@ -2294,6 +2294,37 @@ object QueriesScale {
         .agg(count(lit(1)).as("n_distinct_chunks"),
           sum(when(col("n_docs") > 1, 1L).otherwise(0L))
             .as("n_shared_chunks"))
+    },
+
+    // Static data-mix planner (the Pile/DoReMi bookkeeping step):
+    // given per-source available tokens and pinned target weights,
+    // find the largest single-epoch budget T whose target shares fit
+    // every source (T = min_s floor(avail_s·W / w_s)), then each
+    // source's allocation and sampling rate. Scale shape: ONE
+    // corpus-sized exchange (the per-source token rollup); everything
+    // after runs on the ≤|sources| row table with 1-row broadcast
+    // joins (the repo's bounds pattern). Integer math throughout —
+    // products stay < 2^53, so the floor-division plan is
+    // engine-portable bit-for-bit.
+    "q124_mix_planner" -> q { (spark, dir) =>
+      import graft.text.TextStatsExpression.textStats
+      val perSrc = docs(spark, dir)
+        .withColumn("st", textStats(col("text")))
+        .groupBy(col("source"))
+        .agg(sum(col("st.n_tokens")).as("available_tokens"))
+        .withColumn("weight", lit(1) + pmod(
+          conv(substring(md5(col("source")), 1, 1), 16, 10).cast("long"),
+          lit(3)))
+      val wTot = perSrc.agg(sum(col("weight")).as("W"))
+      val withW = perSrc.crossJoin(broadcast(wTot))
+      val tRow = withW.agg(min(floor(
+        col("available_tokens") * col("W") / col("weight"))).as("T"))
+      val alloc = floor(col("weight") * col("T") / col("W"))
+      withW.crossJoin(broadcast(tRow))
+        .select(col("source"), col("available_tokens"), col("weight"),
+          alloc.cast("long").as("allocated_tokens"),
+          pround(alloc.cast("double") / col("available_tokens"), 6)
+            .as("sampling_rate"))
     }
   )
 
@@ -5039,6 +5070,34 @@ object QueriesScale {
          |         AS BIGINT) AS n_shared_chunks
          |FROM pairs p JOIN hc USING (h)
          |GROUP BY p.doc_id""".stripMargin
-    }
+    },
+
+    // q124: same plan relationally — token rollup, md5-digit weights,
+    // W and T as scalar subquery cross joins, identical double-floor
+    // divisions.
+    "q124_mix_planner" ->
+      s"""WITH $toksSql,
+         |ps AS (
+         |  SELECT d.source, CAST(sum(len(t.tk)) AS BIGINT)
+         |           AS available_tokens
+         |  FROM toks t JOIN documents d USING (doc_id)
+         |  GROUP BY d.source),
+         |pw AS (
+         |  SELECT source, available_tokens,
+         |         1 + (CAST(('0x' || substr(md5(source), 1, 1))
+         |              AS BIGINT) % 3) AS weight
+         |  FROM ps),
+         |tw AS (SELECT CAST(sum(weight) AS BIGINT) AS w_total FROM pw),
+         |tt AS (
+         |  SELECT CAST(min(floor(
+         |    CAST(available_tokens * w_total AS DOUBLE) / weight))
+         |    AS BIGINT) AS t_budget
+         |  FROM pw, tw)
+         |SELECT source, available_tokens, weight,
+         |       CAST(floor(CAST(weight * t_budget AS DOUBLE) / w_total)
+         |         AS BIGINT) AS allocated_tokens,
+         |       round(floor(CAST(weight * t_budget AS DOUBLE) / w_total)
+         |         / available_tokens, 6) AS sampling_rate
+         |FROM pw, tw, tt""".stripMargin
   )
 }
