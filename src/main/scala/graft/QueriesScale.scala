@@ -2325,6 +2325,45 @@ object QueriesScale {
           alloc.cast("long").as("allocated_tokens"),
           pround(alloc.cast("double") / col("available_tokens"), 6)
             .as("sampling_rate"))
+    },
+
+    // Repeated-substring coverage (the exact-substring dedup signal of
+    // Lee et al., "Deduplicating Training Data Makes Language Models
+    // Better", ACL'22): every 32-code-point gram that occurs ≥2 times
+    // corpus-wide marks its positions; overlapping marked spans merge
+    // via the sorted-positions identity Σ min(L, next−p) — a per-doc
+    // window, no interval list materialized. Scale shape: the gram
+    // exchange carries (doc_id, pos, md5) — never gram text; the
+    // dup-gram join is keyed on the hash; the span merge partitions
+    // by doc. Output: how much of each doc is duplicated text.
+    "q125_dup_substring_coverage" -> q { (spark, dir) =>
+      val L = 32
+      val d = docs(spark, dir)
+      val occ = d.select(col("doc_id"),
+          explode(when(length(col("text")) >= L,
+            sequence(lit(1), length(col("text")) - (L - 1)))
+            .otherwise(array().cast("array<int>"))).as("p"),
+          col("text"))
+        .select(col("doc_id"), col("p"),
+          md5(col("text").substr(col("p"), lit(L))).as("h"))
+      val dup = occ.groupBy(col("h"))
+        .agg(count(lit(1)).as("n_occ")).filter(col("n_occ") >= 2)
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      val contrib = least(lit(L),
+        coalesce(lead(col("p"), 1).over(w) - col("p"), lit(L)))
+      val cov = occ.join(dup, Seq("h"))
+        .select(col("doc_id"), col("p"))
+        .withColumn("contrib", contrib)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_dup_grams"),
+          sum(col("contrib")).as("covered_chars"))
+      d.select(col("doc_id"), length(col("text")).as("n"))
+        .join(cov, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+          coalesce(col("covered_chars"), lit(0L)).as("covered_chars"),
+          pround(coalesce(col("covered_chars"), lit(0L)).cast("double")
+            / col("n"), 6).as("dup_ratio"))
     }
   )
 
@@ -5098,6 +5137,33 @@ object QueriesScale {
          |         AS BIGINT) AS allocated_tokens,
          |       round(floor(CAST(weight * t_budget AS DOUBLE) / w_total)
          |         / available_tokens, 6) AS sampling_rate
-         |FROM pw, tw, tt""".stripMargin
+         |FROM pw, tw, tt""".stripMargin,
+
+    // q125: same plan relationally — positional 32-grams, ≥2-occurrence
+    // hashes, sorted-positions span merge via lead().
+    "q125_dup_substring_coverage" ->
+      """WITH g AS (
+        |  SELECT doc_id, u.p, md5(substr(text, u.p, 32)) AS h
+        |  FROM documents,
+        |       LATERAL (SELECT unnest(generate_series(1,
+        |         length(text) - 31)) AS p) u
+        |  WHERE length(text) >= 32),
+        |d AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+        |m AS (SELECT g.doc_id, g.p FROM g JOIN d USING (h)),
+        |c AS (
+        |  SELECT doc_id, p,
+        |         LEAST(32, COALESCE(lead(p) OVER (PARTITION BY doc_id
+        |           ORDER BY p) - p, 32)) AS contrib
+        |  FROM m),
+        |r AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_grams,
+        |         CAST(sum(contrib) AS BIGINT) AS covered_chars
+        |  FROM c GROUP BY doc_id)
+        |SELECT dd.doc_id,
+        |       COALESCE(r.n_dup_grams, 0) AS n_dup_grams,
+        |       COALESCE(r.covered_chars, 0) AS covered_chars,
+        |       round(CAST(COALESCE(r.covered_chars, 0) AS DOUBLE)
+        |         / length(dd.text), 6) AS dup_ratio
+        |FROM documents dd LEFT JOIN r USING (doc_id)""".stripMargin
   )
 }
