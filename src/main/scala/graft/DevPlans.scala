@@ -41,7 +41,11 @@ object DevPlans {
       "q105_audio_stats" -> "audio decode: WAV generation + RIFF parse + one-pass sample stats all inside ONE mapPartitions projection over the scan — zero exchanges; decode cost distributes with the rows, the 100 TB multimodal shape",
       "q107_ann_nprobe_sweep" -> "nprobe sweep: ONE corpus-side cell join + cosine projection at nprobe=8 (queries broadcast), repartition barrier pins the scored candidates, then the 4-setting explode + per-(nprobe,query) windows re-rank the same candidate rows — the sweep never re-touches the corpus",
       "q108_source_quality_rank" -> "per-source quality rank: q100's two-level prefix design per source — within-(source,bucket) row_number on the ONE shared (source,bucket) exchange (scan=1, ReusedExchange for the totals branch), cross-bucket offsets and per-source totals broadcast back from bucket-table-sized aggregates; no per-source global sort",
-      "q109_topk_heap_agg" -> "grouped top-k WITHOUT the window sort: bounded-heap TypedImperativeAggregate — partial_topkbyscore absorbs each partition map-side BEFORE the exchange (which then carries <=k rows per (partition, group) as serialized heaps), final merge + posexplode; no WindowExec, no sort larger than k anywhere")
+      "q109_topk_heap_agg" -> "grouped top-k WITHOUT the window sort: bounded-heap TypedImperativeAggregate — partial_topkbyscore absorbs each partition map-side BEFORE the exchange (which then carries <=k rows per (partition, group) as serialized heaps), final merge + posexplode; no WindowExec, no sort larger than k anywhere",
+      "q118_audio_fingerprint" -> "audio perceptual near-dup: RIFF/WAVE decode + 64-bit energy-delta fingerprint inside the mapPartitions codec seam (payload bytes never shuffle), then the q117 banded equi-join — pair candidates from 16-bit band equality, never the all-pairs square",
+      "q121_hard_negatives" -> "hard-negative mining: query sample BROADCAST against one corpus scan (label-mismatch predicate rides the broadcast nested loop), cosine projection codegen'd, then the bounded-heap aggregate — partial heaps map-side, <=k rows per (partition, query) shuffled, no WindowExec",
+      "q123_cdc_chunks" -> "content-defined chunking: O(n) rolling-hash cuts inside the scan projection; the dedup exchanges carry (doc_id, chunk md5) pairs keyed on the hash — chunk text never shuffles past the md5",
+      "q125_dup_substring_coverage" -> "repeated-substring coverage: positional 32-gram md5s explode from the scan, dup hashes from one keyed aggregate, span merge = per-doc window over marked positions (sum-of-min identity) — no interval lists, no self-join on text")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by graft.DevPlans)\n\n")
     sb.append("Representative `.explain(\"formatted\")` output at sf0.01, AQE off\n")
