@@ -1,10 +1,10 @@
 package graft.text
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.graftshim.SqlShims.{toColumn, toExpression}
+import org.apache.spark.sql.graftshim.SqlShims.{toColumn, toExpression, AbstractType}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -39,9 +39,14 @@ object CdcExpression {
   val M = 1000000007L
 
   case class CdcChunks(child: Expression, w: Int, div: Long)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with CodegenFallback
+      with ImplicitCastInputTypes {
     require(w > 0, s"cdc: window w=$w must be > 0")
     require(div > 0, s"cdc: divisor=$div must be > 0")
+
+    // analysis-time typing (r5 advice discipline): a non-string child
+    // fails analysis, not execution
+    override def inputTypes: Seq[AbstractType] = Seq(StringType)
 
     override def dataType: DataType =
       ArrayType(StringType, containsNull = false)
