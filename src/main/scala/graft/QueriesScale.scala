@@ -2339,19 +2339,30 @@ object QueriesScale {
     "q125_dup_substring_coverage" -> q { (spark, dir) =>
       val L = 32
       val d = docs(spark, dir)
+      // repartition(h) is the compute-once barrier (q79/q96 pattern):
+      // grams explode + md5 ONCE; the dup-count aggregate runs on the
+      // exchange's partitioning (no second shuffle) and the position
+      // branch is a ReusedExchange already colocated on h — with a
+      // SHUFFLE_HASH hint so the join streams positions against the
+      // (dup-hash-sized) per-partition build table instead of sorting
+      // both 1.3M-row sides. No collected position lists anywhere, so
+      // a boilerplate gram in millions of docs costs streaming time,
+      // never aggregation state.
       val occ = d.select(col("doc_id"),
           explode(when(length(col("text")) >= L,
             sequence(lit(1), length(col("text")) - (L - 1)))
             .otherwise(array().cast("array<int>"))).as("p"),
           col("text"))
         .select(col("doc_id"), col("p"),
-          md5(col("text").substr(col("p"), lit(L))).as("h"))
+          substring(md5(col("text").substr(col("p"), lit(L))), 1, 16)
+            .as("h"))
+        .repartition(col("h"))
       val dup = occ.groupBy(col("h"))
         .agg(count(lit(1)).as("n_occ")).filter(col("n_occ") >= 2)
       val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
       val contrib = least(lit(L),
         coalesce(lead(col("p"), 1).over(w) - col("p"), lit(L)))
-      val cov = occ.join(dup, Seq("h"))
+      val cov = occ.join(dup.hint("shuffle_hash"), Seq("h"))
         .select(col("doc_id"), col("p"))
         .withColumn("contrib", contrib)
         .groupBy(col("doc_id"))
@@ -5143,7 +5154,7 @@ object QueriesScale {
     // hashes, sorted-positions span merge via lead().
     "q125_dup_substring_coverage" ->
       """WITH g AS (
-        |  SELECT doc_id, u.p, md5(substr(text, u.p, 32)) AS h
+        |  SELECT doc_id, u.p, substr(md5(substr(text, u.p, 32)), 1, 16) AS h
         |  FROM documents,
         |       LATERAL (SELECT unnest(generate_series(1,
         |         length(text) - 31)) AS p) u
