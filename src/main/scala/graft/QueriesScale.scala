@@ -170,11 +170,13 @@ object QueriesScale {
     }
 
   /** q117 pixel-byte formula (DuckDB twin of
-    * `Multimodal.ppmAssetsNearDup`'s scramble — integer-exact in both
-    * engines; `seed`/`v` come from the img CTE).
+    * `Multimodal.ppmAssetsNearDup`'s md5Uniform draw — the seed:k
+    * string and 2-hex-digit slice match the Scala generator exactly;
+    * `seed`/`v` come from the img CTE).
     */
   private def dhashPxSql(kExpr: String): String =
-    s"((seed * (($kExpr) + 3) * 2654435761) % 256" +
+    s"(CAST(('0x' || substr(md5(seed || ':' || (($kExpr)//16))," +
+      s" 2*(($kExpr)%16) + 1, 2)) AS BIGINT)" +
       s" + CASE WHEN ($kExpr) % 17 = v THEN 40 ELSE 0 END) % 256"
 
   /** q117 dHash bit j from the 72-entry row-major gray list `gl`
@@ -191,11 +193,12 @@ object QueriesScale {
     s"(CASE WHEN sl[($j) + 2] > sl[($j) + 1] THEN 1 ELSE 0 END)"
 
   /** q122 frame-f pixel-byte formula (DuckDB twin of
-    * `Multimodal.aviAssetsNearDup`; `seed`/`v` from the vid CTE,
-    * frame index from the f CTE).
+    * `Multimodal.aviAssetsNearDup`'s md5Uniform draw; `seed`/`v`
+    * from the vid CTE, frame index from the f CTE).
     */
   private def vdhashPxSql(kExpr: String): String =
-    s"((seed * (($kExpr) + 3) * 2654435761 + f.f * 997) % 256" +
+    s"(CAST(('0x' || substr(md5(seed || ':' || f.f || ':' ||" +
+      s" (($kExpr)//16)), 2*(($kExpr)%16) + 1, 2)) AS BIGINT)" +
       s" + CASE WHEN f.f = v AND v > 0 AND ($kExpr) % 17 = 0" +
       s" THEN 40 ELSE 0 END) % 256"
 
@@ -2112,8 +2115,20 @@ object QueriesScale {
     // recall for variant coverage, as q47 does.
     "q117_image_phash" -> q { (spark, dir) =>
       import graft.multimodal.Multimodal
+      // dup-group COUNT scales with the corpus (expected group size
+      // stays ~constant) so identical-hash cliques — and the pair
+      // output — grow linearly, not as N²/53; max(53, N/100) = 53 at
+      // the correctness-gate SFs, so oracle outputs there are
+      // unchanged. The oracle computes the same g from count(*).
+      val v117 = vecs(spark, dir)
+      val g117 = {
+        var g = math.max(53L, v117.count() / 100L)
+        if (g % 2 == 0) g += 1   // odd and not a multiple of 5: g must
+        if (g % 5 == 0) g += 2   // not divide replicated-id strides
+        g.toInt
+      }
       val hashed = Multimodal.imageDHash(
-        Multimodal.ppmAssetsNearDup(vecs(spark, dir)))
+        Multimodal.ppmAssetsNearDup(v117, g117))
       val banded = hashed.repartition(col("asset_id"))
         .select(col("asset_id"), col("dhash"),
           posexplode(array((0 until 4).map(b =>
@@ -2140,8 +2155,15 @@ object QueriesScale {
     // chunk-walk decode → frame-energy path bit-for-bit.
     "q118_audio_fingerprint" -> q { (spark, dir) =>
       import graft.multimodal.Multimodal
+      val v118 = vecs(spark, dir)
+      val g118 = {
+        var g = math.max(53L, v118.count() / 100L)
+        if (g % 2 == 0) g += 1   // odd and not a multiple of 5: g must
+        if (g % 5 == 0) g += 2   // not divide replicated-id strides
+        g.toInt
+      }
       val fp = Multimodal.audioFingerprint(
-        Multimodal.wavAssetsNearDup(vecs(spark, dir)))
+        Multimodal.wavAssetsNearDup(v118, g118))
       val banded = fp.repartition(col("asset_id"))
         .select(col("asset_id"), col("afp"),
           posexplode(array((0 until 4).map(b =>
@@ -2254,14 +2276,24 @@ object QueriesScale {
     // PPM decode → dHash, per frame.
     "q122_video_near_dup" -> q { (spark, dir) =>
       import graft.multimodal.Multimodal
+      val v122 = vecs(spark, dir)
+      val g122 = {
+        var g = math.max(53L, v122.count() / 100L)
+        if (g % 2 == 0) g += 1   // odd and not a multiple of 5: g must
+        if (g % 5 == 0) g += 2   // not divide replicated-id strides
+        g.toInt
+      }
       val frames = Multimodal.sampleFrames(
-        Multimodal.aviAssetsNearDup(vecs(spark, dir)), stride = 1)
+        Multimodal.aviAssetsNearDup(v122, g122), stride = 1)
       val fh = Multimodal.imageDHash(frames.select(
           (col("asset_id") * 8 + col("frame_idx")).as("asset_id"),
           col("frame_payload").as("payload")))
         .select((col("asset_id") / 8).cast("long").as("vid"),
           pmod(col("asset_id"), lit(8)).cast("int").as("fi"),
           col("dhash"))
+        // compute-once barrier: generator + demux + per-frame hash
+        // run ONCE; both self-join branches reuse this exchange
+        .repartition(col("vid"))
       val a = fh.select(col("vid").as("id_a"), col("fi"), col("dhash"))
       val b = fh.select(col("vid").as("id_b"), col("fi"), col("dhash"))
       a.join(b, Seq("fi", "dhash"))
@@ -4852,14 +4884,21 @@ object QueriesScale {
     // nibble-xor hamming. A Spark↔oracle hash match therefore proves
     // the whole encode→decode→grayscale→dhash path bit-for-bit.
     "q117_image_phash" ->
-      s"""WITH img AS (
+      s"""WITH gc AS (
+         |  SELECT g1 + CASE WHEN g1 % 5 = 0 THEN 2 ELSE 0 END AS g
+         |  FROM (SELECT g0 + 1 - (g0 % 2) AS g1
+         |        FROM (SELECT GREATEST(53, count(*)//100) AS g0
+         |              FROM embeddings))),
+         |img AS (
          |  SELECT vec_id AS asset_id,
-         |         CASE WHEN vec_id % 5 = 0 THEN (vec_id % 53) + 1
-         |              ELSE 54 + (vec_id % 100003) END AS seed,
+         |         CASE WHEN vec_id % 5 = 0 THEN (vec_id % gc.g) + 1
+         |              ELSE gc.g + 1 + CAST(('0x' || substr(md5(
+         |                CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |              END AS seed,
          |         CASE WHEN vec_id % 5 = 0
-         |              THEN CAST((vec_id // 53) % 4 AS INT)
+         |              THEN CAST((vec_id // gc.g) % 4 AS INT)
          |              ELSE 0 END AS v
-         |  FROM embeddings),
+         |  FROM embeddings, gc),
          |gr AS (
          |  SELECT asset_id, u.idx,
          |         (${dhashPxSql("3*u.idx")} + ${dhashPxSql("3*u.idx+1")}
@@ -4901,19 +4940,28 @@ object QueriesScale {
     // the same banded join + nibble-xor hamming. A Spark↔oracle hash
     // match therefore proves WAV encode → decode → fingerprint.
     "q118_audio_fingerprint" ->
-      s"""WITH aud AS (
+      s"""WITH gc AS (
+         |  SELECT g1 + CASE WHEN g1 % 5 = 0 THEN 2 ELSE 0 END AS g
+         |  FROM (SELECT g0 + 1 - (g0 % 2) AS g1
+         |        FROM (SELECT GREATEST(53, count(*)//100) AS g0
+         |              FROM embeddings))),
+         |aud AS (
          |  SELECT vec_id AS asset_id,
-         |         CASE WHEN vec_id % 5 = 0 THEN (vec_id % 53) + 1
-         |              ELSE 54 + (vec_id % 100003) END AS seed,
+         |         CASE WHEN vec_id % 5 = 0 THEN (vec_id % gc.g) + 1
+         |              ELSE gc.g + 1 + CAST(('0x' || substr(md5(
+         |                CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |              END AS seed,
          |         CASE WHEN vec_id % 5 = 0
-         |              THEN CAST((vec_id // 53) % 4 AS INT)
+         |              THEN CAST((vec_id // gc.g) % 4 AS INT)
          |              ELSE 0 END AS v
-         |  FROM embeddings),
+         |  FROM embeddings, gc),
          |sums AS (
          |  SELECT asset_id,
          |         list_transform(generate_series(0, 64), f ->
          |           list_sum(list_transform(generate_series(0, 4), k ->
-         |             ((seed * (f*5 + k + 3) * 2654435761) % 65536
+         |             (CAST(('0x' || substr(md5(seed || ':' ||
+         |                ((f*5 + k)//8)), 4*((f*5 + k)%8) + 1, 4))
+         |                AS BIGINT)
          |              + CASE WHEN f = v THEN 1000 ELSE 0 END)
          |               % 65536))) AS sl
          |  FROM aud),
@@ -5040,14 +5088,21 @@ object QueriesScale {
     // same (frame_idx, hash) equi-join — a hash match proves AVI
     // encode → container walk → PPM decode → dHash per frame.
     "q122_video_near_dup" ->
-      s"""WITH vid AS (
+      s"""WITH gc AS (
+         |  SELECT g1 + CASE WHEN g1 % 5 = 0 THEN 2 ELSE 0 END AS g
+         |  FROM (SELECT g0 + 1 - (g0 % 2) AS g1
+         |        FROM (SELECT GREATEST(53, count(*)//100) AS g0
+         |              FROM embeddings))),
+         |vid AS (
          |  SELECT vec_id AS asset_id,
-         |         CASE WHEN vec_id % 5 = 0 THEN (vec_id % 53) + 1
-         |              ELSE 54 + (vec_id % 100003) END AS seed,
+         |         CASE WHEN vec_id % 5 = 0 THEN (vec_id % gc.g) + 1
+         |              ELSE gc.g + 1 + CAST(('0x' || substr(md5(
+         |                CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |              END AS seed,
          |         CASE WHEN vec_id % 5 = 0
-         |              THEN CAST((vec_id // 53) % 4 AS INT)
+         |              THEN CAST((vec_id // gc.g) % 4 AS INT)
          |              ELSE 0 END AS v
-         |  FROM embeddings),
+         |  FROM embeddings, gc),
          |gr AS (
          |  SELECT asset_id, f.f, u.idx,
          |         (${vdhashPxSql("3*u.idx")} + ${vdhashPxSql("3*u.idx+1")}

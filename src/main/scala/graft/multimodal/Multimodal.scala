@@ -426,13 +426,15 @@ object Multimodal {
     * mod 2^16), so two variants of a group differ in at most 4
     * energy-delta bits — all inside band 0, guaranteeing the banded
     * join recalls the pair — while distinct seeds get uncorrelated
-    * waveforms via the Knuth multiplicative scramble (a constant
-    * phase offset would NOT work: the fingerprint is offset-
-    * invariant by design). Unsigned sample
-    * `u(j) = ((seed·(j+3)·2654435761) mod 2^16 + [j/5 = v]·1000)
-    * mod 2^16`, PCM16 value `u − 32768`, 325 samples (65 fingerprint
+    * waveforms via [[md5Uniform]] (a multiplicative scramble is
+    * LINEAR in j mod 2^16 and collapses the fingerprint space; a
+    * constant phase offset would not work either: the fingerprint is
+    * offset-invariant by design). Unsigned sample
+    * `u(j) = (md5Uniform("seed:j", 4 hex) + [j/5 = v]·1000) mod
+    * 2^16`, PCM16 value `u − 32768`, 325 samples (65 fingerprint
     * frames of 5) at 8 kHz, round-tripped through the real RIFF/WAVE
-    * codec.
+    * codec. Size dupGroups ∝ corpus (catalog: max(53, N/100)) to
+    * bound dup-class multiplicity.
     */
   def wavAssetsNearDup(vectors: DataFrame,
                        dupGroups: Int = 53): DataFrame = {
@@ -442,11 +444,21 @@ object Multimodal {
     vectors.select(col("vec_id").cast("long")).as[Long]
       .map { id =>
         val isDup = id % 5 == 0
+        // unique seeds are an md5 draw over the id — modular
+        // arithmetic collides catastrophically under replicated-id
+        // rehearsal data (ids shifted by large constants alias small
+        // moduli), turning "unique" assets into identical cliques
+        val md = java.security.MessageDigest.getInstance("MD5")
         val seed = if (isDup) (id % dupGroups) + 1
-                   else dupGroups + 1 + (id % 100003L)
+                   else dupGroups + 1 + md5Uniform(md, id.toString, 8)
         val v = if (isDup) ((id / dupGroups) % 4).toInt else 0
+        // block draw: sample j = bytes 2(j%8)..2(j%8)+1 of
+        // md5("seed:j/8") — 8 samples per digest
+        val blocks = Array.tabulate(41)(b => md.digest(
+          s"$seed:$b".getBytes(java.nio.charset.StandardCharsets.UTF_8)))
         val samples = Array.tabulate(325) { j =>
-          val base = (seed * (j + 3) * 2654435761L) % 65536
+          val d = blocks(j / 8); val o = 2 * (j % 8)
+          val base = (((d(o) & 0xff) << 8) | (d(o + 1) & 0xff)).toLong
           val u = (base + (if (j / 5 == v) 1000L else 0L)) % 65536
           (u - 32768).toShort
         }
@@ -717,12 +729,22 @@ object Multimodal {
     vectors.select(col("vec_id").cast("long")).as[Long]
       .map { id =>
         val isDup = id % 5 == 0
+        // unique seeds are an md5 draw over the id — modular
+        // arithmetic collides catastrophically under replicated-id
+        // rehearsal data (ids shifted by large constants alias small
+        // moduli), turning "unique" assets into identical cliques
+        val md = java.security.MessageDigest.getInstance("MD5")
         val seed = if (isDup) (id % dupGroups) + 1
-                   else dupGroups + 1 + (id % 100003L)
+                   else dupGroups + 1 + md5Uniform(md, id.toString, 8)
         val v = if (isDup) ((id / dupGroups) % 4).toInt else 0
         val frames = (0 until 4).map { f =>
+          // block draw: pixel k of frame f = byte k%16 of
+          // md5("seed:f:k/16")
+          val blocks = Array.tabulate(14)(b => md.digest(
+            s"$seed:$f:$b".getBytes(
+              java.nio.charset.StandardCharsets.UTF_8)))
           Ppm.encode(Ppm.Image(9, 8, Array.tabulate(216) { k =>
-            val base = (seed * (k + 3) * 2654435761L + f * 997L) % 256
+            val base = blocks(k / 16)(k % 16) & 0xff
             (if (f == v && v > 0 && k % 17 == 0) (base + 40) % 256
              else base).toByte
           }))
@@ -773,23 +795,56 @@ object Multimodal {
         "duration_ms", "codec")
   }
 
+  /** md5-derived uniform byte: the first `hexDigits` hex chars of
+    * md5(key) as an integer — the engine-portable uniform source the
+    * near-dup generators draw pixels/samples from. A multiplicative
+    * scramble mod 2^n does NOT work here: (seed·k·C) mod 2^n factors
+    * as ((seed·C) mod 2^n)·k, an arithmetic progression in k, so
+    * perceptual hashes over it collapse into a handful of patterns
+    * and the pair joins go quadratic (measured: 3.3M hamming-near
+    * pairs from 20k "unique" assets at the sf1 rehearsal).
+    */
+  @inline private[multimodal] def md5Uniform(key: String,
+                                             hexDigits: Int): Long =
+    md5Uniform(java.security.MessageDigest.getInstance("MD5"),
+      key, hexDigits)
+
+  /** Digest-reusing overload: generators draw millions of bytes per
+    * partition, and a fresh MessageDigest per draw is the dominant
+    * cost — reuse one instance per asset (digest() resets it).
+    */
+  @inline private[multimodal] def md5Uniform(
+      md: java.security.MessageDigest, key: String,
+      hexDigits: Int): Long = {
+    val d = md.digest(
+      key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < hexDigits) {
+      val b = (d(i / 2) >> (if (i % 2 == 0) 4 else 0)) & 0xf
+      v = (v << 4) | b
+      i += 1
+    }
+    v
+  }
+
   /** 9×8 RGB PPM asset table with engineered NEAR-duplicate
     * structure: every 5th asset joins one of `dupGroups` duplicate
     * groups (4 sparse-perturbation variants each — identical pixels
     * for the same variant, a few changed bytes across variants); the
-    * rest are unique. Pixel bytes are a Knuth-multiplicative scramble
-    * of a per-image seed, so unrelated images are pseudo-random
-    * (expected dHash hamming ~32) while variants of one group differ
-    * by a +40 bump at a sparse byte stripe. The 4/5 unique share
-    * keeps the near-dup pair list linear-ish in corpus size (pair
-    * output is inherently quadratic in dup-class multiplicity — the
-    * dup classes here stay a bounded slice, like a real corpus).
-    * Seeds are bounded (< 100060) so the scramble product stays far
-    * from BIGINT overflow in any engine. One asset per embeddings row
-    * (count ∝ SF); per-row typed-map generation, same executor shape
-    * as [[assetsFromVectors]]. 9×8 is dHash's native sampling grid,
-    * so the hash needs no resample step and the oracle can recompute
-    * it from the pixel formula alone.
+    * rest are unique. Pixel bytes come from [[md5Uniform]] over
+    * (seed, position), so unrelated images are genuinely uniform
+    * (expected dHash hamming ~32 — see md5Uniform's note on why a
+    * multiplicative scramble degenerates here) while variants of one
+    * group differ by a +40 bump at a sparse byte stripe. Callers
+    * sizing for scale pass dupGroups ∝ corpus size (the catalog uses
+    * max(53, N/100)) so dup-class multiplicity — and with it the
+    * inherently-quadratic-in-class-size pair output — stays bounded,
+    * like a real corpus. One asset per embeddings row (count ∝ SF);
+    * per-row typed-map generation, same executor shape as
+    * [[assetsFromVectors]]. 9×8 is dHash's native sampling grid, so
+    * the hash needs no resample step and the oracle can recompute it
+    * from the pixel formula alone.
     */
   def ppmAssetsNearDup(vectors: DataFrame,
                        dupGroups: Int = 53): DataFrame = {
@@ -799,11 +854,21 @@ object Multimodal {
     vectors.select(col("vec_id").cast("long")).as[Long]
       .map { id =>
         val isDup = id % 5 == 0
+        // unique seeds are an md5 draw over the id — modular
+        // arithmetic collides catastrophically under replicated-id
+        // rehearsal data (ids shifted by large constants alias small
+        // moduli), turning "unique" assets into identical cliques
+        val md = java.security.MessageDigest.getInstance("MD5")
         val seed = if (isDup) (id % dupGroups) + 1
-                   else dupGroups + 1 + (id % 100003L)
+                   else dupGroups + 1 + md5Uniform(md, id.toString, 8)
         val v = if (isDup) ((id / dupGroups) % 4).toInt else 0
+        // one digest yields 16 pixel bytes (block draw): pixel k is
+        // byte k%16 of md5("seed:k/16") — 16x fewer digests than a
+        // per-pixel draw, same uniformity, same SQL twin
+        val blocks = Array.tabulate(14)(b => md.digest(
+          s"$seed:$b".getBytes(java.nio.charset.StandardCharsets.UTF_8)))
         val px = Array.tabulate(216) { k =>
-          val base = (seed * (k + 3) * 2654435761L) % 256
+          val base = blocks(k / 16)(k % 16) & 0xff
           (if (k % 17 == v) (base + 40) % 256 else base).toByte
         }
         (id, "image", Ppm.encode(Ppm.Image(9, 8, px)), 9, 8, 0L, "ppm")
