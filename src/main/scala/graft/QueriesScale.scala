@@ -2407,6 +2407,20 @@ object QueriesScale {
           coalesce(col("covered_chars"), lit(0L)).as("covered_chars"),
           pround(coalesce(col("covered_chars"), lit(0L)).cast("double")
             / col("n"), 6).as("dup_ratio"))
+    },
+
+    // Incremental NEAR-dup gate: new-batch docs LSH-probed against
+    // corpus history (the q60 exact gate's fuzzy twin — "reject
+    // re-crawls and light edits BEFORE they enter the corpus"). Both
+    // sides collapse to distinct signatures before the band join, and
+    // the per-new-doc best history match comes from the bounded-heap
+    // top-1 aggregate — no WindowExec, no new×history pairs anywhere.
+    "q126_incremental_neardup" -> q { (spark, dir) =>
+      import graft.sampling.Sampling
+      val d = docs(spark, dir)
+      val isHist = Sampling.hashFraction(col("doc_id"), "incr") < 0.8
+      Dedup.incrementalNearDup(d.filter(!isHist), d.filter(isHist),
+        threshold = 0.5)
     }
   )
 
@@ -5230,6 +5244,48 @@ object QueriesScale {
         |       COALESCE(r.covered_chars, 0) AS covered_chars,
         |       round(CAST(COALESCE(r.covered_chars, 0) AS DOUBLE)
         |         / length(dd.text), 6) AS dup_ratio
-        |FROM documents dd LEFT JOIN r USING (doc_id)""".stripMargin
+        |FROM documents dd LEFT JOIN r USING (doc_id)""".stripMargin,
+
+    // q126: the oracle is the naive per-pair form — band join of the
+    // 20% new slice against the 80% history slice (q60's md5 coin),
+    // est_jaccard from signature equality, per-new-doc argmax with
+    // the pinned (est DESC, hist_id ASC) tiebreak. The Spark side's
+    // signature-group collapse is exact for this argmax, so the hash
+    // compare proves it.
+    "q126_incremental_neardup" ->
+      s"""WITH $sigsSql,
+         |f AS (
+         |  SELECT doc_id,
+         |         CAST(('0x' || substr(md5('incr'
+         |             || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |           / 4294967296.0 AS frac
+         |  FROM documents),
+         |nb AS (
+         |  SELECT s.doc_id, s.sig, b.b AS band_idx,
+         |         md5(array_to_string(s.sig[b.b*4+1:b.b*4+4], '|'))
+         |           AS band_hash
+         |  FROM sigs s JOIN f USING (doc_id)
+         |  CROSS JOIN (SELECT unnest([0,1,2,3]) AS b) b
+         |  WHERE f.frac >= 0.8),
+         |hb AS (
+         |  SELECT s.doc_id, s.sig, b.b AS band_idx,
+         |         md5(array_to_string(s.sig[b.b*4+1:b.b*4+4], '|'))
+         |           AS band_hash
+         |  FROM sigs s JOIN f USING (doc_id)
+         |  CROSS JOIN (SELECT unnest([0,1,2,3]) AS b) b
+         |  WHERE f.frac < 0.8),
+         |cand AS (
+         |  SELECT DISTINCT n.doc_id, h.doc_id AS hist_id,
+         |         CAST(list_sum(list_transform(generate_series(1, 16),
+         |           i -> CASE WHEN n.sig[i] = h.sig[i]
+         |                     THEN 1 ELSE 0 END)) AS DOUBLE) / 16.0
+         |           AS est_jaccard
+         |  FROM nb n JOIN hb h ON n.band_idx = h.band_idx
+         |                     AND n.band_hash = h.band_hash)
+         |SELECT doc_id, hist_id AS matched_hist_id, est_jaccard
+         |FROM cand
+         |WHERE est_jaccard >= 0.5
+         |QUALIFY row_number() OVER (PARTITION BY doc_id
+         |  ORDER BY est_jaccard DESC, hist_id ASC) = 1""".stripMargin
   )
 }

@@ -52,6 +52,76 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Incremental NEAR-dup gate: which NEW docs approximately match
+    * any HISTORY doc — the LSH twin of [[incrementalNew]]'s exact
+    * gate, i.e. "reject re-crawls and light edits of corpus content
+    * BEFORE they enter the corpus". Both sides MinHash-band;
+    * candidates come from the (band_idx, band_hash) equi-join of new
+    * bands against history bands (each doc shuffles `bands` times —
+    * never new×history pairs); est_jaccard = fraction of equal
+    * signature components.
+    *
+    * Scale hardening mirrors [[minhashPairs]]: BOTH sides collapse to
+    * one representative per distinct signature before the band join
+    * (history holds million-copy boilerplate clusters at 100 TB; the
+    * collapse makes band fan-out linear in distinct content), and the
+    * per-new-doc best match comes from the bounded-heap top-1
+    * aggregate — max est_jaccard, pinned min-history-id tiebreak (the
+    * history representative IS its group's min id, so the collapsed
+    * argmax equals the naive per-pair argmax exactly) — no WindowExec,
+    * no per-doc sort. Output: one row per matched new doc
+    * (idCol, matched_hist_id, est_jaccard).
+    */
+  def incrementalNearDup(newDocs: DataFrame, history: DataFrame,
+                         idCol: String = "doc_id",
+                         textCol: String = "text", k: Int = 16,
+                         bands: Int = 4, shingleSize: Int = 3,
+                         threshold: Double = 0.5): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val r = k / bands
+    def sigs(df: DataFrame): DataFrame = df
+      .select(col(idCol), col(textCol))
+      .repartition(col(idCol))
+      .withColumn("sig", minhashSignature(col(textCol), k, shingleSize))
+      .withColumn("sig_fp", md5(concat_ws("|", col("sig"))))
+      .select(col(idCol), col("sig"), col("sig_fp"))
+      .repartition(col("sig_fp"))
+    def banded(groups: DataFrame): DataFrame = groups
+      .withColumn("band",
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band_idx"),
+            md5(concat_ws("|", slice(col("sig"), b * r + 1, lit(r))))
+              .as("band_hash")))))
+      .withColumn("band_idx", col("band.band_idx"))
+      .withColumn("band_hash", col("band.band_hash"))
+      .drop("band")
+    val ns = sigs(newDocs)
+    val nBand = banded(ns.groupBy(col("sig_fp"))
+        .agg(first(col("sig")).as("sig")))
+      .select(col("sig_fp").as("fp_n"), col("sig").as("sig_n"),
+        col("band_idx"), col("band_hash"))
+    val hBand = banded(sigs(history).groupBy(col("sig_fp"))
+        .agg(min(col(idCol)).as("hist_rep"), first(col("sig")).as("sig")))
+      .select(col("hist_rep"), col("sig").as("sig_h"),
+        col("band_idx"), col("band_hash"))
+    val cand = nBand.join(hBand, Seq("band_idx", "band_hash"))
+      .select(col("fp_n"), col("hist_rep"),
+        (size(filter(zip_with(col("sig_n"), col("sig_h"),
+          (x, y) => x === y), p => p)).cast("double") / k)
+          .as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= threshold)
+    val best = cand.groupBy(col("fp_n"))
+      .agg(graft.functions.TopKAggregate.topK(col("est_jaccard"),
+        col("hist_rep"), 1).as("tk"))
+      .select(col("fp_n").as("sig_fp"),
+        col("tk")(0).getField("id").as("matched_hist_id"),
+        col("tk")(0).getField("score").as("est_jaccard"))
+    ns.select(col("sig_fp"), col(idCol))
+      .join(best, Seq("sig_fp"))
+      .select(col(idCol), col("matched_hist_id"), col("est_jaccard"))
+  }
+
   /** MinHash signature as an array of k hex-string minima over word
     * shingles: `sig_i = min over shingles of md5(i || ':' || shingle)`.
     * Lexicographic min of fixed-length hex == numeric min of the hash —

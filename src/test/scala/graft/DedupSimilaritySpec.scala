@@ -461,4 +461,32 @@ class DedupSimilaritySpec extends SparkSpec {
       s"subset pair missing from $pairs")
     assert(!pairs.exists { case (a, b) => a == 12L || b == 12L })
   }
+
+  test("incrementalNearDup gates new docs against history, best-match") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog " +
+      "while seven wizards brew quartz potions at dawn"
+    val hist = Seq(
+      (1L, base),                       // original
+      (3L, base),                       // exact dup in history too
+      (5L, "completely different content about spark catalyst " +
+        "optimizer rules and distributed shuffle exchanges")
+    ).toDF("doc_id", "text")
+    val fresh = Seq(
+      (101L, base),                     // exact re-crawl -> est 1.0
+      (102L, base + " extra trailing words"), // light edit -> near
+      (103L, "unrelated novel text nobody has ever written before " +
+        "in any corpus anywhere truly unique")
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalNearDup(fresh, hist, threshold = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    // exact re-crawl: est 1.0, witness pinned to the MIN history id
+    // of the matching signature group (1, not 3)
+    assert(out(101L) == ((1L, 1.0)))
+    // light edit: caught with high (but not necessarily 1.0) estimate
+    assert(out.contains(102L) && out(102L)._2 >= 0.5)
+    // novel doc passes the gate
+    assert(!out.contains(103L))
+  }
 }
