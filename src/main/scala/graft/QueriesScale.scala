@@ -2421,6 +2421,19 @@ object QueriesScale {
       val isHist = Sampling.hashFraction(col("doc_id"), "incr") < 0.8
       Dedup.incrementalNearDup(d.filter(!isHist), d.filter(isHist),
         threshold = 0.5)
+    },
+
+    // IVF index-health audit: per-cell occupancy + member-to-centroid
+    // affinity over the SAME trained quantizer q36 searches with —
+    // the dashboard an operator reads before trusting an ANN index
+    // (mega-cells = q89's documented latency hazard; low affinity =
+    // stale centroids). One corpus scan; the only exchange carries
+    // ≤ nlist counter rows.
+    "q127_ivf_cell_stats" -> q { (spark, dir) =>
+      val v = vecs(spark, dir)
+      val cents = Similarity.fitIvfKmeans(v,
+        Similarity.kmeansInit(v, 8), iters = 2)._1
+      Similarity.ivfCellStats(v, cents).orderBy(col("cell"))
     }
   )
 
@@ -5286,6 +5299,35 @@ object QueriesScale {
          |FROM cand
          |WHERE est_jaccard >= 0.5
          |QUALIFY row_number() OVER (PARTITION BY doc_id
-         |  ORDER BY est_jaccard DESC, hist_id ASC) = 1""".stripMargin
+         |  ORDER BY est_jaccard DESC, hist_id ASC) = 1""".stripMargin,
+
+    // q127: same trained quantizer re-derived relationally
+    // (trainedCentsSql), same argmax assignment as the q36 twin, then
+    // the micro-unit affinity rollup.
+    "q127_ivf_cell_stats" ->
+      s"""WITH ${trainedCentsSql(8, 2)},
+         |scored AS (
+         |  SELECT e.vec_id, c.c AS cell,
+         |         list_sum(list_transform(
+         |             generate_series(1, len(e.embedding)),
+         |             i -> CAST(e.embedding[i] AS DOUBLE) * c.w[i]))
+         |           / c.nrm AS s
+         |  FROM embeddings e CROSS JOIN cents c),
+         |assign AS (
+         |  SELECT vec_id, CAST(list_position(ls, list_max(ls)) - 1
+         |           AS INT) AS cell,
+         |         list_max(ls) AS best
+         |  FROM (SELECT vec_id, list(s ORDER BY cell) AS ls
+         |        FROM scored GROUP BY vec_id)),
+         |$vNormSql,
+         |m AS (
+         |  SELECT a.cell, round(a.best / v.nrm, 6) AS cos
+         |  FROM assign a JOIN v USING (vec_id))
+         |SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
+         |       CAST(sum(CASE WHEN cos >= 0
+         |                     THEN floor(cos * 1000000 + 0.5)
+         |                     ELSE ceil(cos * 1000000 - 0.5) END)
+         |         AS BIGINT) AS affinity_units
+         |FROM m GROUP BY cell ORDER BY cell""".stripMargin
   )
 }

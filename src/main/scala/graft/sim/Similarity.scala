@@ -295,6 +295,37 @@ object Similarity {
   private[sim] def cellOfMin(dists: Column): Column =
     (array_position(dists, array_min(dists)) - 1).cast("int")
 
+  /** IVF index-health audit: per-cell occupancy plus total cosine
+    * affinity of members to their owning centroid — the two numbers
+    * that tell an operator whether nlist and the training fit the
+    * corpus (empty or mega cells = recall/latency hazards, q89's
+    * documented failure mode; low affinity = stale centroids needing
+    * a [[kmeansRefine]] pass). Scale shape: one corpus scan, and the
+    * only exchange carries ≤ nlist counter rows (map-side partial
+    * aggregation). Affinity is 6-dp-rounded per row then summed in
+    * exact integer micro-units, so the rollup is bit-portable under
+    * any summation order.
+    */
+  def ivfCellStats(corpus: DataFrame, centroids: Seq[Array[Double]],
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.PortableRound.pround
+    require(centroids.nonEmpty, "ivfCellStats: centroids required")
+    val cosR = pround(col("__best") / l2Norm(col(vecCol)), 6)
+    val units = when(cosR >= 0,
+      floor(cosR * 1e6 + lit(0.5))).otherwise(ceil(cosR * 1e6 - lit(0.5)))
+      .cast("long")
+    corpus
+      .select(col(idCol), col(vecCol))
+      .repartition(col(idCol))
+      .withColumn("__s", centroidScores(col(vecCol), centroids))
+      .withColumn("cell", cellOf(col("__s")))
+      .withColumn("__best", array_max(col("__s")))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(units).as("affinity_units"))
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
               centroids: Seq[Array[Double]], k: Int, nprobe: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding",
