@@ -192,6 +192,55 @@ object QueriesScale {
   private def afpBitSql(j: String): String =
     s"(CASE WHEN sl[($j) + 2] > sl[($j) + 1] THEN 1 ELSE 0 END)"
 
+  /** q128 oracle: the whole BPE training loop as a generated CTE
+    * chain — layer k counts adjacent pairs of w(k-1), picks the
+    * pinned argmax, and rewrites the vocab; the final UNION lists the
+    * learned merges in rank order. Self-pairs excluded in BOTH
+    * engines (see BpeLearn's scaladoc).
+    */
+  private def bpeLearnSql(n: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH w0 AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS freq,
+        |         list_transform(generate_series(1, length(w)),
+        |           i -> substr(w, i, 1)) AS syms
+        |  FROM (SELECT unnest(list_filter(
+        |          regexp_split_to_array(text, '\s+'), x -> x <> ''))
+        |          AS w
+        |        FROM documents)
+        |  GROUP BY w)""".stripMargin)
+    (1 to n).foreach { k =>
+      sb.append(s""",
+        |p$k AS (
+        |  SELECT syms[u.i] AS a, syms[u.i + 1] AS b,
+        |         CAST(sum(freq) AS BIGINT) AS cnt
+        |  FROM w${k - 1},
+        |       LATERAL (SELECT unnest(generate_series(1,
+        |         len(syms) - 1)) AS i) u
+        |  WHERE syms[u.i] <> syms[u.i + 1]
+        |  GROUP BY 1, 2),
+        |m$k AS (SELECT a, b, cnt FROM p$k
+        |        ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+        |w$k AS (
+        |  SELECT w, freq,
+        |         list_filter(list_transform(generate_series(1,
+        |           len(syms)), i ->
+        |           CASE WHEN syms[i] = m.a AND i < len(syms)
+        |                     AND syms[i + 1] = m.b THEN m.a || m.b
+        |                WHEN i > 1 AND syms[i - 1] = m.a
+        |                     AND syms[i] = m.b THEN NULL
+        |                ELSE syms[i] END),
+        |           x -> x IS NOT NULL) AS syms
+        |  FROM w${k - 1}, m$k m)""".stripMargin)
+    }
+    sb.append("\n" + (1 to n).map(k =>
+      s"SELECT CAST($k AS INT) AS merge_rank, a AS sym_a, " +
+        s"b AS sym_b, a || b AS merged, cnt AS pair_count FROM m$k")
+      .mkString("", "\nUNION ALL\n", ""))
+    sb.toString
+  }
+
   /** q122 frame-f pixel-byte formula (DuckDB twin of
     * `Multimodal.aviAssetsNearDup`'s md5Uniform draw; `seed`/`v`
     * from the vid CTE, frame index from the f CTE).
@@ -2434,6 +2483,20 @@ object QueriesScale {
       val cents = Similarity.fitIvfKmeans(v,
         Similarity.kmeansInit(v, 8), iters = 2)._1
       Similarity.ivfCellStats(v, cents).orderBy(col("cell"))
+    },
+
+    // BPE merge LEARNING — tokenizer TRAINING as a pipeline (q112 is
+    // the apply side). One corpus pass builds the word-frequency
+    // table; each of the 8 learning rounds is a vocab-sized pair
+    // aggregate + a 1-row argmax collect (the merge list IS the
+    // model — kmeansRefine's offline-fit discipline). The oracle
+    // replays the ENTIRE training loop as a generated 8-layer CTE
+    // chain, so the hash match proves every learned merge, in order.
+    "q128_bpe_learn" -> q { (spark, dir) =>
+      import spark.implicits._
+      graft.text.BpeLearn.learnMerges(docs(spark, dir)).toDF()
+        .select(col("merge_rank"), col("sym_a"), col("sym_b"),
+          col("merged"), col("pair_count"))
     }
   )
 
@@ -5328,6 +5391,8 @@ object QueriesScale {
          |                     THEN floor(cos * 1000000 + 0.5)
          |                     ELSE ceil(cos * 1000000 - 0.5) END)
          |         AS BIGINT) AS affinity_units
-         |FROM m GROUP BY cell ORDER BY cell""".stripMargin
+         |FROM m GROUP BY cell ORDER BY cell""".stripMargin,
+
+    "q128_bpe_learn" -> bpeLearnSql(8)
   )
 }

@@ -299,4 +299,33 @@ class TextForecastSpec extends SparkSpec {
     assert(chunksOf("tiny") == Seq("tiny"))
     assert(chunksOf("") == Seq(""))
   }
+
+  test("BPE learn: hand-checkable merges, pinned ties, non-overlap") {
+    import spark.implicits._
+    import graft.text.BpeLearn
+    // corpus: "lower lower lower newer newer wider"
+    // char pairs (freq-weighted, self-pairs excluded):
+    //   er: 6 (3x lower, 2x newer, 1x wider)  <- round 1 winner
+    //   lo/ow/we: 3 each; ne/ew: 2; wi/id/de: 1
+    // after merging 'e r'->'er': "l o w er", "n e w er", "w i d er"
+    //   w+er: 3 (lower) + 2 (newer) = 5 -> round 2 winner
+    val docs = Seq("lower lower newer wider", "lower newer").toDF("text")
+    val ms = BpeLearn.learnMerges(docs, nMerges = 3)
+    assert(ms.head.sym_a == "e" && ms.head.sym_b == "r"
+      && ms.head.pair_count == 6L && ms.head.merged == "er")
+    assert(ms(1).sym_a == "w" && ms(1).sym_b == "er"
+      && ms(1).pair_count == 5L)
+    assert(ms.map(_.merge_rank) == Seq(1, 2, 3))
+    // pinned tiebreak: equal counts resolve (a ASC, b ASC) — "ab"
+    // and "cd" both appear twice; 'a b' must win round 1
+    val tie = Seq("ab cd", "ab cd").toDF("text")
+    val t = BpeLearn.learnMerges(tie, nMerges = 1)
+    assert(t.head.sym_a == "a" && t.head.sym_b == "b")
+    // non-overlap: 'x y x y x y' — with a != b adjacent matches never
+    // share a symbol, so all three pairs merge in one round
+    val alt = Seq("xyxyxy xyxyxy").toDF("text")
+    val m1 = BpeLearn.learnMerges(alt, nMerges = 1)
+    assert(m1.head.sym_a == "x" && m1.head.sym_b == "y"
+      && m1.head.pair_count == 6L)
+  }
 }
