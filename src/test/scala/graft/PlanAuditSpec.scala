@@ -373,6 +373,24 @@ class PlanAuditSpec extends SparkSpec {
       s"q121 must not fall back to a window sort:\n${p.take(2000)}")
   }
 
+  test("incremental near-dup joins bands and heap-aggregates, no window") {
+    val p = plan("q126_incremental_neardup")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"q126 must probe history via the band equi-join:\n${p.take(2000)}")
+    assert(p.contains("partial_topkbyscore"),
+      s"q126 expected the bounded-heap top-1 partial mode:\n${p.take(2000)}")
+    assert(!p.contains("Window"),
+      s"q126 must not window-sort per new doc:\n${p.take(2000)}")
+  }
+
+  test("ivf cell stats: counter-sized rollup with a map-side partial") {
+    val p = plan("q127_ivf_cell_stats")
+    assert(p.contains("partial_"),
+      s"q127 expected a map-side partial aggregate:\n${p.take(2000)}")
+    assert(!p.contains("Join"),
+      s"q127 is one corpus scan, no joins:\n${p.take(2000)}")
+  }
+
   test("code-switch chunks explode once and langId stays native") {
     val conf = spark.conf
     val saved = conf.getOption("spark.sql.adaptive.enabled")
