@@ -45,7 +45,8 @@ object DevPlans {
       "q118_audio_fingerprint" -> "audio perceptual near-dup: RIFF/WAVE decode + 64-bit energy-delta fingerprint inside the mapPartitions codec seam (payload bytes never shuffle), then the q117 banded equi-join — pair candidates from 16-bit band equality, never the all-pairs square",
       "q121_hard_negatives" -> "hard-negative mining: query sample BROADCAST against one corpus scan (label-mismatch predicate rides the broadcast nested loop), cosine projection codegen'd, then the bounded-heap aggregate — partial heaps map-side, <=k rows per (partition, query) shuffled, no WindowExec",
       "q123_cdc_chunks" -> "content-defined chunking: O(n) rolling-hash cuts inside the scan projection; the dedup exchanges carry (doc_id, chunk md5) pairs keyed on the hash — chunk text never shuffles past the md5",
-      "q125_dup_substring_coverage" -> "repeated-substring coverage: positional 32-gram md5s explode from the scan, dup hashes from one keyed aggregate, span merge = per-doc window over marked positions (sum-of-min identity) — no interval lists, no self-join on text")
+      "q125_dup_substring_coverage" -> "repeated-substring coverage: positional 32-gram md5s explode from the scan, dup hashes from one keyed aggregate, span merge = per-doc window over marked positions (sum-of-min identity) — no interval lists, no self-join on text",
+      "q126_incremental_neardup" -> "incremental near-dup gate: new batch and history each collapse to distinct signatures, band equi-join (never new×history pairs), per-new-doc best match via the bounded-heap top-1 aggregate — partial heaps below the exchange, no WindowExec")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by graft.DevPlans)\n\n")
     sb.append("Representative `.explain(\"formatted\")` output at sf0.01, AQE off\n")
