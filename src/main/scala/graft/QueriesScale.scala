@@ -2497,6 +2497,37 @@ object QueriesScale {
       graft.text.BpeLearn.learnMerges(docs(spark, dir)).toDF()
         .select(col("merge_rank"), col("sym_a"), col("sym_b"),
           col("merged"), col("pair_count"))
+    },
+
+    // Epoch-deterministic training shuffle: each epoch's data order
+    // is a pure function of (epoch, doc_id) — md5 sort keys — so the
+    // loader reshuffles every epoch with ZERO data movement and any
+    // worker/engine reproduces the identical order (the reproducible
+    // twin of a data loader's RNG shuffle). The audit emits, per
+    // (epoch, shard), the count and an order signature — md5 of the
+    // ids in shuffle order — so two engines prove the full
+    // permutation equal without materializing it. Per-group state is
+    // shard-sized (shard count scales with the corpus), and the only
+    // exchange carries (epoch, shard, id, sort-key) rows.
+    "q129_epoch_shuffle" -> q { (spark, dir) =>
+      val d = docs(spark, dir)
+        .select(col("doc_id"),
+          pmod(conv(substring(md5(concat(lit("sh:"),
+            col("doc_id").cast("string"))), 1, 4), 16, 10).cast("long"),
+            lit(8)).cast("int").as("shard"))
+        .select(col("doc_id"), col("shard"),
+          explode(array((0 until 3).map(e => lit(e)): _*)).as("epoch"))
+        .withColumn("ord", substring(md5(concat(lit("ep:"),
+          col("epoch").cast("string"), lit(":"),
+          col("doc_id").cast("string"))), 1, 16))
+      d.groupBy(col("epoch"), col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          md5(concat_ws(",",
+            transform(sort_array(collect_list(struct(col("ord"),
+              col("doc_id")))),
+              x => x.getField("doc_id").cast("string"))))
+            .as("order_sig"))
+        .orderBy(col("epoch"), col("shard"))
     }
   )
 
@@ -5393,6 +5424,27 @@ object QueriesScale {
          |         AS BIGINT) AS affinity_units
          |FROM m GROUP BY cell ORDER BY cell""".stripMargin,
 
-    "q128_bpe_learn" -> bpeLearnSql(8)
+    "q128_bpe_learn" -> bpeLearnSql(8),
+
+    // q129: identical md5 sort keys; string_agg ORDER BY (ord, id)
+    // replays the same permutation per (epoch, shard).
+    "q129_epoch_shuffle" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |         CAST(CAST(('0x' || substr(md5('sh:'
+        |             || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+        |           % 8 AS INT) AS shard
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, shard, u.epoch,
+        |         substr(md5('ep:' || CAST(u.epoch AS VARCHAR) || ':'
+        |           || CAST(doc_id AS VARCHAR)), 1, 16) AS ord
+        |  FROM s, (SELECT unnest([0, 1, 2]) AS epoch) u)
+        |SELECT CAST(epoch AS INT) AS epoch, shard,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       md5(string_agg(CAST(doc_id AS VARCHAR), ','
+        |         ORDER BY ord, doc_id)) AS order_sig
+        |FROM e GROUP BY epoch, shard
+        |ORDER BY epoch, shard""".stripMargin
   )
 }
