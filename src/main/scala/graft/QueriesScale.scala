@@ -2528,6 +2528,22 @@ object QueriesScale {
               x => x.getField("doc_id").cast("string"))))
             .as("order_sig"))
         .orderBy(col("epoch"), col("shard"))
+    },
+
+    // Real audio resampling: RIFF/WAVE decode → 2:1 decimation →
+    // re-encode at 4 kHz, all behind the codec seam (payload bytes
+    // never shuffle; embarrassingly parallel — the 100 TB multimodal
+    // transform shape). The oracle rebuilds the ENTIRE output
+    // container arithmetically — header fields and every PCM16
+    // little-endian byte — so the digest match proves the decode →
+    // decimate → encode path byte-for-byte.
+    "q130_audio_resample" -> q { (spark, dir) =>
+      import graft.multimodal.Multimodal
+      Multimodal.audioResample(
+          Multimodal.wavAssetsFromVectors(vecs(spark, dir)), factor = 2)
+        .select(col("asset_id"), col("n_samples_in"),
+          col("n_samples_out"), col("rate_out"),
+          md5(hex(col("payload"))).as("digest"))
     }
   )
 
@@ -5445,6 +5461,41 @@ object QueriesScale {
         |       md5(string_agg(CAST(doc_id AS VARCHAR), ','
         |         ORDER BY ord, doc_id)) AS order_sig
         |FROM e GROUP BY epoch, shard
-        |ORDER BY epoch, shard""".stripMargin
+        |ORDER BY epoch, shard""".stripMargin,
+
+    // q130: the oracle rebuilds the resampled RIFF/WAVE container as
+    // an UPPERCASE hex image — 'RIFF'/sizes/'WAVE'/fmt(PCM16 mono
+    // 4 kHz)/data header plus every decimated sample's little-endian
+    // bytes from the wavAssetsFromVectors formula — and digests it,
+    // matching Spark's md5(hex(payload)).
+    "q130_audio_resample" -> {
+      def le16(x: String): String =
+        s"lpad(to_hex(($x) % 256), 2, '0')" +
+          s" || lpad(to_hex((($x) // 256) % 256), 2, '0')"
+      def le32(x: String): String =
+        le16(x) + s" || lpad(to_hex((($x) // 65536) % 256), 2, '0')" +
+          s" || lpad(to_hex((($x) // 16777216) % 256), 2, '0')"
+      val u = "(((g*523 + (2*j)*2011) % 65536) + 32768) % 65536"
+      s"""WITH a AS (
+         |  SELECT vec_id AS asset_id, vec_id % 97 AS g,
+         |         160 + (vec_id % 97) AS n_in,
+         |         (160 + (vec_id % 97) + 1) // 2 AS n_out
+         |  FROM embeddings),
+         |hx AS (
+         |  SELECT asset_id, n_in, n_out,
+         |         '52494646' || ${le32("36 + 2*n_out")} || '57415645'
+         |         || '666D7420' || '10000000' || '0100' || '0100'
+         |         || 'A00F0000' || '401F0000' || '0200' || '1000'
+         |         || '64617461' || ${le32("2*n_out")}
+         |         || array_to_string(list_transform(
+         |              generate_series(0, n_out - 1),
+         |              j -> ${le16(u)}), '') AS h
+         |  FROM a)
+         |SELECT asset_id, CAST(n_in AS BIGINT) AS n_samples_in,
+         |       CAST(n_out AS BIGINT) AS n_samples_out,
+         |       CAST(4000 AS BIGINT) AS rate_out,
+         |       md5(h) AS digest
+         |FROM hx""".stripMargin
+    }
   )
 }

@@ -467,6 +467,36 @@ object Multimodal {
       .toDF("asset_id", "media_type", "payload")
   }
 
+  /** Real audio resampling by integer decimation — the audio twin of
+    * [[resize]]: chunk-walk decode, keep every `factor`-th sample,
+    * re-encode RIFF/WAVE at `rate / factor`. (Production pipelines
+    * low-pass first; plain decimation keeps the transform exactly
+    * reproducible by the SQL oracle, which rebuilds the ENTIRE output
+    * container — header and PCM bytes — arithmetically, so a digest
+    * match proves decode → decimate → encode byte-for-byte.) Decode
+    * runs behind the mapPartitions seam; payload bytes never shuffle.
+    * Output adds (n_samples_in, n_samples_out, rate_out).
+    */
+  def audioResample(assets: DataFrame, factor: Int = 2): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    require(factor > 0, s"factor=$factor must be > 0")
+    assets.select(col("asset_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        Wav.decode(payload).map { a =>
+          val out = Array.tabulate(
+            (a.samples.length + factor - 1) / factor)(
+            i => a.samples(i * factor))
+          (id, "audio",
+            Wav.encode(Wav.Audio(a.sampleRate / factor, out)),
+            a.samples.length.toLong, out.length.toLong,
+            (a.sampleRate / factor).toLong)
+        }
+      }).toDF("asset_id", "media_type", "payload",
+        "n_samples_in", "n_samples_out", "rate_out")
+  }
+
   /** Haitsma–Kalker-style energy-delta audio fingerprint over REAL
     * decoded PCM16 (the sign-of-energy-difference scheme of the
     * classic "A Highly Robust Audio Fingerprinting System", ISMIR'02,
