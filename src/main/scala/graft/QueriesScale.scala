@@ -41,6 +41,40 @@ object QueriesScale {
         size(col("c.chunk_tokens")).cast("long").as("n_chunk_tokens"),
         md5(concat_ws(" ", col("c.chunk_tokens"))).as("chunk_hash"))
 
+  /** q117/q118/q122/q133 dup-group sizing: max(53, N/100) — group
+    * COUNT scales with the corpus so identical-hash cliques stay
+    * bounded — nudged odd and off multiples of 5 so it never divides
+    * the replicated-id strides of rehearsal data.
+    */
+  private def phashGroups(v: DataFrame): Int = {
+    var g = math.max(53L, v.count() / 100L)
+    if (g % 2 == 0) g += 1
+    if (g % 5 == 0) g += 2
+    g.toInt
+  }
+
+  /** Banded-LSH pair join + exact nibble-xor hamming rescore over an
+    * (asset_id, dhash) frame — the shared back half of q117 (PPM) and
+    * q133 (PNG); only 24-byte hash rows ever shuffle.
+    */
+  private def imagePhashPairs(hashed: DataFrame): DataFrame = {
+    val banded = hashed.repartition(col("asset_id"))
+      .select(col("asset_id"), col("dhash"),
+        posexplode(array((0 until 4).map(b =>
+          col("dhash").substr(b * 4 + 1, 4)): _*))
+          .as(Seq("band_idx", "band_val")))
+    val a = banded.select(col("asset_id").as("id_a"),
+      col("dhash").as("h_a"), col("band_idx"), col("band_val"))
+    val bb = banded.select(col("asset_id").as("id_b"),
+      col("dhash").as("h_b"), col("band_idx"), col("band_val"))
+    a.join(bb, Seq("band_idx", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Dedup.simhashHamming(col("h_a"), col("h_b")).as("hamming"))
+      .filter(col("hamming") <= 10)
+      .distinct()
+  }
+
   private def q(f: (SparkSession, String) => DataFrame)
       : (SparkSession, String) => DataFrame = { (spark, dir) =>
     spark.conf.set("spark.sql.ansi.enabled", "false")
@@ -607,8 +641,10 @@ object QueriesScale {
       // fitIvfKmeans from the deterministic kmeansInit sample; the
       // oracle re-derives the same training relationally
       // (trainedCentsSql), so the hash match verifies fit AND search.
-      val cents = Similarity.fitIvfKmeans(v,
-        Similarity.kmeansInit(v, 8), iters = 2)._1
+      // FIT-ONCE (r6 verdict item 1): the fit is memoized per
+      // (corpus plan, params) — the online path here launches zero
+      // training jobs after the first execution.
+      val cents = Similarity.trainedCentroids(v, nlist = 8, iters = 2)
       Pq.ivfAdcTopK(v, v.filter(col("vec_id") % 40 === 0),
         cents, Pq.codebookLiteral(8, 16, 8),
         k = 5, nprobe = 4)
@@ -738,8 +774,9 @@ object QueriesScale {
       // data-anchored init; the online search is unchanged. The
       // oracle re-derives the training relationally (trainedCentsSql)
       // so the hash match verifies fit AND search end-to-end.
-      val cents = Similarity.fitIvfKmeans(v,
-        Similarity.kmeansInit(v, 8), iters = 2)._1
+      // FIT-ONCE (r6 verdict item 1): memoized — zero training jobs
+      // after the first execution per (corpus, params).
+      val cents = Similarity.trainedCentroids(v, nlist = 8, iters = 2)
       Similarity.ivfTopK(v, v.filter(col("vec_id") % 40 === 0),
           cents, k = 5, nprobe = 4,
           roundSim = Some(6))
@@ -1996,9 +2033,9 @@ object QueriesScale {
     "q111_residual_ivfpq" -> q { (spark, dir) =>
       val v = vecs(spark, dir)
       val qv = v.filter(col("vec_id") % 40 === 0)
-      // trained coarse quantizer, same fit as q36/q62 (r5 item 4)
-      val cents = Similarity.fitIvfKmeans(v,
-        Similarity.kmeansInit(v, 8), iters = 2)._1
+      // trained coarse quantizer, same fit as q36/q62 (r5 item 4),
+      // memoized fit-once (r6 item 1) — shares q36/q62's cache entry
+      val cents = Similarity.trainedCentroids(v, nlist = 8, iters = 2)
       Pq.residualIvfAdcTopK(v, qv, cents,
           Pq.codebookLiteral(8, 16, 8), k = 5, nprobe = 4)
         .select(col("query_id"), col("neighbor_id"),
@@ -2170,29 +2207,23 @@ object QueriesScale {
       // the correctness-gate SFs, so oracle outputs there are
       // unchanged. The oracle computes the same g from count(*).
       val v117 = vecs(spark, dir)
-      val g117 = {
-        var g = math.max(53L, v117.count() / 100L)
-        if (g % 2 == 0) g += 1   // odd and not a multiple of 5: g must
-        if (g % 5 == 0) g += 2   // not divide replicated-id strides
-        g.toInt
-      }
-      val hashed = Multimodal.imageDHash(
-        Multimodal.ppmAssetsNearDup(v117, g117))
-      val banded = hashed.repartition(col("asset_id"))
-        .select(col("asset_id"), col("dhash"),
-          posexplode(array((0 until 4).map(b =>
-            col("dhash").substr(b * 4 + 1, 4)): _*))
-            .as(Seq("band_idx", "band_val")))
-      val a = banded.select(col("asset_id").as("id_a"),
-        col("dhash").as("h_a"), col("band_idx"), col("band_val"))
-      val bb = banded.select(col("asset_id").as("id_b"),
-        col("dhash").as("h_b"), col("band_idx"), col("band_val"))
-      a.join(bb, Seq("band_idx", "band_val"))
-        .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          Dedup.simhashHamming(col("h_a"), col("h_b")).as("hamming"))
-        .filter(col("hamming") <= 10)
-        .distinct()
+      imagePhashPairs(Multimodal.imageDHash(
+        Multimodal.ppmAssetsNearDup(v117, phashGroups(v117))))
+    },
+
+    // q117's twin over a REAL COMPRESSED container (r6 verdict item
+    // 5): identical pixel formula, but every payload is a genuine
+    // baseline PNG — zlib-deflated, CRC-32-chunked — decoded by the
+    // engine's own inflate + unfilter path behind the same
+    // mapPartitions seam. The oracle is VERBATIM q117's (it
+    // recomputes dHash from the generative pixel formula and never
+    // parses the container), so the hash match isolates exactly the
+    // PNG encode → decode round trip as the thing being proven.
+    "q133_png_phash" -> q { (spark, dir) =>
+      import graft.multimodal.Multimodal
+      val v133 = vecs(spark, dir)
+      imagePhashPairs(Multimodal.imageDHash(
+        Multimodal.pngAssetsNearDup(v133, phashGroups(v133))))
     },
 
     // Audio perceptual near-dup: Haitsma–Kalker energy-delta
@@ -2205,14 +2236,8 @@ object QueriesScale {
     "q118_audio_fingerprint" -> q { (spark, dir) =>
       import graft.multimodal.Multimodal
       val v118 = vecs(spark, dir)
-      val g118 = {
-        var g = math.max(53L, v118.count() / 100L)
-        if (g % 2 == 0) g += 1   // odd and not a multiple of 5: g must
-        if (g % 5 == 0) g += 2   // not divide replicated-id strides
-        g.toInt
-      }
       val fp = Multimodal.audioFingerprint(
-        Multimodal.wavAssetsNearDup(v118, g118))
+        Multimodal.wavAssetsNearDup(v118, phashGroups(v118)))
       val banded = fp.repartition(col("asset_id"))
         .select(col("asset_id"), col("afp"),
           posexplode(array((0 until 4).map(b =>
@@ -2326,14 +2351,8 @@ object QueriesScale {
     "q122_video_near_dup" -> q { (spark, dir) =>
       import graft.multimodal.Multimodal
       val v122 = vecs(spark, dir)
-      val g122 = {
-        var g = math.max(53L, v122.count() / 100L)
-        if (g % 2 == 0) g += 1   // odd and not a multiple of 5: g must
-        if (g % 5 == 0) g += 2   // not divide replicated-id strides
-        g.toInt
-      }
       val frames = Multimodal.sampleFrames(
-        Multimodal.aviAssetsNearDup(v122, g122), stride = 1)
+        Multimodal.aviAssetsNearDup(v122, phashGroups(v122)), stride = 1)
       val fh = Multimodal.imageDHash(frames.select(
           (col("asset_id") * 8 + col("frame_idx")).as("asset_id"),
           col("frame_payload").as("payload")))
@@ -2480,8 +2499,8 @@ object QueriesScale {
     // ≤ nlist counter rows.
     "q127_ivf_cell_stats" -> q { (spark, dir) =>
       val v = vecs(spark, dir)
-      val cents = Similarity.fitIvfKmeans(v,
-        Similarity.kmeansInit(v, 8), iters = 2)._1
+      // fit-once memoized (r6 item 1) — shares q36/q62/q111's entry
+      val cents = Similarity.trainedCentroids(v, nlist = 8, iters = 2)
       Similarity.ivfCellStats(v, cents).orderBy(col("cell"))
     },
 
@@ -2506,15 +2525,22 @@ object QueriesScale {
     // twin of a data loader's RNG shuffle). The audit emits, per
     // (epoch, shard), the count and an order signature — md5 of the
     // ids in shuffle order — so two engines prove the full
-    // permutation equal without materializing it. Per-group state is
-    // shard-sized (shard count scales with the corpus), and the only
-    // exchange carries (epoch, shard, id, sort-key) rows.
+    // permutation equal without materializing it. The shard COUNT is
+    // derived from the corpus (max(8, N/1000) — r6 ADVICE item 1,
+    // the same sizing discipline as q117/q118/q122's dupGroups), so
+    // per-shard order-signature state stays ~1000 ids regardless of
+    // corpus size; at the sf0.01 correctness gate the formula yields
+    // 8, leaving the oracle outputs unchanged. The oracle computes
+    // the same count from COUNT(*). The only exchange carries
+    // (epoch, shard, id, sort-key) rows.
     "q129_epoch_shuffle" -> q { (spark, dir) =>
-      val d = docs(spark, dir)
+      val d0 = docs(spark, dir)
+      val nSh = math.max(8L, d0.count() / 1000L)
+      val d = d0
         .select(col("doc_id"),
           pmod(conv(substring(md5(concat(lit("sh:"),
             col("doc_id").cast("string"))), 1, 4), 16, 10).cast("long"),
-            lit(8)).cast("int").as("shard"))
+            lit(nSh)).cast("int").as("shard"))
         .select(col("doc_id"), col("shard"),
           explode(array((0 until 3).map(e => lit(e)): _*)).as("epoch"))
         .withColumn("ord", substring(md5(concat(lit("ep:"),
@@ -2544,6 +2570,87 @@ object QueriesScale {
         .select(col("asset_id"), col("n_samples_in"),
           col("n_samples_out"), col("rate_out"),
           md5(hex(col("payload"))).as("digest"))
+    },
+
+    // Vocab-scale BPE apply (r6 verdict item 2, q112's successor at a
+    // real merge-table size): greedy merge-priority segmentation
+    // against a 1,100-entry rank MAP inside ONE native expression —
+    // per-word cost is independent of |merges| (hash lookups, never a
+    // |merges| replace chain), so a 32k-merge production vocabulary
+    // swaps in at identical plan shape AND identical per-row cost
+    // profile. Zero HOFs, zero exchange — 100 TB is one scan. The
+    // oracle replays the identical greedy loop as a recursive CTE
+    // over the DISTINCT vocabulary with the same MAP literal, so the
+    // hash match proves every merge decision on every word.
+    "q131_bpe_vocab_apply" -> q { (spark, dir) =>
+      import graft.text.BpeApply
+      docs(spark, dir)
+        .withColumn("st", BpeApply.segmentStats(col("text")))
+        .select(col("doc_id"),
+          col("st.n_tokens").as("n_tokens"),
+          col("st.n_pieces").as("n_pieces"),
+          col("st.n_chars").as("n_chars"),
+          when(col("st.n_tokens") > 0,
+            pround(col("st.n_pieces").cast("double") /
+              col("st.n_tokens"), 6)).as("pieces_per_token"))
+    },
+
+    // Adversarial redact fuzz THROUGH the oracle boundary (r6 verdict
+    // item 8): q92 proves the byte scanners on realistic PII text;
+    // this query drives them over a constructed edge-case corpus —
+    // VT-adjacent and é-adjacent \b decisions (where java.util.regex
+    // and RE2 diverge and the scanners must side with RE2), 4-digit
+    // octets, 5-quad runs, double-@, trailing-dot domains, phone
+    // country-code backtracking, URL/EMAIL/IP overlap, case-sensitive
+    // schemes — and hash-compares counts AND the redacted text
+    // against DuckDB's ACTUAL RE2 regexp machinery. The r6 carve-outs
+    // ("the scanner sides with RE2 here") stop being reasoned and
+    // become machine-checked every round. 12 templates × an orders
+    // slice; same single-scan plan shape as q92.
+    "q132_redact_adversarial" -> q { (spark, dir) =>
+      import graft.text.Redact
+      val k = col("o_orderkey")
+      val vt = lit("\u000B")
+      def s(c: Column): Column = c.cast("string")
+      val tpls: Seq[Column] = Seq(
+        // VT before an IP: non-word on both engines — match
+        concat(lit("v"), vt, lit("1.2.3."), s(k % 256)),
+        // é-digit adjacency: RE2 \b is ASCII-word, é is NOT a word
+        // char there (Java's Unicode-aware \b disagrees) — match
+        concat(lit("é"), s(k % 250), lit(".2.3.4")),
+        // trailing é after the last octet — match
+        concat(s(k % 250), lit(".3.4.2é")),
+        // underscore IS a word char: no boundary — no match
+        concat(lit("_"), s(k % 250), lit(".2.3.4")),
+        // 4-digit first octet: leftmost match restarts at "8.7.6.5"
+        concat(lit("99"), s(k % 10), lit("9.8.7.6.5")),
+        // double-@: empty local part can't match — no email
+        concat(lit("a@b.c user"), s(k), lit("@@d.com")),
+        // trailing dot: greedy domain backtracks to ".com"
+        concat(lit("user"), s(k), lit("@mail.example.com.")),
+        // 5-digit tail: phone matches its {4} prefix
+        concat(lit("x+1-"), s((k % 900) + 100), lit("-12345")),
+        // 3-digit country code: {1,2} backtracking fails — no match
+        concat(lit("+"), s((k % 90) + 10), lit("3-555-1234")),
+        // URL consumes '/a'; '@1.2.3.4' leaves an IP but NO email
+        // (tld would be numeric)
+        concat(lit("https://sh-"), s(k % 5), lit(".com/a@1.2.3.4")),
+        // bare scheme and one-slash scheme: no URL
+        concat(lit("go http:// none http:/x"), s(k % 7)),
+        // case-sensitive scheme (no URL), case-insensitive tld
+        // (email matches), VT before the local part
+        concat(lit("HTTPS://UP.ex "), vt, lit("user_"), s(k),
+          lit("@ex.coM")))
+      t(spark, dir, "orders").filter(k % 10 === 0)
+        .select(k, posexplode(array(tpls: _*)).as(Seq("tpl_id", "txt")))
+        .select(k, col("tpl_id").cast("int").as("tpl_id"),
+          Redact.redactStats(col("txt")).as("__r"))
+        .select(col("o_orderkey"), col("tpl_id"),
+          col("__r.n_emails").as("n_emails"),
+          col("__r.n_urls").as("n_urls"),
+          col("__r.n_ips").as("n_ips"),
+          col("__r.n_phones").as("n_phones"),
+          md5(col("__r.redacted")).as("redacted_md5"))
     }
   )
 
@@ -2740,6 +2847,60 @@ object QueriesScale {
        |                 + (256 - COUNT(*)) * (1::BIGINT << 49) AS s_num
        |        FROM $regs))""".stripMargin
   }
+
+  /** Shared q117/q133 oracle: dHash from the generative pixel
+    * formula (container-independent), banded join, nibble-xor
+    * hamming.
+    */
+  private lazy val imagePhashOracleSql: String =
+      s"""WITH gc AS (
+         |  SELECT g1 + CASE WHEN g1 % 5 = 0 THEN 2 ELSE 0 END AS g
+         |  FROM (SELECT g0 + 1 - (g0 % 2) AS g1
+         |        FROM (SELECT GREATEST(53, count(*)//100) AS g0
+         |              FROM embeddings))),
+         |img AS (
+         |  SELECT vec_id AS asset_id,
+         |         CASE WHEN vec_id % 5 = 0 THEN (vec_id % gc.g) + 1
+         |              ELSE gc.g + 1 + CAST(('0x' || substr(md5(
+         |                CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |              END AS seed,
+         |         CASE WHEN vec_id % 5 = 0
+         |              THEN CAST((vec_id // gc.g) % 4 AS INT)
+         |              ELSE 0 END AS v
+         |  FROM embeddings, gc),
+         |gr AS (
+         |  SELECT asset_id, u.idx,
+         |         (${dhashPxSql("3*u.idx")} + ${dhashPxSql("3*u.idx+1")}
+         |          + ${dhashPxSql("3*u.idx+2")}) // 3 AS gy
+         |  FROM img, LATERAL (SELECT unnest(generate_series(0, 71))
+         |    AS idx) u),
+         |gl AS (
+         |  SELECT asset_id, list(gy ORDER BY idx) AS gl
+         |  FROM gr GROUP BY 1),
+         |hsh AS (
+         |  SELECT asset_id,
+         |         array_to_string(list_transform(generate_series(0, 15),
+         |           n -> substr('0123456789abcdef',
+         |             8*${dhashBitSql("4*n")} + 4*${dhashBitSql("4*n+1")}
+         |             + 2*${dhashBitSql("4*n+2")} + ${dhashBitSql("4*n+3")}
+         |             + 1, 1)), '') AS s
+         |  FROM gl),
+         |banded AS (
+         |  SELECT asset_id, s, b.b AS band_idx,
+         |         substr(s, b.b*4 + 1, 4) AS band_val
+         |  FROM hsh CROSS JOIN (SELECT unnest([0,1,2,3]) AS b) b),
+         |p AS (
+         |  SELECT DISTINCT a.asset_id AS id_a, bb.asset_id AS id_b,
+         |         CAST(list_sum(list_transform(generate_series(1, 16),
+         |           i -> bit_count(xor(
+         |             strpos('0123456789abcdef', substr(a.s, i, 1)) - 1,
+         |             strpos('0123456789abcdef', substr(bb.s, i, 1)) - 1
+         |           )))) AS INT) AS hamming
+         |  FROM banded a
+         |  JOIN banded bb ON a.band_idx = bb.band_idx
+         |               AND a.band_val = bb.band_val
+         |               AND a.asset_id < bb.asset_id)
+         |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 10""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q20_token_stats" ->
@@ -5020,55 +5181,12 @@ object QueriesScale {
     // the Scala builder runs), then the q47-style banded join +
     // nibble-xor hamming. A Spark↔oracle hash match therefore proves
     // the whole encode→decode→grayscale→dhash path bit-for-bit.
-    "q117_image_phash" ->
-      s"""WITH gc AS (
-         |  SELECT g1 + CASE WHEN g1 % 5 = 0 THEN 2 ELSE 0 END AS g
-         |  FROM (SELECT g0 + 1 - (g0 % 2) AS g1
-         |        FROM (SELECT GREATEST(53, count(*)//100) AS g0
-         |              FROM embeddings))),
-         |img AS (
-         |  SELECT vec_id AS asset_id,
-         |         CASE WHEN vec_id % 5 = 0 THEN (vec_id % gc.g) + 1
-         |              ELSE gc.g + 1 + CAST(('0x' || substr(md5(
-         |                CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
-         |              END AS seed,
-         |         CASE WHEN vec_id % 5 = 0
-         |              THEN CAST((vec_id // gc.g) % 4 AS INT)
-         |              ELSE 0 END AS v
-         |  FROM embeddings, gc),
-         |gr AS (
-         |  SELECT asset_id, u.idx,
-         |         (${dhashPxSql("3*u.idx")} + ${dhashPxSql("3*u.idx+1")}
-         |          + ${dhashPxSql("3*u.idx+2")}) // 3 AS gy
-         |  FROM img, LATERAL (SELECT unnest(generate_series(0, 71))
-         |    AS idx) u),
-         |gl AS (
-         |  SELECT asset_id, list(gy ORDER BY idx) AS gl
-         |  FROM gr GROUP BY 1),
-         |hsh AS (
-         |  SELECT asset_id,
-         |         array_to_string(list_transform(generate_series(0, 15),
-         |           n -> substr('0123456789abcdef',
-         |             8*${dhashBitSql("4*n")} + 4*${dhashBitSql("4*n+1")}
-         |             + 2*${dhashBitSql("4*n+2")} + ${dhashBitSql("4*n+3")}
-         |             + 1, 1)), '') AS s
-         |  FROM gl),
-         |banded AS (
-         |  SELECT asset_id, s, b.b AS band_idx,
-         |         substr(s, b.b*4 + 1, 4) AS band_val
-         |  FROM hsh CROSS JOIN (SELECT unnest([0,1,2,3]) AS b) b),
-         |p AS (
-         |  SELECT DISTINCT a.asset_id AS id_a, bb.asset_id AS id_b,
-         |         CAST(list_sum(list_transform(generate_series(1, 16),
-         |           i -> bit_count(xor(
-         |             strpos('0123456789abcdef', substr(a.s, i, 1)) - 1,
-         |             strpos('0123456789abcdef', substr(bb.s, i, 1)) - 1
-         |           )))) AS INT) AS hamming
-         |  FROM banded a
-         |  JOIN banded bb ON a.band_idx = bb.band_idx
-         |               AND a.band_val = bb.band_val
-         |               AND a.asset_id < bb.asset_id)
-         |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 10""".stripMargin,
+    "q117_image_phash" -> imagePhashOracleSql,
+
+    // q133: VERBATIM the q117 oracle — the dHash is recomputed from
+    // the generative pixel formula, which is container-independent;
+    // the Spark side's PNG round trip is the delta under test.
+    "q133_png_phash" -> imagePhashOracleSql,
 
     // q118: the oracle regenerates the unsigned waveform from the
     // wavAssetsNearDup formula (u = (seed*523 + j*2011) % 2^16 + 7v
@@ -5443,13 +5561,17 @@ object QueriesScale {
     "q128_bpe_learn" -> bpeLearnSql(8),
 
     // q129: identical md5 sort keys; string_agg ORDER BY (ord, id)
-    // replays the same permutation per (epoch, shard).
+    // replays the same permutation per (epoch, shard). Shard count is
+    // corpus-derived — GREATEST(8, COUNT(*)//1000), the same formula
+    // Spark computes (r6 ADVICE item 1).
     "q129_epoch_shuffle" ->
-      """WITH s AS (
+      """WITH g AS (
+        |  SELECT GREATEST(8, COUNT(*) // 1000) AS n_sh FROM documents),
+        |s AS (
         |  SELECT doc_id,
         |         CAST(CAST(('0x' || substr(md5('sh:'
         |             || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
-        |           % 8 AS INT) AS shard
+        |           % (SELECT n_sh FROM g) AS INT) AS shard
         |  FROM documents),
         |e AS (
         |  SELECT doc_id, shard, u.epoch,
@@ -5496,6 +5618,112 @@ object QueriesScale {
          |       CAST(4000 AS BIGINT) AS rate_out,
          |       md5(h) AS digest
          |FROM hx""".stripMargin
+    },
+
+    // q131: the IDENTICAL greedy min-rank merge loop as a recursive
+    // CTE over the distinct vocabulary — per iteration, rank every
+    // adjacent pair via the same 1,100-entry MAP literal Spark's
+    // expression holds, rewrite all occurrences of the best-ranked
+    // pair (the simultaneous rewrite is exact for a ≠ b — BpeLearn's
+    // argument), recurse until no pair is in the table. Terminal rows
+    // (best IS NULL) carry each word's final segmentation; token
+    // explode + join rolls pieces up per document.
+    "q131_bpe_vocab_apply" -> {
+      val mp = "MAP([" +
+        graft.text.BpeApply.mergeTable1k
+          .map { case (a, b) => s"'$a $b'" }.mkString(",") +
+        "],[" +
+        graft.text.BpeApply.mergeTable1k.indices.mkString(",") + "])"
+      val best = "list_min(list_transform(" +
+        "generate_series(1, len(syms)-1), " +
+        "j -> rm[syms[j] || ' ' || syms[j+1]][1]))"
+      s"""WITH RECURSIVE $toksSql,
+         |words AS (SELECT DISTINCT unnest(tk) AS w FROM toks),
+         |seg(w, syms) AS (
+         |  SELECT w, list_transform(generate_series(1, length(w)),
+         |           i -> substr(w, i, 1)) AS syms
+         |  FROM words
+         |  UNION ALL
+         |  SELECT w,
+         |    list_filter(list_transform(generate_series(1, len(syms)),
+         |      i -> CASE WHEN i < len(syms)
+         |                     AND rm[syms[i] || ' ' || syms[i+1]][1]
+         |                         = $best
+         |                THEN syms[i] || syms[i+1]
+         |                WHEN i > 1
+         |                     AND rm[syms[i-1] || ' ' || syms[i]][1]
+         |                         = $best
+         |                THEN NULL
+         |                ELSE syms[i] END), x -> x IS NOT NULL)
+         |  FROM (SELECT w, syms, $mp AS rm FROM seg) s
+         |  WHERE $best IS NOT NULL),
+         |wp AS (
+         |  SELECT w, CAST(len(syms) AS BIGINT) AS pieces
+         |  FROM (SELECT w, syms, $mp AS rm FROM seg) s
+         |  WHERE $best IS NULL),
+         |ex AS (SELECT doc_id, unnest(tk) AS w FROM toks),
+         |ag AS (
+         |  SELECT e.doc_id, CAST(sum(wp.pieces) AS BIGINT) AS n_pieces
+         |  FROM ex e JOIN wp ON wp.w = e.w GROUP BY e.doc_id)
+         |SELECT t.doc_id,
+         |       CAST(len(tk) AS BIGINT) AS n_tokens,
+         |       CAST(COALESCE(a.n_pieces, 0) AS BIGINT) AS n_pieces,
+         |       CAST(COALESCE(list_sum(list_transform(tk,
+         |         w -> length(w))), 0) AS BIGINT) AS n_chars,
+         |       CASE WHEN len(tk) > 0
+         |            THEN round(CAST(COALESCE(a.n_pieces, 0) AS DOUBLE)
+         |                   / len(tk), 6)
+         |            END AS pieces_per_token
+         |FROM toks t LEFT JOIN ag a ON a.doc_id = t.doc_id""".stripMargin
+    },
+
+    // q132: the same 12 adversarial templates, redacted by DuckDB's
+    // ACTUAL RE2 machinery (regexp_extract_all counts on the original
+    // text; the pinned-order regexp_replace chain for the digest) —
+    // the machine check that the byte scanners' \b / backtracking /
+    // leftmost-greedy decisions equal RE2's on the divergence-prone
+    // fixtures, not just on q92's realistic text.
+    "q132_redact_adversarial" -> {
+      import graft.text.Redact
+      val kv = "CAST(k AS VARCHAR)"
+      def m(mod: Int) = s"CAST(k % $mod AS VARCHAR)"
+      val tpls = Seq(
+        s"'v' || chr(11) || '1.2.3.' || ${m(256)}",
+        s"'é' || ${m(250)} || '.2.3.4'",
+        s"${m(250)} || '.3.4.2é'",
+        s"'_' || ${m(250)} || '.2.3.4'",
+        s"'99' || ${m(10)} || '9.8.7.6.5'",
+        s"'a@b.c user' || $kv || '@@d.com'",
+        s"'user' || $kv || '@mail.example.com.'",
+        s"'x+1-' || CAST(k % 900 + 100 AS VARCHAR) || '-12345'",
+        s"'+' || CAST(k % 90 + 10 AS VARCHAR) || '3-555-1234'",
+        s"'https://sh-' || ${m(5)} || '.com/a@1.2.3.4'",
+        s"'go http:// none http:/x' || ${m(7)}",
+        s"'HTTPS://UP.ex ' || chr(11) || 'user_' || $kv || '@ex.coM'")
+      val values = tpls.zipWithIndex
+        .map { case (t, i) => s"($i, $t)" }.mkString(",\n|      ")
+      s"""WITH b AS (
+         |  SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 10 = 0),
+         |r AS (
+         |  SELECT k, u.tpl_id, u.txt FROM b, LATERAL (
+         |    SELECT * FROM (VALUES
+         |      $values) AS v(tpl_id, txt)) u)
+         |SELECT k AS o_orderkey, CAST(tpl_id AS INT) AS tpl_id,
+         |  CAST(len(regexp_extract_all(txt,
+         |    '${Redact.EmailRe}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(txt,
+         |    '${Redact.UrlRe}')) AS BIGINT) AS n_urls,
+         |  CAST(len(regexp_extract_all(txt,
+         |    '${Redact.Ipv4Re}')) AS BIGINT) AS n_ips,
+         |  CAST(len(regexp_extract_all(txt,
+         |    '${Redact.PhoneRe}')) AS BIGINT) AS n_phones,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(
+         |    regexp_replace(txt,
+         |      '${Redact.UrlRe}', '<URL>', 'g'),
+         |      '${Redact.EmailRe}', '<EMAIL>', 'g'),
+         |      '${Redact.Ipv4Re}', '<IP>', 'g'),
+         |      '${Redact.PhoneRe}', '<PHONE>', 'g')) AS redacted_md5
+         |FROM r""".stripMargin
     }
   )
 }

@@ -97,6 +97,95 @@ object StreamingIngest {
     fs.create(marker, true).close()
   }
 
+  /** Exactly-once canonical sink WITH a near-dup admission gate (r6
+    * verdict item 7): [[toCanonicalExactlyOnce]]'s transactional
+    * publish composed with [[graft.dedup.Dedup.incrementalNearDup]]
+    * (q126) in foreachBatch — the streaming form of "reject re-crawls
+    * and light edits BEFORE they enter the corpus".
+    *
+    * Per micro-batch:
+    *   1. exact-dedup WITHIN the batch (first occurrence by id per
+    *      content fingerprint — a crawler batch routinely carries the
+    *      same page twice);
+    *   2. LSH-probe the survivors against the COMMITTED canonical
+    *      history and drop every doc whose best match clears
+    *      `threshold` (identical text has an identical signature, so
+    *      the near gate subsumes the exact one across batches);
+    *   3. publish the admitted rows through [[commitBatch]]'s
+    *      tmp → rename → marker transaction.
+    *
+    * The gate reads history via [[readCanonicalCommitted]] — ONLY
+    * marker-committed batches. That is what makes gate + sink
+    * exactly-once TOGETHER: after a crash inside the torn window the
+    * orphaned data directory is invisible to the gate, so the replay
+    * re-gates against precisely the state the failed attempt saw, and
+    * commitBatch republishes idempotently. (Gating against raw
+    * directory listings would double-count the torn batch as history
+    * and silently drop its own rows on replay.) Near-dups WITHIN one
+    * batch both admit by design — history is the committed corpus,
+    * and the within-batch clustering pass is a separate operator
+    * (q50's CC) with different semantics.
+    *
+    * Scale shape: the per-batch cost is q126's — signature collapse
+    * on both sides, banded equi-join, bounded-heap top-1; history
+    * signatures are recomputed per batch here, and at production
+    * scale the signature table would itself be a committed side
+    * output (same transaction), turning step 2 into a pure probe.
+    */
+  def toCanonicalGatedExactlyOnce(df: DataFrame, canonicalPath: String,
+                                  checkpoint: String,
+                                  idCol: String = "doc_id",
+                                  textCol: String = "text",
+                                  threshold: Double = 0.5)
+      : DataStreamWriter[Row] =
+    df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        commitBatch(gateBatch(batch, canonicalPath, idCol, textCol,
+          threshold), canonicalPath, batchId)
+      }
+
+  /** The admission gate for one micro-batch (driver-composed, lazily
+    * evaluated inside commitBatch's write — the marker short-circuit
+    * still skips all gate work on a committed replay... except the
+    * history listing, which is metadata-sized).
+    */
+  private[graft] def gateBatch(batch: DataFrame, canonicalPath: String,
+                               idCol: String, textCol: String,
+                               threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("__fp")).orderBy(col(idCol).asc)
+    val inBatch = batch
+      .withColumn("__fp", graft.text.TextAnalysis.fingerprint(col(textCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__fp", "__rn")
+    readCanonicalCommittedOpt(batch.sparkSession, canonicalPath) match {
+      case None => inBatch
+      case Some(hist) =>
+        val rejects = graft.dedup.Dedup.incrementalNearDup(
+          inBatch, hist.select(col(idCol), col(textCol)),
+          idCol = idCol, textCol = textCol, threshold = threshold)
+        inBatch.join(rejects.select(col(idCol)), Seq(idCol), "left_anti")
+    }
+  }
+
+  /** [[readCanonicalCommitted]] tolerating an empty table (None before
+    * the first committed batch — the gate's cold start).
+    */
+  def readCanonicalCommittedOpt(spark: SparkSession,
+                                canonicalPath: String)
+      : Option[DataFrame] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(canonicalPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val txn = new Path(root, "_txn")
+    if (!fs.exists(txn) || fs.listStatus(txn).isEmpty) None
+    else Some(readCanonicalCommitted(spark, canonicalPath))
+  }
+
   /** Only marker-committed batch partitions — the exactly-once view. */
   def readCanonicalCommitted(spark: SparkSession,
                              canonicalPath: String): DataFrame = {
