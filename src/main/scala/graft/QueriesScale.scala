@@ -2226,6 +2226,36 @@ object QueriesScale {
         Multimodal.pngAssetsNearDup(v133, phashGroups(v133))))
     },
 
+    // EXACT-substring dedup signal via a distributed SUFFIX ARRAY
+    // (r6 verdict item 4 — q125's fixed-gram approximation upgraded
+    // to Lee et al. ACL'22's arbitrary-length guarantee): per-doc
+    // maximal repeated spans of ≥ 25 tokens with their TRUE lengths.
+    // Runs on a deterministic corpus slice (doc_id % 20) with a
+    // ~200-token boilerplate block (docs 0/20/40/60 concatenated)
+    // appended to every doc_id % 100 == 0 doc — the planted
+    // arbitrary-length verbatim repeat 32-grams fragment; the span
+    // report must recover its full extent. The oracle sorts the
+    // suffixes DIRECTLY (lists compare lexicographically) and takes
+    // adjacent LCPs — a formulation completely independent of the
+    // engine's prefix-doubling build, agreeing only if the suffix
+    // array semantics are exactly right. Sub-25-token repeat
+    // structure in the slice is invisible to both by construction.
+    "q134_suffix_repeats" -> q { (spark, dir) =>
+      import graft.dedup.SuffixRepeats
+      val toks = docs(spark, dir).select(col("doc_id"),
+        TextAnalysis.tokens(col("text")).as("tk"))
+      val sample = toks.filter(col("doc_id") % 20 === 0)
+      val boiler = sample.filter(col("doc_id").isin(0L, 20L, 40L, 60L))
+        .agg(flatten(transform(
+          sort_array(collect_list(struct(col("doc_id"), col("tk")))),
+          x => x.getField("tk"))).as("bl"))
+      val aug = sample.crossJoin(broadcast(boiler))
+        .select(col("doc_id"),
+          when(col("doc_id") % 100 === 0, concat(col("tk"), col("bl")))
+            .otherwise(col("tk")).as("tokens"))
+      SuffixRepeats.repeatedSpans(aug, minLen = 25)
+    },
+
     // Audio perceptual near-dup: Haitsma–Kalker energy-delta
     // fingerprint over REAL decoded PCM16 (RIFF/WAVE round-trip),
     // then the same banded-LSH pair join + exact hamming rescore as
@@ -5187,6 +5217,73 @@ object QueriesScale {
     // the generative pixel formula, which is container-independent;
     // the Spark side's PNG round trip is the delta under test.
     "q133_png_phash" -> imagePhashOracleSql,
+
+    // q134: the oracle builds the SAME sliced+boilerplated corpus,
+    // then sorts the per-doc suffix token-lists DIRECTLY (DuckDB
+    // lists compare lexicographically) and takes adjacent-neighbor
+    // LCPs — the textbook suffix-array identity, computed with zero
+    // shared machinery with the engine's prefix-doubling build. The
+    // ℓ values are ORDER-INDEPENDENT (max LCP with any other suffix),
+    // so collation differences between engines cannot matter.
+    "q134_suffix_repeats" -> {
+      def lcp(a: String, b: String) =
+        s"CASE WHEN $b IS NULL THEN 0 ELSE COALESCE(" +
+          s"list_min(list_filter(generate_series(1, " +
+          s"LEAST(len($a), len($b))), k -> $a[k] <> $b[k])) - 1, " +
+          s"LEAST(len($a), len($b))) END"
+      s"""WITH $toksSql,
+         |sample AS (
+         |  SELECT doc_id, tk FROM toks WHERE doc_id % 20 = 0),
+         |boiler AS (
+         |  SELECT flatten(list(tk ORDER BY doc_id)) AS bl
+         |  FROM sample WHERE doc_id IN (0, 20, 40, 60)),
+         |aug AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 100 = 0
+         |              THEN tk || (SELECT bl FROM boiler)
+         |              ELSE tk END AS tk
+         |  FROM sample),
+         |pos AS (
+         |  SELECT doc_id, u.p, tk[u.p:] AS suf
+         |  FROM aug, LATERAL (SELECT unnest(generate_series(1,
+         |    len(tk))) AS p) u),
+         |srt AS (
+         |  SELECT doc_id, p, suf,
+         |         lag(suf) OVER w AS prevs,
+         |         lead(suf) OVER w AS nexts
+         |  FROM pos WINDOW w AS (ORDER BY suf, doc_id, p)),
+         |ell AS (
+         |  SELECT doc_id, p,
+         |         GREATEST(${lcp("suf", "prevs")},
+         |                  ${lcp("suf", "nexts")}) AS ell
+         |  FROM srt),
+         |q AS (
+         |  SELECT doc_id, p, ell, p + ell AS e
+         |  FROM ell WHERE ell >= 25),
+         |isl AS (
+         |  SELECT doc_id, p, e,
+         |         CASE WHEN max(e) OVER pw IS NULL
+         |                   OR p > max(e) OVER pw THEN 1 ELSE 0
+         |              END AS nw
+         |  FROM q
+         |  WINDOW pw AS (PARTITION BY doc_id ORDER BY p
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         |isl2 AS (
+         |  SELECT doc_id, p, e,
+         |         SUM(nw) OVER (PARTITION BY doc_id ORDER BY p) AS g
+         |  FROM isl),
+         |sp AS (
+         |  SELECT doc_id, g, min(p) AS s, max(e) AS e
+         |  FROM isl2 GROUP BY doc_id, g)
+         |SELECT sp.doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_spans,
+         |       CAST(sum(sp.e - sp.s) AS BIGINT) AS covered_tokens,
+         |       CAST(mx.m AS BIGINT) AS max_repeat_len
+         |FROM sp
+         |JOIN (SELECT doc_id, max(ell) AS m FROM q GROUP BY doc_id) mx
+         |  ON mx.doc_id = sp.doc_id
+         |GROUP BY sp.doc_id, mx.m""".stripMargin
+    },
 
     // q118: the oracle regenerates the unsigned waveform from the
     // wavAssetsNearDup formula (u = (seed*523 + j*2011) % 2^16 + 7v

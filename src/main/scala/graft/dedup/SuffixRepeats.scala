@@ -1,0 +1,236 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** EXACT-substring repeat detection via a distributed SUFFIX ARRAY
+  * (r6 verdict item 4): every maximal repeated token span of length
+  * ≥ L across the corpus, with its TRUE length — the "deduplicate
+  * ≥ 50-token verbatim spans" guarantee of Lee et al., "Deduplicating
+  * Training Data Makes Language Models Better" (ACL'22), which
+  * fixed-length positional n-grams (q125) only approximate: grams
+  * certify coverage but FRAGMENT a 200-token verbatim repeat into
+  * anonymous fixed windows (its extent is lost), and consecutive
+  * repeated grams cannot be chained into one long repeat because
+  * adjacent windows may match different sources.
+  *
+  * Construction — prefix OCTUPLING (Manber–Myers doubling, three
+  * steps at a time; each round is the sort/shuffle discipline the
+  * layout queries q101/q102 already run):
+  *   - suffixes are PER-DOCUMENT tails: a repeat never crosses a
+  *     document boundary, so no sentinel plumbing is needed — a
+  *     suffix simply ends at its document's end. Out-of-range
+  *     coordinates take the hash-of-null marker, a single "past the
+  *     end" pseudo-token: the max-LCP-adjacency property only needs
+  *     SOME total order over (tokens + terminator), not the
+  *     lexicographic one, so where the marker sorts is irrelevant —
+  *     which is also why token VALUES may be ordered by xxhash64
+  *     rather than by collation (collision odds are the catalog's
+  *     usual hash-key budget — see the base-round comment);
+  *   - the base round ranks 64-token prefixes straight off the
+  *     token arrays (one `transform`, no joins); each later round
+  *     ranks the tuple (rank_w(p), rank_w(p+w), …, rank_w(p+7w)) —
+  *     seven equi-joins plus one order-preserving dense rank —
+  *     giving rank_{8w}; typical web-document lengths need ONE such
+  *     round. Rounds stop once the width covers the longest
+  *     document: document length does not grow with corpus size, so
+  *     rounds are O(log max_doc_len) regardless of SF. The final
+  *     round appends a (doc, pos) tiebreak coordinate, so its dense
+  *     rank IS the suffix-array position outright (identical full
+  *     suffixes — exact-duplicate tails — only ever needed an
+  *     arbitrary-but-deterministic adjacency order).
+  *   - dense ranking is collect-free and never single-partition:
+  *     range-partition + local sort + eager localCheckpoint (pins
+  *     the partition layout), then partition-local `row_number` plus
+  *     per-partition-count offsets (a window over ONE ROW PER
+  *     PARTITION — metadata). The per-round checkpoints keep lineage
+  *     round-independent (duplicateClusters' barrier discipline; a
+  *     real cluster passes a reliable checkpoint dir as q50
+  *     documents).
+  *
+  * ℓ(p) — the longest repeat starting at p — is the max LCP of
+  * suffix p with ANY other suffix, which equals the max of its LCPs
+  * with its two suffix-array neighbors (the classic SA property
+  * under any total symbol order, so the DuckDB oracle may sort
+  * suffixes its own way — ℓ values are order-independent). Neighbor
+  * LCPs are computed directly: each adjacent pair joins its two
+  * documents' token arrays and one codegen'd `zip_with`
+  * null-safe-equality pass finds the first mismatch (the exchange
+  * carries each document's tokens once per adjacency side — linear
+  * in corpus text, one stage; a binary-lifting walk over retained
+  * rank tables is the same asymptotics at 2·log(max_doc_len) extra
+  * joins, and loses on job count). Truncation-equal tails are equal
+  * whole suffixes, so clamping the no-mismatch case to the shorter
+  * suffix length is exact. Spans are per-document interval unions of
+  * [p, p+ℓ(p)) for ℓ(p) ≥ L — gaps-and-islands over a
+  * doc-partitioned window.
+  *
+  * Scale shape: every stage is a bounded-key shuffle, a
+  * doc-partitioned window, or a range-partitioned sort; nothing is
+  * quadratic and nothing corpus-sized reaches the driver. The
+  * positions frame is |corpus tokens| rows — the cardinality q125
+  * already exchanges.
+  */
+object SuffixRepeats {
+
+  /** Order-preserving dense rank of (k1..k<width>) long tuples, collect-
+    * free: distinct → range partition → local sort → eager
+    * localCheckpoint (fixes the partition layout so
+    * `spark_partition_id` is stable) → partition-local row_number +
+    * per-partition-count offsets. The offsets window runs over one
+    * row per partition — metadata, never data. Returns
+    * (k1..k<width>, rank) with rank dense in [0, #distinct).
+    */
+  private def denseRankTuples(tuples: DataFrame, parts: Int,
+                              width: Int): DataFrame = {
+    val ks = (1 to width).map(i => col(s"k$i"))
+    val distinctCk = tuples.select(ks: _*)
+      .distinct()
+      .repartitionByRange(parts, ks: _*)
+      .sortWithinPartitions(ks: _*)
+      .localCheckpoint(true)
+      .withColumn("pid", spark_partition_id())
+    val offs = distinctCk.groupBy(col("pid"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum(col("cnt")).over(
+        Window.orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("off"))
+    val localIdx = row_number().over(
+      Window.partitionBy(col("pid")).orderBy(ks: _*))
+    distinctCk
+      .withColumn("__li", localIdx.cast("long"))
+      .join(broadcast(offs), Seq("pid"))
+      .select(ks :+ (col("off") + col("__li") - 1).as("rank"): _*)
+  }
+
+  /** Per-doc maximal repeated spans of ≥ `minLen` tokens over a
+    * (doc_id, tokens: array<string>) frame. One row per document
+    * containing at least one qualifying span:
+    * (doc_id, n_spans, covered_tokens, max_repeat_len).
+    */
+  def repeatedSpans(docsTok: DataFrame, minLen: Int,
+                    parts: Int = 8): DataFrame = {
+    require(minLen >= 1, s"minLen=$minLen must be >= 1")
+
+    val dt = docsTok
+      .select(col("doc_id").cast("long").as("d"), col("tokens").as("tk"))
+      .repartition(col("d"))
+      .localCheckpoint(true)
+    val maxLen = dt.agg(coalesce(max(size(col("tk"))), lit(0)))
+      .head().getInt(0)
+
+    // base: rank 64-token prefixes straight off the arrays — 64
+    // token-hash COORDINATES per position, one transform, zero joins
+    // (coordinate-wise hashing keeps the order prefix-decomposable;
+    // a single whole-window hash would not). A coordinate collision
+    // merges two token TYPES corpus-wide with probability ~2⁻⁶⁴ per
+    // vocab pair (~3e-8 even at a 10⁶-token vocabulary) and would at
+    // worst overstate one LCP — accepted and documented, same budget
+    // as every md5-keyed operator in the catalog. element_at past
+    // the array end is null; hashing null yields the constant seed —
+    // the uniform "past the end" marker.
+    val B = 64
+    val gB = dt
+      .filter(size(col("tk")) > 0)
+      .select(col("d"), size(col("tk")).as("dl"),
+        explode(transform(sequence(lit(1), size(col("tk"))), i =>
+          struct((i.as("p") +:
+            (1 to B).map(k =>
+              xxhash64(element_at(col("tk"), (i + (k - 1)).cast("int")))
+                .as(s"k$k"))): _*))).as("g"))
+      .select(col("d") +: col("dl") +: col("g.p").as("p") +:
+        (1 to B).map(k => col(s"g.k$k")): _*)
+    // NB no repartition before the checkpoints: the next round
+    // joins on (d, p), so any pre-partitioning by d alone would be
+    // an exchange bought for nothing
+    var cur = gB
+      .join(denseRankTuples(gB, parts, B),
+        (1 to B).map(k => s"k$k"))
+      .select(col("d"), col("p"), col("dl"), col("rank"))
+      .localCheckpoint(true)
+    // octupling rounds; the FINAL round appends a (doc, pos) tiebreak
+    // coordinate, so its dense rank IS the suffix-array position —
+    // no separate ordering pass (equal full suffixes only ever
+    // needed an arbitrary-but-deterministic adjacency order)
+    var w = B
+    var tied = false
+    while (!tied) {
+      val isLast = w.toLong * 8 >= math.max(maxLen, 1).toLong
+      def shifted(k: Int, as: String) = cur.select(col("d"),
+        (col("p") - k * w).as("p"), col("rank").as(as))
+      val paired0 = (1 to 7).foldLeft(
+        cur.select(col("d"), col("p"), col("dl"),
+          col("rank").as("k1"))) { (acc, k) =>
+          acc.join(shifted(k, s"k${k + 1}"), Seq("d", "p"), "left")
+        }
+        // suffixes shorter than the shifted width sort by a marker
+        // below every real rank
+        .na.fill(-1L, (2 to 8).map(k => s"k$k"))
+      val paired = if (!isLast) paired0
+        else paired0.withColumn("k9",
+          col("d") * (maxLen.toLong + 1L) + col("p"))
+      val width = if (isLast) 9 else 8
+      cur = paired
+        .join(denseRankTuples(paired, parts, width),
+          (1 to width).map(k => s"k$k"))
+        .select(col("d"), col("p"), col("dl"), col("rank"))
+        .localCheckpoint(true)
+      tied = isLast
+      w *= 8
+    }
+    val indexed = cur.select(col("rank").as("idx"), col("d"),
+      col("p"), col("dl"))
+
+    // adjacent SA pairs; LCP by direct token comparison — join each
+    // side's token array, one zip_with pass finds the first mismatch
+    val adj = indexed.select(col("idx"), col("d").as("dA"),
+        col("p").as("pA"), col("dl").as("lA"))
+      .join(indexed.select((col("idx") - 1).as("idx"),
+        col("d").as("dB"), col("p").as("pB"), col("dl").as("lB")),
+        Seq("idx"))
+      .join(dt.select(col("d").as("dA"), col("tk").as("tkA")), Seq("dA"))
+      .join(dt.select(col("d").as("dB"), col("tk").as("tkB")), Seq("dB"))
+    val sufA = slice(col("tkA"), col("pA"), lit(math.max(maxLen, 1)))
+    val sufB = slice(col("tkB"), col("pB"), lit(math.max(maxLen, 1)))
+    // zip_with pads the shorter side with null; null <=> token is
+    // false, so running off one suffix's end registers as a mismatch
+    val firstMiss = array_position(
+      zip_with(sufA, sufB, (x, y) => x <=> y), false)
+    val lcps = adj.withColumn("lcp",
+      when(firstMiss > 0, firstMiss - 1)
+        // no mismatch: equal whole suffixes — LCP is their length
+        .otherwise(least(col("lA") - col("pA") + 1,
+          col("lB") - col("pB") + 1).cast("long")))
+
+    // ℓ(p) = max over the two adjacencies; keep only span starters
+    val ell = lcps.select(col("dA").as("d"), col("pA").as("p"),
+        col("lcp"))
+      .union(lcps.select(col("dB").as("d"), col("pB").as("p"),
+        col("lcp")))
+      .groupBy(col("d"), col("p"))
+      .agg(max(col("lcp")).as("ell"))
+      .filter(col("ell") >= minLen)
+
+    // gaps-and-islands span merge, per-doc window
+    val wD = Window.partitionBy(col("d")).orderBy(col("p"))
+    val runMax = max(col("e")).over(
+      wD.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = ell
+      .withColumn("e", col("p") + col("ell"))
+      .withColumn("__new",
+        when(runMax.isNull || col("p") > runMax, 1).otherwise(0))
+      .withColumn("__isl", sum(col("__new")).over(wD))
+    val spans = islands.groupBy(col("d"), col("__isl"))
+      .agg(min(col("p")).as("s"), max(col("e")).as("e"))
+    spans.groupBy(col("d"))
+      .agg(count(lit(1)).cast("long").as("n_spans"),
+        sum(col("e") - col("s")).cast("long").as("covered_tokens"))
+      .join(ell.groupBy(col("d"))
+        .agg(max(col("ell")).cast("long").as("max_repeat_len")),
+        Seq("d"))
+      .select(col("d").as("doc_id"), col("n_spans"),
+        col("covered_tokens"), col("max_repeat_len"))
+  }
+}
