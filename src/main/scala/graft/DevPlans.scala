@@ -46,7 +46,10 @@ object DevPlans {
       "q121_hard_negatives" -> "hard-negative mining: query sample BROADCAST against one corpus scan (label-mismatch predicate rides the broadcast nested loop), cosine projection codegen'd, then the bounded-heap aggregate — partial heaps map-side, <=k rows per (partition, query) shuffled, no WindowExec",
       "q123_cdc_chunks" -> "content-defined chunking: O(n) rolling-hash cuts inside the scan projection; the dedup exchanges carry (doc_id, chunk md5) pairs keyed on the hash — chunk text never shuffles past the md5",
       "q125_dup_substring_coverage" -> "repeated-substring coverage: positional 32-gram md5s explode from the scan, dup hashes from one keyed aggregate, span merge = per-doc window over marked positions (sum-of-min identity) — no interval lists, no self-join on text",
-      "q126_incremental_neardup" -> "incremental near-dup gate: new batch and history each collapse to distinct signatures, band equi-join (never new×history pairs), per-new-doc best match via the bounded-heap top-1 aggregate — partial heaps below the exchange, no WindowExec")
+      "q126_incremental_neardup" -> "incremental near-dup gate: new batch and history each collapse to distinct signatures, band equi-join (never new×history pairs), per-new-doc best match via the bounded-heap top-1 aggregate — partial heaps below the exchange, no WindowExec",
+      "q131_bpe_vocab_apply" -> "vocab-scale BPE apply: greedy merge-priority segmentation runs as ONE native expression inside the scan projection (the 1,100-entry merge-rank map rides into codegen as a reference object; per-word cost is hash lookups, independent of |merges|) — zero exchanges, zero HOFs; a 32k-merge vocabulary swaps in at the identical plan",
+      "q132_redact_adversarial" -> "adversarial redact fuzz: 12 edge-case templates constructed and scrubbed inside one codegen'd projection (posexplode + the single-pass byte scanners) — same zero-exchange shape as q92, but every \\b/backtracking decision lands on an RE2-divergence-prone fixture the DuckDB oracle re-runs through real regexp machinery",
+      "q134_suffix_repeats" -> "suffix-array repeats: prefix-octupling rounds are range-partitioned sorts + partition-local ordinals + per-partition-count offsets (dense rank with no collect and no single-partition stage); adjacency LCP is ONE zip_with pass joining each pair's two token arrays; span merge is a doc-partitioned window — nothing quadratic, nothing corpus-sized at the driver")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by graft.DevPlans)\n\n")
     sb.append("Representative `.explain(\"formatted\")` output at sf0.01, AQE off\n")

@@ -118,6 +118,40 @@ class BpeApplySpec extends SparkSpec {
     assert(rows(3).getLong(1) == 1L + 2L + 1L)
   }
 
+  test("train → apply: greedy segmentation agrees with sequential " +
+      "application of a LEARNED merge table") {
+    // the end-to-end tokenizer pipeline: learn merges (batched) from
+    // the real corpus, apply them with the vocab-scale greedy
+    // expression, and check against sequential rank-order application
+    // — the well-formedness that makes these equal is a property BPE
+    // training guarantees (a merge can only consume symbols that
+    // already exist when its round counts pairs)
+    val d = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val (learned, _) = graft.text.BpeLearn
+      .learnMergesBatched(d, nMerges = 24, batchSize = 8)
+    val table = learned.map(m => (m.sym_a, m.sym_b))
+    assert(table.size == 24)
+    val producedAt = table.zipWithIndex
+      .map { case ((a, b), r) => (a + b) -> r }.toMap
+    table.zipWithIndex.foreach { case ((a, b), r) =>
+      Seq(a, b).filter(_.length > 1).foreach { s =>
+        assert(producedAt.contains(s) && producedAt(s) < r,
+          s"learned rank $r uses unproduced symbol '$s'")
+      }
+    }
+    val words = d.select(explode(TextAnalysis.tokens(col("text")))
+        .as("w")).distinct().collect().map(_.getString(0)).toSeq
+    val got = words.toDF("text")
+      .withColumn("st", BpeApply.segmentStats(col("text"), table))
+      .select($"text", $"st.n_pieces")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    words.foreach { w =>
+      assert(got(w) == refPieces(w, table).toLong,
+        s"learned-table apply diverges on '$w'")
+    }
+  }
+
   test("piece counts are invariant to |merges| table padding (flatness)") {
     // appending 10k never-matching merges must not change any result
     // (the loop is lookup-driven — table size is not in the hot path)
