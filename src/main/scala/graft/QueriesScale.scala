@@ -53,6 +53,32 @@ object QueriesScale {
     g.toInt
   }
 
+  /** q100/q108's bucketed two-level EXACT global rank, shared by
+    * q136/q137: bucket rows by integer-unit value range (corpus-size-
+    * independent bucket count), within-bucket row_number + a
+    * |buckets|-row broadcast offset table — the exact global rank by
+    * (units asc, doc_id asc) with no corpus-wide single-partition
+    * sort. The offset window IS unpartitioned, but over the bucket-
+    * level aggregate (value-range-sized, never corpus-sized).
+    */
+  private def globalRankByUnits(df: DataFrame, units: String,
+      rankName: String): DataFrame = {
+    val b = df.withColumn("__bk", floor(col(units) / lit(10000L)))
+      .repartition(col("__bk"))
+    val bt = b.groupBy(col("__bk")).agg(count(lit(1)).as("__bn"))
+    val wb = Window.orderBy(col("__bk").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = bt
+      .withColumn("__off", coalesce(sum(col("__bn")).over(wb), lit(0L)))
+      .select(col("__bk"), col("__off"))
+    val wr = Window.partitionBy(col("__bk"))
+      .orderBy(col(units).asc, col("doc_id").asc)
+    b.join(broadcast(off), Seq("__bk"))
+      .withColumn(rankName,
+        (row_number().over(wr) + col("__off")).cast("long"))
+      .drop("__bk", "__off", units)
+  }
+
   /** Banded-LSH pair join + exact nibble-xor hamming rescore over an
     * (asset_id, dhash) frame — the shared back half of q117 (PPM) and
     * q133 (PNG); only 24-byte hash rows ever shuffle.
@@ -2681,6 +2707,206 @@ object QueriesScale {
           col("__r.n_ips").as("n_ips"),
           col("__r.n_phones").as("n_phones"),
           md5(col("__r.redacted")).as("redacted_md5"))
+    },
+
+    // Benchmark decontamination (the GPT-3 appendix-C / Llama eval-
+    // hygiene gate): a training doc is contaminated iff it shares any
+    // token 8-gram with the held-out benchmark set. Scale shape: both
+    // sides explode grams to 16-hex md5s (gram TEXT never leaves the
+    // scan), the benchmark's distinct-gram set is eval-suite-sized —
+    // thousands of prompts, not corpus-sized — so it BROADCASTS and
+    // the training side is one scan + left-semi probe; per-doc hit
+    // counts aggregate (doc_id, h) first (map-side combinable, no
+    // count-distinct Expand). At 100 TB the corpus side streams; the
+    // only exchange is the doc_id hit rollup.
+    "q135_decontaminate" -> q { (spark, dir) =>
+      val N = 8
+      val base = docs(spark, dir).select(col("doc_id"),
+        TextAnalysis.tokens(col("text")).as("tk"))
+      val grams = base.select(col("doc_id"),
+        explode(when(size(col("tk")) >= N,
+          transform(sequence(lit(1), size(col("tk")) - (N - 1)),
+            i => substring(md5(array_join(
+              slice(col("tk"), i, lit(N)), " ")), 1, 16)))
+          .otherwise(array().cast("array<string>"))).as("h"))
+      val bench = grams.filter(col("doc_id") % 7 === 0)
+        .select(col("h")).distinct()
+      val hits = grams.filter(col("doc_id") % 7 =!= 0)
+        .join(broadcast(bench), Seq("h"), "left_semi")
+        .groupBy(col("doc_id"), col("h"))
+        .agg(count(lit(1)).as("__occ"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_hit_grams"),
+          sum(col("__occ")).as("n_hit_occ"))
+      base.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          greatest(size(col("tk")) - (N - 1), lit(0)).cast("long")
+            .as("n_grams"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_hit_grams"), lit(0L)).as("n_hit_grams"),
+          coalesce(col("n_hit_occ"), lit(0L)).as("n_hit_occ"),
+          (coalesce(col("n_hit_grams"), lit(0L)) > 0)
+            .as("contaminated"))
+    },
+
+    // CCNet-style LM quality scoring: train an add-α bigram LM on the
+    // trusted slice (lang='en'), score EVERY doc's perplexity under
+    // it, and cut the corpus into head/middle/tail terciles — the
+    // canonical "keep what looks like the reference distribution"
+    // filter. Scale shape: model counts are vocab-bounded aggregates;
+    // scoring streams doc bigrams against the count tables with
+    // SHUFFLE_HASH equi-joins (the count side is model-sized, the doc
+    // side never sorts); V and the tercile total are 1-row broadcast
+    // bounds; the tercile CUT is q100/q108's bucketed two-level rank
+    // (integer ppl-unit buckets + a |value-range|-row offset table) —
+    // exact global rank, no corpus-wide single-partition sort, and
+    // head/middle/tail decided in integer arithmetic (rank*3 vs n),
+    // never on a float percentile boundary.
+    "q136_ngram_perplexity" -> q { (spark, dir) =>
+      val base = docs(spark, dir).select(col("doc_id"), col("lang"),
+        TextAnalysis.tokens(col("text")).as("tk"))
+      val bg = base.select(col("doc_id"), col("lang"),
+          explode(when(size(col("tk")) >= 2,
+            sequence(lit(1), size(col("tk")) - 1))
+            .otherwise(array().cast("array<int>"))).as("p"),
+          col("tk"))
+        .select(col("doc_id"), col("lang"),
+          element_at(col("tk"), col("p")).as("w1"),
+          element_at(col("tk"), col("p") + 1).as("w2"))
+        // compute-once barrier (q125 pattern): the explode runs ONCE;
+        // the c12 aggregate and the scoring join both reuse this
+        // exchange ((w1,w2) clustering satisfies both), so only the
+        // vocab-skewed w1 join below re-exchanges — and that one rides
+        // AQE skew splitting at scale
+        .repartition(col("w1"), col("w2"))
+      val c12 = bg.filter(col("lang") === "en")
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+      val v = c12.agg(countDistinct(col("w2")).as("v"))
+      val sc = bg
+        .join(c12.hint("shuffle_hash"), Seq("w1", "w2"), "left")
+        .join(c1.hint("shuffle_hash"), Seq("w1"), "left")
+        .crossJoin(broadcast(v))
+        .select(col("doc_id"),
+          log((coalesce(col("c12"), lit(0L)) + lit(0.5)) /
+            (coalesce(col("c1"), lit(0L)).cast("double") +
+              lit(0.5) * (col("v") + 1))).as("lp"))
+      val ppl = sc.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          pround(exp(-avg(col("lp"))), 4).as("ppl"))
+        // integer ppl units: the SAME floor(x*1e4+0.5) pround computes,
+        // so rank order == displayed-value order by construction
+        .withColumn("__u", floor(col("ppl") * 1e4 + 0.5).cast("long"))
+      val ranked = globalRankByUnits(ppl, "__u", "ppl_rank")
+      val n = ranked.agg(count(lit(1)).as("__n"))
+      base.select(col("doc_id"))
+        .join(ranked, Seq("doc_id"), "left")
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          col("ppl"),
+          col("ppl_rank"),
+          when(col("ppl").isNull, lit(null).cast("string"))
+            .when(col("ppl_rank") * 3 <= col("__n"), lit("head"))
+            .when(col("ppl_rank") * 3 <= col("__n") * 2, lit("middle"))
+            .otherwise(lit("tail")).as("bucket"))
+    },
+
+    // DSIR importance weights (Xie et al. 2023): hashed bigram
+    // features (md5 → 4096 buckets), target = the trusted lang='en'
+    // slice, raw = the whole corpus; a doc's log importance weight is
+    // the sum over its features of log(p_target/p_raw) under Laplace-
+    // smoothed bucket distributions, and the top quartile by per-
+    // feature weight is selected. Scale shape: both distributions are
+    // 4096-row aggregates; the log-ratio table BROADCASTS into one
+    // streaming score join (feature text never shuffles — only bucket
+    // ints); totals are 1-row broadcast bounds; selection is the same
+    // integer-unit two-level rank as q136 (desc via negated units) —
+    // no float percentile, no corpus-wide sort.
+    "q137_dsir_weights" -> q { (spark, dir) =>
+      val B = 4096
+      val base = docs(spark, dir).select(col("doc_id"), col("lang"),
+        TextAnalysis.tokens(col("text")).as("tk"))
+      val bg = base.select(col("doc_id"), col("lang"),
+          explode(when(size(col("tk")) >= 2,
+            sequence(lit(1), size(col("tk")) - 1))
+            .otherwise(array().cast("array<int>"))).as("p"),
+          col("tk"))
+        .select(col("doc_id"), col("lang"),
+          pmod(conv(substring(md5(concat_ws(" ",
+            element_at(col("tk"), col("p")),
+            element_at(col("tk"), col("p") + 1))), 1, 8), 16, 10)
+            .cast("long"), lit(B.toLong)).as("b"))
+        // compute-once barrier: bucket ints are md5-uniform (no skew
+        // possible), so tc, rc, and the score join all reuse ONE
+        // explode+hash exchange instead of re-deriving it three times
+        .repartition(col("b"))
+      val tc = bg.filter(col("lang") === "en")
+        .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+      val rc = bg.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+      val tot = rc.agg(sum(col("cr")).as("nr"))
+        .crossJoin(tc.agg(sum(col("ct")).as("nt")))
+      val lr = rc.join(tc, Seq("b"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("b"),
+          (log((coalesce(col("ct"), lit(0L)) + lit(1.0)) /
+            (col("nt") + lit(B.toDouble)))
+            - log((col("cr") + lit(1.0)) /
+              (col("nr") + lit(B.toDouble)))).as("lw"))
+      val w = bg.join(broadcast(lr), Seq("b"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_feats"), sum(col("lw")).as("__s"))
+        // signed integer units = pround(s/n, 6)'s two branches × 1e6:
+        // the units are the single source of truth — avg_lw is
+        // units/1e6 and the rank orders by units, so displayed value
+        // and rank order agree by construction on both engines
+        .withColumn("__au",
+          when(col("__s") / col("n_feats") >= 0,
+            floor(col("__s") / col("n_feats") * 1e6 + 0.5))
+            .otherwise(ceil(col("__s") / col("n_feats") * 1e6 - 0.5))
+            .cast("long"))
+        .select(col("doc_id"), col("n_feats"),
+          pround(col("__s"), 4).as("log_w"),
+          (col("__au") / 1e6).as("avg_lw"),
+          // NEGATED so the ascending rank machinery yields desc rank
+          (-col("__au")).as("__u"))
+      val ranked = globalRankByUnits(w, "__u", "sel_rank")
+      val n = ranked.agg(count(lit(1)).as("__n"))
+      base.select(col("doc_id"))
+        .join(ranked, Seq("doc_id"), "left")
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"),
+          coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+          col("log_w"), col("avg_lw"), col("sel_rank"),
+          when(col("sel_rank").isNull, lit(null).cast("boolean"))
+            .otherwise(col("sel_rank") * 4 <= col("__n"))
+            .as("selected"))
+    },
+
+    // Unigram-LM tokenizer, trained AND applied in-engine (the
+    // SentencePiece family next to q112/q131's BPE): fit a substring
+    // piece inventory with integer nano-nat scores from the corpus
+    // (vocabulary-bounded aggregations + TakeOrdered top-k, memoized
+    // by the same fit-once cache as the ANN centroids), then
+    // Viterbi-segment every token with ONE native expression — an
+    // exact integer-cost DP, so the optimum can't drift between
+    // engines. The oracle refits the identical inventory and replays
+    // the DP as a 32-layer Bellman-Ford CTE chain over distinct
+    // words. Scale shape: training exchanges are piece/vocab-sized;
+    // application is zero-exchange scan work.
+    "q138_unigram_viterbi" -> q { (spark, dir) =>
+      import graft.text.UnigramLm
+      val d = docs(spark, dir)
+      val inv = UnigramLm.cachedInventory(d, "text")
+      d.withColumn("st", UnigramLm.viterbiStats(col("text"), inv))
+        .select(col("doc_id"),
+          col("st.n_tokens").as("n_tokens"),
+          col("st.n_pieces").as("n_pieces"),
+          col("st.cost_units").as("cost_units"),
+          when(col("st.n_tokens") > 0,
+            pround(col("st.n_pieces").cast("double") /
+              col("st.n_tokens"), 6)).as("pieces_per_token"))
     }
   )
 
@@ -5821,6 +6047,198 @@ object QueriesScale {
          |      '${Redact.Ipv4Re}', '<IP>', 'g'),
          |      '${Redact.PhoneRe}', '<PHONE>', 'g')) AS redacted_md5
          |FROM r""".stripMargin
+    },
+
+    // q135: the SAME 8-token grams md5'd to 16 hex, benchmark =
+    // doc_id % 7, hit rollup per training doc — a hash match proves
+    // tokenization, gram windowing, and the semi-join set agree.
+    "q135_decontaminate" ->
+      s"""WITH $toksSql,
+         |g AS (
+         |  SELECT doc_id,
+         |         substr(md5(array_to_string(
+         |           list_slice(tk, u.p, u.p + 7), ' ')), 1, 16) AS h
+         |  FROM toks, LATERAL (SELECT unnest(generate_series(
+         |    1, len(tk) - 7)) AS p) u
+         |  WHERE len(tk) >= 8),
+         |b AS (SELECT DISTINCT h FROM g WHERE doc_id % 7 = 0),
+         |hits AS (
+         |  SELECT g.doc_id, count(DISTINCT g.h) AS n_hit_grams,
+         |         count(*) AS n_hit_occ
+         |  FROM g JOIN b USING (h) WHERE g.doc_id % 7 <> 0
+         |  GROUP BY 1)
+         |SELECT toks.doc_id,
+         |       CAST(GREATEST(len(tk) - 7, 0) AS BIGINT) AS n_grams,
+         |       COALESCE(n_hit_grams, 0) AS n_hit_grams,
+         |       COALESCE(n_hit_occ, 0) AS n_hit_occ,
+         |       COALESCE(n_hit_grams, 0) > 0 AS contaminated
+         |FROM toks LEFT JOIN hits ON toks.doc_id = hits.doc_id
+         |WHERE toks.doc_id % 7 <> 0""".stripMargin,
+
+    // q136: the identical add-α bigram LM (α=0.5, V+1 vocab) and the
+    // identical floor(x*1e4+0.5) ppl rounding; the oracle's tercile
+    // rank is the NAIVE global row_number the engine reproduces with
+    // its bucketed two-level rank — rank parity proves the two-level
+    // construction exact, not just approximately ordered.
+    "q136_ngram_perplexity" ->
+      s"""WITH $toksSql,
+         |bg AS (
+         |  SELECT doc_id, lang, tk[u.p] AS w1, tk[u.p + 1] AS w2
+         |  FROM toks, LATERAL (SELECT unnest(generate_series(
+         |    1, len(tk) - 1)) AS p) u
+         |  WHERE len(tk) >= 2),
+         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg
+         |        WHERE lang = 'en' GROUP BY 1, 2),
+         |c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+         |v AS (SELECT count(DISTINCT w2) AS v FROM c12),
+         |sc AS (
+         |  SELECT bg.doc_id,
+         |         ln((COALESCE(c12.c12, 0) + 0.5)
+         |            / (CAST(COALESCE(c1.c1, 0) AS DOUBLE)
+         |               + 0.5 * (v.v + 1))) AS lp
+         |  FROM bg LEFT JOIN c12 USING (w1, w2)
+         |          LEFT JOIN c1 USING (w1) CROSS JOIN v),
+         |p AS (
+         |  SELECT doc_id, count(*) AS n_bigrams,
+         |         floor(exp(-avg(lp)) * 1e4 + 0.5) / 1e4 AS ppl
+         |  FROM sc GROUP BY 1),
+         |r AS (
+         |  SELECT doc_id, n_bigrams, ppl,
+         |         CAST(row_number() OVER (ORDER BY ppl ASC, doc_id ASC)
+         |           AS BIGINT) AS ppl_rank
+         |  FROM p),
+         |n AS (SELECT count(*) AS n FROM r)
+         |SELECT toks.doc_id, COALESCE(r.n_bigrams, 0) AS n_bigrams,
+         |       r.ppl, r.ppl_rank,
+         |       CASE WHEN r.ppl IS NULL THEN NULL
+         |            WHEN r.ppl_rank * 3 <= n.n THEN 'head'
+         |            WHEN r.ppl_rank * 3 <= n.n * 2 THEN 'middle'
+         |            ELSE 'tail' END AS bucket
+         |FROM toks LEFT JOIN r ON toks.doc_id = r.doc_id
+         |CROSS JOIN n""".stripMargin,
+
+    // q137: identical md5→4096-bucket features, Laplace-smoothed
+    // target/raw distributions, signed integer avg-weight units
+    // (pround's two branches × 1e6) — the units drive BOTH avg_lw and
+    // the desc selection rank, so value and rank parity are one check.
+    "q137_dsir_weights" ->
+      s"""WITH $toksSql,
+         |bg AS (
+         |  SELECT doc_id, lang,
+         |         CAST(('0x' || substr(md5(tk[u.p] || ' '
+         |           || tk[u.p + 1]), 1, 8)) AS BIGINT) % 4096 AS b
+         |  FROM toks, LATERAL (SELECT unnest(generate_series(
+         |    1, len(tk) - 1)) AS p) u
+         |  WHERE len(tk) >= 2),
+         |tc AS (SELECT b, count(*) AS ct FROM bg
+         |       WHERE lang = 'en' GROUP BY 1),
+         |rc AS (SELECT b, count(*) AS cr FROM bg GROUP BY 1),
+         |tot AS (SELECT (SELECT sum(cr) FROM rc) AS nr,
+         |               (SELECT sum(ct) FROM tc) AS nt),
+         |lr AS (
+         |  SELECT rc.b,
+         |         ln((COALESCE(tc.ct, 0) + 1.0) / (tot.nt + 4096.0))
+         |         - ln((rc.cr + 1.0) / (tot.nr + 4096.0)) AS lw
+         |  FROM rc LEFT JOIN tc USING (b) CROSS JOIN tot),
+         |w AS (
+         |  SELECT bg.doc_id, count(*) AS n_feats, sum(lr.lw) AS s
+         |  FROM bg JOIN lr USING (b) GROUP BY 1),
+         |w2 AS (
+         |  SELECT doc_id, n_feats,
+         |         CASE WHEN s >= 0 THEN floor(s * 1e4 + 0.5)
+         |              ELSE ceil(s * 1e4 - 0.5) END / 1e4 AS log_w,
+         |         CAST(CASE WHEN s / n_feats >= 0
+         |              THEN floor(s / n_feats * 1e6 + 0.5)
+         |              ELSE ceil(s / n_feats * 1e6 - 0.5) END
+         |           AS BIGINT) AS au
+         |  FROM w),
+         |r AS (
+         |  SELECT doc_id, n_feats, log_w, au / 1e6 AS avg_lw,
+         |         CAST(row_number() OVER (ORDER BY au DESC, doc_id ASC)
+         |           AS BIGINT) AS sel_rank
+         |  FROM w2),
+         |n AS (SELECT count(*) AS n FROM r)
+         |SELECT toks.doc_id, COALESCE(r.n_feats, 0) AS n_feats,
+         |       r.log_w, r.avg_lw, r.sel_rank,
+         |       CASE WHEN r.sel_rank IS NULL THEN NULL
+         |            ELSE r.sel_rank * 4 <= n.n END AS selected
+         |FROM toks LEFT JOIN r ON toks.doc_id = r.doc_id
+         |CROSS JOIN n""".stripMargin,
+
+    // q138: the oracle REFITS the identical inventory (truncated-word
+    // frequencies → substring candidates → all chars + top-768 multis
+    // by (freq DESC, piece ASC) → integer nano-nat units) and replays
+    // Viterbi as layered Bellman-Ford: d_k = best cost to each word
+    // position using ≤ k pieces; MaxWordLen=32 with min piece length
+    // 1 bounds every path at 32 edges, so d32 is the exact optimum.
+    // Costs are `units*64 + 1` BIGINTs — the same packed integers the
+    // native expression minimizes — so the min is engine-exact and
+    // n_pieces/cost_units unpack with % 64 and // 64.
+    "q138_unigram_viterbi" -> {
+      val layers = (1 to 32).map { k =>
+        s"""d$k AS MATERIALIZED (
+           |  SELECT w, pos, min(c) AS c FROM (
+           |    SELECT w, pos, c FROM d${k - 1}
+           |    UNION ALL
+           |    SELECT e.w, e.dst AS pos, d.c + e.ec AS c
+           |    FROM d${k - 1} d JOIN edges e
+           |      ON e.w = d.w AND e.src = d.pos)
+           |  GROUP BY 1, 2)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $toksSql,
+         |occ AS MATERIALIZED (
+         |  SELECT doc_id, substr(u.t, 1, 32) AS w
+         |  FROM toks, LATERAL (SELECT unnest(tk) AS t) u),
+         |wf AS MATERIALIZED (SELECT w, count(*) AS n FROM occ GROUP BY 1),
+         |cand AS (
+         |  SELECT substr(wf.w, i.i, l.l) AS piece, sum(wf.n) AS freq
+         |  FROM wf,
+         |       LATERAL (SELECT unnest(generate_series(
+         |         1, length(wf.w))) AS i) i,
+         |       LATERAL (SELECT unnest(generate_series(
+         |         1, LEAST(6, length(wf.w) - i.i + 1))) AS l) l
+         |  GROUP BY 1),
+         |chars AS (SELECT piece, freq FROM cand WHERE length(piece) = 1),
+         |multis AS (
+         |  SELECT piece, freq FROM (
+         |    SELECT piece, freq, row_number() OVER (
+         |        ORDER BY freq DESC, piece ASC) AS r
+         |    FROM cand WHERE length(piece) >= 2)
+         |  WHERE r <= 768),
+         |inv AS (SELECT * FROM chars UNION ALL SELECT * FROM multis),
+         |tot AS (SELECT sum(freq) AS t FROM inv),
+         |u AS MATERIALIZED (SELECT piece,
+         |             CAST(floor(-ln(freq / t) * 1e6 + 0.5) AS BIGINT)
+         |               AS units
+         |      FROM inv CROSS JOIN tot),
+         |dw AS (SELECT DISTINCT w FROM wf),
+         |edges AS MATERIALIZED (
+         |  SELECT dw.w, i.i - 1 AS src, i.i - 1 + l.l AS dst,
+         |         u.units * 64 + 1 AS ec
+         |  FROM dw,
+         |       LATERAL (SELECT unnest(generate_series(
+         |         1, length(dw.w))) AS i) i,
+         |       LATERAL (SELECT unnest(generate_series(
+         |         1, LEAST(6, length(dw.w) - i.i + 1))) AS l) l
+         |  JOIN u ON u.piece = substr(dw.w, i.i, l.l)),
+         |d0 AS MATERIALIZED (SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS c FROM dw),
+         |$layers,
+         |res AS MATERIALIZED (SELECT w, c FROM d32 WHERE pos = length(w)),
+         |agg AS (
+         |  SELECT occ.doc_id, count(*) AS n_tokens,
+         |         sum(res.c % 64) AS n_pieces,
+         |         sum(res.c // 64) AS cost_units
+         |  FROM occ JOIN res USING (w) GROUP BY 1)
+         |SELECT toks.doc_id,
+         |       CAST(COALESCE(agg.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |       CAST(COALESCE(agg.n_pieces, 0) AS BIGINT) AS n_pieces,
+         |       CAST(COALESCE(agg.cost_units, 0) AS BIGINT)
+         |         AS cost_units,
+         |       CASE WHEN agg.n_tokens > 0 THEN
+         |         floor(CAST(agg.n_pieces AS DOUBLE) / agg.n_tokens
+         |           * 1e6 + 0.5) / 1e6
+         |       END AS pieces_per_token
+         |FROM toks LEFT JOIN agg ON toks.doc_id = agg.doc_id""".stripMargin
     }
   )
 }
