@@ -2907,6 +2907,27 @@ object QueriesScale {
           when(col("st.n_tokens") > 0,
             pround(col("st.n_pieces").cast("double") /
               col("st.n_tokens"), 6)).as("pieces_per_token"))
+    },
+
+    // Blocklist screening via ONE Aho–Corasick pass: count every
+    // (pattern, occurrence) pair and every distinct pattern per doc —
+    // overlaps, nesting, and patterns-inside-patterns included. The
+    // pattern table (here a deterministic corpus-derived top-48; a
+    // curated NSFW/spam/boilerplate list drops in unchanged) rides
+    // into codegen as a compiled automaton, so 100 TB of screening is
+    // one scan at O(n + matches) per doc — INDEPENDENT of pattern
+    // count, where the naive shape pays |patterns| regex passes over
+    // every byte. Zero exchanges at scan time; the fit is one
+    // vocabulary-bounded aggregate + TakeOrdered, memoized fit-once.
+    "q139_blocklist_scan" -> q { (spark, dir) =>
+      import graft.text.MultiPattern
+      val d = docs(spark, dir)
+      val pats = MultiPattern.cachedPatterns(d, "text")
+      d.withColumn("st", MultiPattern.acStats(col("text"), pats))
+        .select(col("doc_id"),
+          col("st.n_hits").as("n_hits"),
+          col("st.n_patterns").as("n_patterns"),
+          (col("st.n_hits") > 0).as("flagged"))
     }
   )
 
@@ -6239,6 +6260,44 @@ object QueriesScale {
          |           * 1e6 + 0.5) / 1e6
          |       END AS pieces_per_token
          |FROM toks LEFT JOIN agg ON toks.doc_id = agg.doc_id""".stripMargin
-    }
+    },
+
+    // q139: the oracle refits the identical top-48 pattern table and
+    // counts occurrences the quadratic way — every (position, pattern
+    // length) window substring equi-joined to the patterns (length-
+    // matched, so a truncated end-of-text window can't alias a
+    // shorter pattern) — vs the engine's single automaton pass.
+    "q139_blocklist_scan" ->
+      s"""WITH $toksSql,
+         |tokc AS MATERIALIZED (
+         |  SELECT u.t AS pat, count(*) AS n
+         |  FROM toks, LATERAL (SELECT unnest(tk) AS t) u
+         |  WHERE length(u.t) >= 4 GROUP BY 1),
+         |pats AS MATERIALIZED (
+         |  SELECT pat FROM (
+         |    SELECT pat, row_number() OVER (
+         |        ORDER BY n DESC, pat ASC) AS r
+         |    FROM tokc) WHERE r <= 48),
+         |pl AS (SELECT DISTINCT length(pat) AS l FROM pats),
+         |sub AS MATERIALIZED (
+         |  SELECT d.doc_id, pl.l, substr(d.text, pos.i, pl.l) AS s
+         |  FROM documents d,
+         |       LATERAL (SELECT unnest(generate_series(
+         |         1, length(d.text))) AS i) pos,
+         |       pl
+         |  WHERE pos.i + pl.l - 1 <= length(d.text)),
+         |hits AS MATERIALIZED (
+         |  SELECT sub.doc_id, p.pat FROM sub
+         |  JOIN pats p ON p.pat = sub.s AND length(p.pat) = sub.l),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_hits,
+         |         count(DISTINCT pat) AS n_patterns
+         |  FROM hits GROUP BY 1)
+         |SELECT d.doc_id,
+         |       CAST(COALESCE(agg.n_hits, 0) AS BIGINT) AS n_hits,
+         |       CAST(COALESCE(agg.n_patterns, 0) AS BIGINT)
+         |         AS n_patterns,
+         |       COALESCE(agg.n_hits, 0) > 0 AS flagged
+         |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin
   )
 }
