@@ -2928,6 +2928,114 @@ object QueriesScale {
           col("st.n_hits").as("n_hits"),
           col("st.n_patterns").as("n_patterns"),
           (col("st.n_hits") > 0).as("flagged"))
+    },
+
+    // Model-based quality filter TRAINED in-engine (the fastText-
+    // classifier-training step of CCNet/GPT-3-style pipelines, as
+    // relational algebra): full-batch logistic-regression gradient
+    // descent where every round is ONE map-side-combinable aggregate
+    // over the PERSISTED feature frame — the BpeLearn "return a
+    // model" discipline: the only driver traffic is a 1-row gradient
+    // per round; data never leaves the cluster. (The all-in-one-DAG
+    // alternative — chaining rounds via crossJoin(broadcast(1-row)) —
+    // replicates round k's aggregate into every later round's weight
+    // lineage, O(rounds²) corpus aggregates; measured 34 s vs ~4 s
+    // for this shape at sf0.1.) Persisting features, not text, is the
+    // 100 TB move: 5 doubles/doc vs the raw corpus. Engine-exactness:
+    // weights re-quantize to 6dp after every round (pround == DuckDB
+    // round bit-for-bit), so float-sum ordering noise cannot compound
+    // across rounds; sigmoid clamps to [1e-12, 1-1e-12] identically
+    // on both engines.
+    "q140_lr_train" -> q { (spark, dir) =>
+      import graft.text.TextStatsExpression.textStats
+      import graft.functions.PortableRound.proundScala
+      val ft = docs(spark, dir)
+        .withColumn("st", textStats(col("text")))
+        .select(
+          when(col("lang") === "en", lit(1.0)).otherwise(lit(0.0))
+            .as("y"),
+          log(lit(1.0) + col("st.n_tokens").cast("double")).as("x1"),
+          coalesce(when(col("st.n_tokens") > 0,
+            col("st.n_stop").cast("double") / col("st.n_tokens")),
+            lit(0.0)).as("x2"),
+          coalesce(when(col("st.n_chars") > 0,
+            col("st.n_punct").cast("double") / col("st.n_chars")),
+            lit(0.0)).as("x3"),
+          abs(coalesce(when(col("st.n_tokens") > 0,
+            col("st.total_token_len").cast("double") /
+              col("st.n_tokens")), lit(0.0)) - lit(5.0)).as("x4"))
+        .persist()
+      val w = Array.fill(5)(0.0)
+      val xs = Seq(lit(1.0), col("x1"), col("x2"), col("x3"),
+        col("x4"))
+      val out = (1 to 8).map { r =>
+        val margin = lit(w(0)) + lit(w(1)) * col("x1") +
+          lit(w(2)) * col("x2") + lit(w(3)) * col("x3") +
+          lit(w(4)) * col("x4")
+        val p = least(greatest(
+          lit(1.0) / (lit(1.0) + exp(-margin)), lit(1e-12)),
+          lit(1.0) - lit(1e-12))
+        val g = ft.agg(
+          avg((p - col("y")) * xs.head).as("g0"),
+          (1 to 4).map(j =>
+            avg((p - col("y")) * xs(j)).as(s"g$j")) :+
+            avg(-(col("y") * log(p) +
+              (lit(1.0) - col("y")) * log(lit(1.0) - p))).as("ll"): _*)
+          .collect().head
+        (0 to 4).foreach(j =>
+          w(j) = proundScala(w(j) - 0.1 * g.getDouble(j), 6))
+        (r, w(0), w(1), w(2), w(3), w(4),
+          proundScala(g.getDouble(5), 6))
+      }
+      ft.unpersist(false)
+      import spark.implicits._
+      out.toDF("round", "w0", "w1", "w2", "w3", "w4", "logloss")
+    },
+
+    // Classifier evaluation: EXACT AUC (Mann-Whitney U with midrank
+    // tie handling) of the q119 quality score against the trusted-
+    // language label — the eval step every model-based filter needs
+    // before it gates a corpus. All rank arithmetic is INTEGER
+    // (2·midrank = 2·r0 + g + 1 per tie group), so the statistic is
+    // engine-exact with one rounded division at the end. Scale shape:
+    // one groupBy(score) aggregate (6-dp sigmoid scores — the
+    // distinct-score table is VALUE-RANGE-bounded at ≤ 1e6+1 rows, so
+    // the cumulative window over it is bounded regardless of corpus
+    // size), then a 1-row total. Long arithmetic holds to ~2e9 docs;
+    // past that the same query runs on decimal(38) or a stratified
+    // sample.
+    "q141_quality_auc" -> q { (spark, dir) =>
+      import graft.text.TextStatsExpression.textStats
+      val d = docs(spark, dir).withColumn("st", textStats(col("text")))
+      val stopR = coalesce(when(col("st.n_tokens") > 0,
+        col("st.n_stop").cast("double") / col("st.n_tokens")), lit(0.0))
+      val punctR = coalesce(when(col("st.n_chars") > 0,
+        col("st.n_punct").cast("double") / col("st.n_chars")), lit(0.0))
+      val avgLen = coalesce(when(col("st.n_tokens") > 0,
+        col("st.total_token_len").cast("double") / col("st.n_tokens")),
+        lit(0.0))
+      val z = lit(-2.0) +
+        lit(0.8) * log(lit(1.0) + col("st.n_tokens").cast("double")) +
+        lit(3.0) * stopR - lit(8.0) * punctR -
+        lit(0.5) * abs(avgLen - lit(5.0))
+      val s = d.select(
+        pround(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("score"),
+        when(col("lang") === "en", lit(1L)).otherwise(lit(0L)).as("pos"))
+      val byScore = s.groupBy(col("score"))
+        .agg(count(lit(1)).as("g"), sum(col("pos")).as("np"))
+      val wc = Window.orderBy(col("score").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ranked = byScore
+        .withColumn("r0", coalesce(sum(col("g")).over(wc), lit(0L)))
+      val tot = ranked.agg(
+        sum(col("np") * (lit(2L) * col("r0") + col("g") + 1L)).as("s2"),
+        sum(col("np")).as("npos"), sum(col("g")).as("n"))
+      tot.select(col("npos").as("n_pos"),
+        (col("n") - col("npos")).as("n_neg"),
+        pround((col("s2") - col("npos") * (col("npos") + 1L))
+          .cast("double") /
+          (lit(2.0) * col("npos") * (col("n") - col("npos"))), 6)
+          .as("auc"))
     }
   )
 
@@ -6298,6 +6406,114 @@ object QueriesScale {
          |       CAST(COALESCE(agg.n_patterns, 0) AS BIGINT)
          |         AS n_patterns,
          |       COALESCE(agg.n_hits, 0) > 0 AS flagged
-         |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin
+         |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin,
+
+    // q140: the oracle replays the identical 8 GD rounds as chained
+    // CTEs — q119's feature formulas, the same clamped sigmoid, the
+    // same per-round round(·, 6) weight quantization (pround ==
+    // DuckDB round bit-for-bit, which is exactly what makes an
+    // iterative float recurrence hash-comparable at all).
+    "q140_lr_train" -> {
+      val rounds = (1 to 8).map { r =>
+        val wp = s"ww${r - 1}"
+        s"""g$r AS (
+           |  SELECT avg(p - y) AS g0, avg((p - y) * x1) AS g1,
+           |         avg((p - y) * x2) AS g2, avg((p - y) * x3) AS g3,
+           |         avg((p - y) * x4) AS g4,
+           |         avg(-(y * ln(p) + (1.0 - y) * ln(1.0 - p))) AS ll
+           |  FROM (
+           |    SELECT f.y, f.x1, f.x2, f.x3, f.x4,
+           |           LEAST(GREATEST(1.0 / (1.0 + exp(-(w.w0
+           |             + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3
+           |             + w.w4 * f.x4))), 1e-12), 1.0 - 1e-12) AS p
+           |    FROM f CROSS JOIN $wp w)),
+           |ww$r AS (
+           |  SELECT round(w.w0 - 0.1 * g.g0, 6) AS w0,
+           |         round(w.w1 - 0.1 * g.g1, 6) AS w1,
+           |         round(w.w2 - 0.1 * g.g2, 6) AS w2,
+           |         round(w.w3 - 0.1 * g.g3, 6) AS w3,
+           |         round(w.w4 - 0.1 * g.g4, 6) AS w4,
+           |         round(g.ll, 6) AS logloss
+           |  FROM g$r g CROSS JOIN $wp w)""".stripMargin
+      }.mkString(",\n")
+      val sel = (1 to 8).map(r =>
+        s"SELECT CAST($r AS INT) AS round, w0, w1, w2, w3, w4, " +
+          s"logloss FROM ww$r").mkString("\nUNION ALL\n")
+      s"""WITH $toksSql,
+         |r AS (
+         |  SELECT doc_id, lang,
+         |         CAST(len(tk) AS DOUBLE) AS ntok,
+         |         COALESCE(CASE WHEN len(tk) > 0
+         |              THEN CAST(len(list_filter(tk, x -> list_contains(
+         |                     ['the','a','an','and','or','of','to','in',
+         |                      'is','it'], lower(x)))) AS DOUBLE) / len(tk)
+         |              END, 0.0) AS stop_ratio,
+         |         COALESCE(CASE WHEN length(text) > 0
+         |              THEN CAST(length(regexp_replace(text,
+         |                     '[^[:punct:]]', '', 'g')) AS DOUBLE)
+         |                   / length(text)
+         |              END, 0.0) AS punct_ratio,
+         |         COALESCE(CASE WHEN len(tk) > 0
+         |              THEN CAST(list_sum(list_transform(tk,
+         |                     x -> length(x))) AS DOUBLE) / len(tk)
+         |              END, 0.0) AS avg_len
+         |  FROM toks),
+         |f AS MATERIALIZED (
+         |  SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+         |         ln(1.0 + ntok) AS x1, stop_ratio AS x2,
+         |         punct_ratio AS x3, abs(avg_len - 5.0) AS x4
+         |  FROM r),
+         |ww0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2,
+         |               0.0 AS w3, 0.0 AS w4),
+         |$rounds
+         |$sel""".stripMargin
+    },
+
+    // q141: the identical q119 score + midrank Mann-Whitney AUC; the
+    // oracle's rank arithmetic is the same integer 2·midrank, so the
+    // single rounded division is the only float op on either engine.
+    "q141_quality_auc" ->
+      s"""WITH $toksSql,
+         |r AS (
+         |  SELECT doc_id, lang,
+         |         CAST(len(tk) AS DOUBLE) AS ntok,
+         |         COALESCE(CASE WHEN len(tk) > 0
+         |              THEN CAST(len(list_filter(tk, x -> list_contains(
+         |                     ['the','a','an','and','or','of','to','in',
+         |                      'is','it'], lower(x)))) AS DOUBLE) / len(tk)
+         |              END, 0.0) AS stop_ratio,
+         |         COALESCE(CASE WHEN length(text) > 0
+         |              THEN CAST(length(regexp_replace(text,
+         |                     '[^[:punct:]]', '', 'g')) AS DOUBLE)
+         |                   / length(text)
+         |              END, 0.0) AS punct_ratio,
+         |         COALESCE(CASE WHEN len(tk) > 0
+         |              THEN CAST(list_sum(list_transform(tk,
+         |                     x -> length(x))) AS DOUBLE) / len(tk)
+         |              END, 0.0) AS avg_len
+         |  FROM toks),
+         |s AS (
+         |  SELECT round(1.0 / (1.0 + exp(-((((-2.0
+         |           + 0.8 * ln(1.0 + ntok)) + 3.0 * stop_ratio)
+         |           - 8.0 * punct_ratio) - 0.5 * abs(avg_len - 5.0)))),
+         |           6) AS score,
+         |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+         |  FROM r),
+         |b AS (SELECT score, count(*) AS g, sum(pos) AS np
+         |      FROM s GROUP BY 1),
+         |rk AS (
+         |  SELECT score, g, np,
+         |         COALESCE(sum(g) OVER (ORDER BY score ASC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |           0) AS r0
+         |  FROM b),
+         |t AS (SELECT sum(np * (2 * r0 + g + 1)) AS s2,
+         |             sum(np) AS npos, sum(g) AS n
+         |      FROM rk)
+         |SELECT CAST(npos AS BIGINT) AS n_pos,
+         |       CAST(n - npos AS BIGINT) AS n_neg,
+         |       round(CAST(s2 - npos * (npos + 1) AS DOUBLE)
+         |         / (2.0 * npos * (n - npos)), 6) AS auc
+         |FROM t""".stripMargin
   )
 }
