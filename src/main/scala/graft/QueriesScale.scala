@@ -3036,6 +3036,45 @@ object QueriesScale {
           .cast("double") /
           (lit(2.0) * col("npos") * (col("n") - col("npos"))), 6)
           .as("auc"))
+    },
+
+    // Calibration table (reliability diagram) for the quality
+    // classifier — the companion eval to q141's AUC: decile-bin the
+    // 6-dp score, report predicted-vs-observed positive rate and the
+    // per-bin gap (the summands of expected calibration error). Bin
+    // ids are integer floor(score·10) — no float bin boundaries — and
+    // the whole query is ONE map-side-combinable aggregate to ≤ 10
+    // rows: calibration of a 100 TB corpus costs one scan.
+    "q142_calibration" -> q { (spark, dir) =>
+      import graft.text.TextStatsExpression.textStats
+      val d = docs(spark, dir).withColumn("st", textStats(col("text")))
+      val stopR = coalesce(when(col("st.n_tokens") > 0,
+        col("st.n_stop").cast("double") / col("st.n_tokens")), lit(0.0))
+      val punctR = coalesce(when(col("st.n_chars") > 0,
+        col("st.n_punct").cast("double") / col("st.n_chars")), lit(0.0))
+      val avgLen = coalesce(when(col("st.n_tokens") > 0,
+        col("st.total_token_len").cast("double") / col("st.n_tokens")),
+        lit(0.0))
+      val z = lit(-2.0) +
+        lit(0.8) * log(lit(1.0) + col("st.n_tokens").cast("double")) +
+        lit(3.0) * stopR - lit(8.0) * punctR -
+        lit(0.5) * abs(avgLen - lit(5.0))
+      d.select(
+          pround(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("score"),
+          when(col("lang") === "en", lit(1L)).otherwise(lit(0L))
+            .as("pos"))
+        .select(least(floor(col("score") * 10).cast("long"), lit(9L))
+            .as("bin"),
+          col("score"), col("pos"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"),
+          pround(avg(col("score")), 6).as("mean_score"),
+          pround(sum(col("pos")).cast("double") / count(lit(1)), 6)
+            .as("obs_rate"))
+        .select(col("bin"), col("n"), col("n_pos"), col("mean_score"),
+          col("obs_rate"),
+          pround(abs(col("mean_score") - col("obs_rate")), 6)
+            .as("abs_gap"))
     }
   )
 
@@ -6514,6 +6553,47 @@ object QueriesScale {
          |       CAST(n - npos AS BIGINT) AS n_neg,
          |       round(CAST(s2 - npos * (npos + 1) AS DOUBLE)
          |         / (2.0 * npos * (n - npos)), 6) AS auc
-         |FROM t""".stripMargin
+         |FROM t""".stripMargin,
+
+    // q142: the same q119 score and integer decile bins; one grouped
+    // aggregate — mean predicted vs observed rate per bin.
+    "q142_calibration" ->
+      s"""WITH $toksSql,
+         |r AS (
+         |  SELECT doc_id, lang,
+         |         CAST(len(tk) AS DOUBLE) AS ntok,
+         |         COALESCE(CASE WHEN len(tk) > 0
+         |              THEN CAST(len(list_filter(tk, x -> list_contains(
+         |                     ['the','a','an','and','or','of','to','in',
+         |                      'is','it'], lower(x)))) AS DOUBLE) / len(tk)
+         |              END, 0.0) AS stop_ratio,
+         |         COALESCE(CASE WHEN length(text) > 0
+         |              THEN CAST(length(regexp_replace(text,
+         |                     '[^[:punct:]]', '', 'g')) AS DOUBLE)
+         |                   / length(text)
+         |              END, 0.0) AS punct_ratio,
+         |         COALESCE(CASE WHEN len(tk) > 0
+         |              THEN CAST(list_sum(list_transform(tk,
+         |                     x -> length(x))) AS DOUBLE) / len(tk)
+         |              END, 0.0) AS avg_len
+         |  FROM toks),
+         |s AS (
+         |  SELECT round(1.0 / (1.0 + exp(-((((-2.0
+         |           + 0.8 * ln(1.0 + ntok)) + 3.0 * stop_ratio)
+         |           - 8.0 * punct_ratio) - 0.5 * abs(avg_len - 5.0)))),
+         |           6) AS score,
+         |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+         |  FROM r),
+         |b AS (
+         |  SELECT LEAST(CAST(floor(score * 10) AS BIGINT), 9) AS bin,
+         |         count(*) AS n, sum(pos) AS n_pos,
+         |         round(avg(score), 6) AS mean_score,
+         |         round(CAST(sum(pos) AS DOUBLE) / count(*), 6)
+         |           AS obs_rate
+         |  FROM s GROUP BY 1)
+         |SELECT bin, CAST(n AS BIGINT) AS n,
+         |       CAST(n_pos AS BIGINT) AS n_pos, mean_score, obs_rate,
+         |       round(abs(mean_score - obs_rate), 6) AS abs_gap
+         |FROM b""".stripMargin
   )
 }

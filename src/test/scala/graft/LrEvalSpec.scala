@@ -98,4 +98,31 @@ class LrEvalSpec extends SparkSpec {
     assert(approx(auc, expected, 1e-6), s"auc $auc vs $expected")
     assert(auc > 0.0 && auc < 1.0)
   }
+
+  test("q142 calibration bins agree with a scalar recomputation") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), (col("lang") === "en").as("pos"))
+    val s = SparkEntry.queries("q119_quality_classifier")(spark, dir)
+      .select(col("doc_id"), col("p_keep")).join(d, Seq("doc_id"))
+      .select(col("p_keep"), col("pos")).collect()
+      .map(r => (r.getDouble(0), r.getBoolean(1)))
+    val expected = s.groupBy { case (p, _) =>
+      math.min(math.floor(p * 10).toLong, 9L)
+    }.map { case (bin, xs) =>
+      bin -> (xs.length.toLong, xs.count(_._2).toLong,
+        proundScala(xs.map(_._1).sum / xs.length, 6),
+        proundScala(xs.count(_._2).toDouble / xs.length, 6))
+    }
+    val got = SparkEntry.queries("q142_calibration")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (bin, (n, np, ms, or)) =>
+      val (gn, gnp, gms, gor) = got(bin)
+      assert(gn == n && gnp == np, s"bin $bin counts")
+      assert(approx(gms, ms, 1e-6) && approx(gor, or, 1e-6),
+        s"bin $bin rates")
+    }
+  }
 }
