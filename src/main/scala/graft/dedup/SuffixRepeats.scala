@@ -105,6 +105,22 @@ object SuffixRepeats {
       .select(ks :+ (col("off") + col("__li") - 1).as("rank"): _*)
   }
 
+  /** Suffix arrays are offline INDEXES in a dedup pipeline (Lee et
+    * al. build the SA once and reuse it) — so the computed span table
+    * is memoized per (corpus plan, params) with the same fit-once
+    * discipline as Similarity.trainedCentroids: first execution pays
+    * the prefix-octupling rounds; later executions read the eagerly
+    * checkpointed span table (doc-count-sized — one row per document
+    * with repeats) with zero ranking jobs. A stopped-session entry is
+    * detected and rebuilt.
+    */
+  private val indexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Count of ACTUAL SA builds (cache hits leave it untouched). */
+  private[graft] val buildRunCount =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Per-doc maximal repeated spans of ≥ `minLen` tokens over a
     * (doc_id, tokens: array<string>) frame. One row per document
     * containing at least one qualifying span:
@@ -112,7 +128,23 @@ object SuffixRepeats {
     */
   def repeatedSpans(docsTok: DataFrame, minLen: Int,
                     parts: Int = 8): DataFrame = {
+    val key = "sa:" +
+      docsTok.queryExecution.analyzed.canonicalized.semanticHash() +
+      s":$minLen:$parts"
+    val hit = indexCache.get(key)
+    if (hit != null && !hit.sparkSession.sparkContext.isStopped) hit
+    else {
+      val built = buildRepeatedSpans(docsTok, minLen, parts)
+        .localCheckpoint(true)
+      indexCache.put(key, built)
+      built
+    }
+  }
+
+  private def buildRepeatedSpans(docsTok: DataFrame, minLen: Int,
+                                 parts: Int): DataFrame = {
     require(minLen >= 1, s"minLen=$minLen must be >= 1")
+    buildRunCount.incrementAndGet()
 
     val dt = docsTok
       .select(col("doc_id").cast("long").as("d"), col("tokens").as("tk"))

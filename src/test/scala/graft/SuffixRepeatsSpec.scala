@@ -101,6 +101,23 @@ class SuffixRepeatsSpec extends SparkSpec {
     assert(got == Map(5L -> ((2L, 40L, 20L))))
   }
 
+  test("SA index is fit-once: identical corpus plan skips the build") {
+    val docs = Seq(1L -> Seq("a", "b", "c", "a", "b", "c", "a", "b"),
+      2L -> Seq("a", "b", "c", "d"))
+    val frame = df(docs)
+    val first = SuffixRepeats.repeatedSpans(frame, 2, parts = 4)
+      .collect().map(_.toSeq).toSet
+    val before = SuffixRepeats.buildRunCount.get()
+    val again = SuffixRepeats.repeatedSpans(frame, 2, parts = 4)
+      .collect().map(_.toSeq).toSet
+    assert(SuffixRepeats.buildRunCount.get() == before,
+      "identical corpus plan re-ran the SA build")
+    assert(again == first)
+    // different params miss the cache (and count a build)
+    SuffixRepeats.repeatedSpans(frame, 3, parts = 4).collect()
+    assert(SuffixRepeats.buildRunCount.get() == before + 1)
+  }
+
   test("empty and single-token docs are handled") {
     val got = run(Seq(1L -> Seq.empty[String], 2L -> Seq("only"),
       3L -> Seq("only")), minLen = 1)
