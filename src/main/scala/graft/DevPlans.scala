@@ -56,7 +56,8 @@ object DevPlans {
       "q138_unigram_viterbi" -> "unigram-LM tokenizer: the plan is ONE scan + the native Viterbi expression (zero exchanges at apply time — the inventory rides into codegen as a reference object via the fit-once cache); the dumped plan is the ONLINE path, proving training jobs don't re-run per execution",
       "q139_blocklist_scan" -> "Aho-Corasick blocklist: one scan + the compiled automaton as a codegen reference object — O(n + matches) per doc independent of pattern count, zero exchanges; the quadratic per-pattern alternative (|patterns| regex passes) never appears in any plan",
       "q141_quality_auc" -> "exact AUC: groupBy(6dp score) collapses the corpus to a VALUE-RANGE-bounded distinct-score table before the cumulative window (so the one unpartitioned window is over <=1e6+1 rows regardless of corpus size); all rank math is integer 2-midrank — the dumped plan shows partial aggregation below the score exchange and a 1-row final total",
-      "q142_calibration" -> "calibration table: integer decile bins in the scan projection, ONE partial-aggregated groupBy to <=10 rows — reliability of a 100 TB classifier costs one scan and a 10-row exchange")
+      "q142_calibration" -> "calibration table: integer decile bins in the scan projection, ONE partial-aggregated groupBy to <=10 rows — reliability of a 100 TB classifier costs one scan and a 10-row exchange",
+      "q143_corpus_rollup" -> "corpus report: ROLLUP's Expand replicates rows per grouping set BEFORE the partial aggregate — all three grains from one scan, exchange carries |groups| rows per grain, never the corpus")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by graft.DevPlans)\n\n")
     sb.append("Representative `.explain(\"formatted\")` output at sf0.01, AQE off\n")

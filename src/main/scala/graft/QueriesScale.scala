@@ -3075,6 +3075,24 @@ object QueriesScale {
           col("obs_rate"),
           pround(abs(col("mean_score") - col("obs_rate")), 6)
             .as("abs_gap"))
+    },
+
+    // Corpus accounting report — the dashboard every curation run
+    // ends with: doc/token/char totals at (lang, source), per-lang,
+    // and grand-total grain in ONE pass via ROLLUP (Catalyst's Expand
+    // replicates each row once per grouping set BEFORE the partial
+    // aggregate, so the exchange carries |groups| rows per grain, not
+    // the corpus — one scan, counter-sized shuffle at any SF).
+    "q143_corpus_rollup" -> q { (spark, dir) =>
+      docs(spark, dir)
+        .select(col("lang"), col("source"),
+          size(TextAnalysis.tokens(col("text"))).cast("long")
+            .as("ntok"),
+          length(col("text")).cast("long").as("nchr"))
+        .rollup(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ntok")).as("total_tokens"),
+          sum(col("nchr")).as("total_chars"))
     }
   )
 
@@ -6594,6 +6612,21 @@ object QueriesScale {
          |SELECT bin, CAST(n AS BIGINT) AS n,
          |       CAST(n_pos AS BIGINT) AS n_pos, mean_score, obs_rate,
          |       round(abs(mean_score - obs_rate), 6) AS abs_gap
-         |FROM b""".stripMargin
+         |FROM b""".stripMargin,
+
+    // q143: DuckDB's ROLLUP over the identical token counts — lang is
+    // never null in the data, so the subtotal rows' nulls are
+    // unambiguous grain markers on both engines.
+    "q143_corpus_rollup" ->
+      """WITH t AS (
+        |  SELECT lang, source,
+        |         CAST(len(list_filter(regexp_split_to_array(text,
+        |           '\s+'), x -> x <> '')) AS BIGINT) AS ntok,
+        |         CAST(length(text) AS BIGINT) AS nchr
+        |  FROM documents)
+        |SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(ntok) AS BIGINT) AS total_tokens,
+        |       CAST(sum(nchr) AS BIGINT) AS total_chars
+        |FROM t GROUP BY ROLLUP (lang, source)""".stripMargin
   )
 }
