@@ -49,7 +49,7 @@ object DevPlans {
       "q126_incremental_neardup" -> "incremental near-dup gate: new batch and history each collapse to distinct signatures, band equi-join (never new×history pairs), per-new-doc best match via the bounded-heap top-1 aggregate — partial heaps below the exchange, no WindowExec",
       "q131_bpe_vocab_apply" -> "vocab-scale BPE apply: greedy merge-priority segmentation runs as ONE native expression inside the scan projection (the 1,100-entry merge-rank map rides into codegen as a reference object; per-word cost is hash lookups, independent of |merges|) — zero exchanges, zero HOFs; a 32k-merge vocabulary swaps in at the identical plan",
       "q132_redact_adversarial" -> "adversarial redact fuzz: 12 edge-case templates constructed and scrubbed inside one codegen'd projection (posexplode + the single-pass byte scanners) — same zero-exchange shape as q92, but every \\b/backtracking decision lands on an RE2-divergence-prone fixture the DuckDB oracle re-runs through real regexp machinery",
-      "q134_suffix_repeats" -> "suffix-array repeats: prefix-octupling rounds are range-partitioned sorts + partition-local ordinals + per-partition-count offsets (dense rank with no collect and no single-partition stage); adjacency LCP is ONE zip_with pass joining each pair's two token arrays; span merge is a doc-partitioned window — nothing quadratic, nothing corpus-sized at the driver",
+      "q134_suffix_repeats" -> "suffix-array repeats: the dumped plan is the POST-BUILD span table — a bare scan over the fit-once checkpoint (q50's lineage-truncation signature; the SA is an offline index, built once per corpus). The build itself: prefix-octupling rounds as range-partitioned sorts + partition-local ordinals + per-partition-count offsets (dense rank, no collect, no single-partition stage); adjacency LCP via ONE zip_with pass; span merge a doc-partitioned window — nothing quadratic, nothing corpus-sized at the driver",
       "q135_decontaminate" -> "benchmark decontamination: both sides explode 8-gram md5s in-scan (gram TEXT never leaves the scan); the benchmark's distinct-gram set BROADCASTS into a left-semi probe of the streaming training side — the only exchange is the per-doc hit rollup; no gram-keyed corpus shuffle anywhere",
       "q136_ngram_perplexity" -> "bigram-LM perplexity: ONE bigram explode behind the repartition(w1,w2) barrier — the model aggregate and the scoring join are ReusedExchange consumers; V and the tercile total ride 1-row broadcasts; the tercile cut is the q100 two-level integer-unit rank (bucketed row_number + a value-range-row offset table), no corpus-wide sort and no float percentile boundary",
       "q137_dsir_weights" -> "DSIR importance weights: ONE hashed-bigram explode behind the repartition(bucket) barrier (md5-uniform buckets — skew-proof); target/raw distributions are 4096-row aggregates on that exchange; the log-ratio table BROADCASTS into the score join; selection = the same two-level integer-unit rank, desc via negated units",
