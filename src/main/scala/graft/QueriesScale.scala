@@ -3093,6 +3093,29 @@ object QueriesScale {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("ntok")).as("total_tokens"),
           sum(col("nchr")).as("total_chars"))
+    },
+
+    // Deterministic fixed-k-per-stratum sample (eval/holdout carve-
+    // outs: EXACTLY k docs per language, stable under repartitioning,
+    // re-runs, and engine changes): the md5 coin (q60/q120's portable
+    // uniform) ranked per stratum by the bounded-heap top-k aggregate
+    // — per-group state ≤ k, partial heaps map-side below the
+    // exchange, no WindowExec; the naive per-stratum row_number sorts
+    // each stratum's entire corpus slice. Ties (coin collisions at
+    // 2^-32 granularity — real at billions of docs) are pinned by
+    // doc_id in BOTH the heap ordering and the oracle's window.
+    "q144_stratified_sample" -> q { (spark, dir) =>
+      import graft.functions.TopKAggregate
+      import graft.sampling.Sampling
+      docs(spark, dir)
+        .select(col("lang"), col("doc_id"),
+          Sampling.hashFraction(col("doc_id"), "strat1").as("coin"))
+        .groupBy(col("lang"))
+        .agg(TopKAggregate.topK(-col("coin"), col("doc_id"), 20)
+          .as("tk"))
+        .select(col("lang"), posexplode(col("tk")).as(Seq("pos", "s")))
+        .select(col("lang"), (col("pos") + 1).cast("int").as("rank"),
+          col("s.id").as("doc_id"), (-col("s.score")).as("coin"))
     }
   )
 
@@ -6627,6 +6650,23 @@ object QueriesScale {
         |SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(sum(ntok) AS BIGINT) AS total_tokens,
         |       CAST(sum(nchr) AS BIGINT) AS total_chars
-        |FROM t GROUP BY ROLLUP (lang, source)""".stripMargin
+        |FROM t GROUP BY ROLLUP (lang, source)""".stripMargin,
+
+    // q144: identical md5 coin (exact 32-bit/2^32 doubles — no
+    // rounding needed) ranked by the naive per-stratum window the
+    // heap aggregate replaces; (coin ASC, doc_id ASC) is exactly the
+    // heap's (score DESC, id ASC) under score = -coin.
+    "q144_stratified_sample" ->
+      """WITH s AS (
+        |  SELECT lang, doc_id,
+        |         CAST(('0x' || substr(md5('strat1'
+        |             || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |           / 4294967296.0 AS coin
+        |  FROM documents)
+        |SELECT lang, CAST(row_number() OVER w AS INT) AS rank,
+        |       doc_id, coin
+        |FROM s
+        |WINDOW w AS (PARTITION BY lang ORDER BY coin ASC, doc_id ASC)
+        |QUALIFY row_number() OVER w <= 20""".stripMargin
   )
 }
