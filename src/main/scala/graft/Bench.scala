@@ -92,11 +92,18 @@ object Bench {
     // replacement budget and report their true spread — reruns are
     // counted in the spread line so a reader sees how often the
     // detector fired.
+    // Every dropped sample is preserved in the artifact (r7 ADVICE
+    // item 4): the detector edits the distribution it reports, so the
+    // raw rejected walls ship alongside n_stall_rerun in the spread
+    // line — a reader can reconstruct the unedited distribution.
     var nStallRerun = 0
+    val rejected = scala.collection.mutable
+      .Map.empty[String, List[Double]].withDefaultValue(Nil)
     names.foreach { name =>
       var xs = samples(name)
       var attempts = 0
       while (xs.size >= 2 && xs.max - xs.min > 3.0 && attempts < 3) {
+        rejected(name) = xs.max :: rejected(name)
         xs = xs.sorted.init
         val t0 = System.nanoTime()
         val ok = try { run(name, sfDir); true } catch {
@@ -140,7 +147,10 @@ object Bench {
     val total = med.values.sum
     val maxSpread = if (spread.isEmpty) 0.0 else spread.values.max
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val spreadLine = s"""{"metric":"spread","unit":"sec","stat":"max_min_of_$rounds","queries":${jmap(spread)},"max_spread_sec":${r4(maxSpread)},"n_stall_rerun":$nStallRerun}"""
+    val rejectedJson = names.flatMap(n => rejected.get(n).map(vs =>
+      "\"" + n + "\":" + vs.reverse.map(r4).mkString("[", ",", "]")))
+      .mkString("{", ",", "}")
+    val spreadLine = s"""{"metric":"spread","unit":"sec","stat":"max_min_of_$rounds","queries":${jmap(spread)},"max_spread_sec":${r4(maxSpread)},"n_stall_rerun":$nStallRerun,"rejected":$rejectedJson}"""
     val medianLine = s"""{"metric":"total","value":${r4(total)},"unit":"sec","stat":"median_of_$rounds","queries":${jmap(med)},"total_sec":${r4(total)},"failed":$failedJson,"sf":"$sfDir"}"""
     val headline = s"""{"metric":"total","value":${r4(total)},"unit":"sec","stat":"median_of_$rounds","n_queries":${med.size},"max_spread_sec":${r4(maxSpread)},"failed":$failedJson,"sf":"$sfDir"}"""
     // Belt-and-braces: the full record (medians + spreads) also goes

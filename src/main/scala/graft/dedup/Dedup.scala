@@ -410,8 +410,12 @@ object Dedup {
                         checkpointDir: Option[String] = None): DataFrame = {
     checkpointDir.foreach(
       pairs.sparkSession.sparkContext.setCheckpointDir)
+    // explicit checkpointDir wins; otherwise Checkpoints.materialize
+    // honors the session-wide graft.checkpoint.dir conf (reliable
+    // mode on real clusters) and falls back to localCheckpoint
     def barrier(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+      if (checkpointDir.isDefined) df.checkpoint()
+      else graft.model.Checkpoints.materialize(df)
     // no distinct(): the two union branches are disjoint (u<v vs u>v
     // from the pair convention), and even a caller passing duplicated
     // pairs cannot change a MIN aggregation — a distinct here would
@@ -422,6 +426,7 @@ object Dedup {
     var labels = e.select(col("u")).distinct()
       .withColumn("label", col("u"))
     var converged = false
+    var prevRound: DataFrame = null
     var i = 0
     while (!converged && i < maxIter) {
       val neighborMin = e
@@ -447,6 +452,14 @@ object Dedup {
               .as("label2"))
       }
       val updated = barrier(jumped)
+      // round k materialized — round k-1's blocks are unreachable
+      // from any live plan; free them now (r7 ADVICE item 2) instead
+      // of pinning every round for the JVM lifetime. NB: release the
+      // previous ROUND barrier only, never `labels` itself — round
+      // 0's labels is a lazy projection of the edge checkpoint `e`,
+      // which every later round still reads.
+      if (prevRound != null) graft.model.Checkpoints.release(prevRound)
+      prevRound = updated
       converged = updated.filter(col("label2") < col("label")).isEmpty
       labels = updated.select(col("u"), col("label2").as("label"))
       i += 1

@@ -1,8 +1,12 @@
 package graft.dedup
 
+import scala.collection.mutable.ListBuffer
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.model.Checkpoints
 
 /** EXACT-substring repeat detection via a distributed SUFFIX ARRAY
   * (r6 verdict item 4): every maximal repeated token span of length
@@ -45,9 +49,11 @@ import org.apache.spark.sql.functions._
   *     the partition layout), then partition-local `row_number` plus
   *     per-partition-count offsets (a window over ONE ROW PER
   *     PARTITION — metadata). The per-round checkpoints keep lineage
-  *     round-independent (duplicateClusters' barrier discipline; a
-  *     real cluster passes a reliable checkpoint dir as q50
-  *     documents).
+  *     round-independent (duplicateClusters' barrier discipline);
+  *     set `graft.checkpoint.dir` to make every truncation a
+  *     RELIABLE checkpoint that survives executor loss
+  *     ([[graft.model.Checkpoints]]), and superseded rounds are
+  *     released eagerly rather than left to ContextCleaner GC.
   *
   * ℓ(p) — the longest repeat starting at p — is the max LCP of
   * suffix p with ANY other suffix, which equals the max of its LCPs
@@ -83,14 +89,15 @@ object SuffixRepeats {
     * (k1..k<width>, rank) with rank dense in [0, #distinct).
     */
   private def denseRankTuples(tuples: DataFrame, parts: Int,
-                              width: Int): DataFrame = {
+                              width: Int,
+                              scratch: ListBuffer[DataFrame]): DataFrame = {
     val ks = (1 to width).map(i => col(s"k$i"))
-    val distinctCk = tuples.select(ks: _*)
+    val ranked = Checkpoints.materialize(tuples.select(ks: _*)
       .distinct()
       .repartitionByRange(parts, ks: _*)
-      .sortWithinPartitions(ks: _*)
-      .localCheckpoint(true)
-      .withColumn("pid", spark_partition_id())
+      .sortWithinPartitions(ks: _*))
+    scratch += ranked
+    val distinctCk = ranked.withColumn("pid", spark_partition_id())
     val offs = distinctCk.groupBy(col("pid"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("off", coalesce(sum(col("cnt")).over(
@@ -128,28 +135,38 @@ object SuffixRepeats {
     */
   def repeatedSpans(docsTok: DataFrame, minLen: Int,
                     parts: Int = 8): DataFrame = {
-    val key = "sa:" +
-      docsTok.queryExecution.analyzed.canonicalized.semanticHash() +
-      s":$minLen:$parts"
+    val key = "sa:" + graft.model.PlanKey.of(docsTok) + s":$minLen:$parts"
     val hit = indexCache.get(key)
     if (hit != null && !hit.sparkSession.sparkContext.isStopped) hit
     else {
-      val built = buildRepeatedSpans(docsTok, minLen, parts)
-        .localCheckpoint(true)
+      // evict dead-session entries on insert (r7 ADVICE item 2) so a
+      // long-lived JVM cycling SparkSessions doesn't pin stale frames
+      indexCache.forEach { (k, v) =>
+        if (v.sparkSession.sparkContext.isStopped) indexCache.remove(k)
+      }
+      val scratch = ListBuffer.empty[DataFrame]
+      val built = Checkpoints.materialize(
+        buildRepeatedSpans(docsTok, minLen, parts, scratch))
+      // the span table is materialized — every per-round checkpoint
+      // behind it is now garbage; release instead of waiting on
+      // ContextCleaner GC (r7 ADVICE item 2)
+      scratch.foreach(Checkpoints.release)
       indexCache.put(key, built)
       built
     }
   }
 
   private def buildRepeatedSpans(docsTok: DataFrame, minLen: Int,
-                                 parts: Int): DataFrame = {
+                                 parts: Int,
+                                 scratch: ListBuffer[DataFrame])
+      : DataFrame = {
     require(minLen >= 1, s"minLen=$minLen must be >= 1")
     buildRunCount.incrementAndGet()
 
-    val dt = docsTok
+    val dt = Checkpoints.materialize(docsTok
       .select(col("doc_id").cast("long").as("d"), col("tokens").as("tk"))
-      .repartition(col("d"))
-      .localCheckpoint(true)
+      .repartition(col("d")))
+    scratch += dt
     val maxLen = dt.agg(coalesce(max(size(col("tk"))), lit(0)))
       .head().getInt(0)
 
@@ -172,26 +189,31 @@ object SuffixRepeats {
             (1 to B).map(k =>
               xxhash64(element_at(col("tk"), (i + (k - 1)).cast("int")))
                 .as(s"k$k"))): _*))).as("g"))
-      .select(col("d") +: col("dl") +: col("g.p").as("p") +:
+      // positions are LONG from here on: the octupling shift k·w
+      // reaches 7·w with w up to max_doc_len, which overflows Int for
+      // documents past ~300M tokens (r7 ADVICE item 6); long position
+      // arithmetic removes the bound entirely (array sizes cap a
+      // document at Int.MaxValue tokens, far below Long range)
+      .select(col("d") +: col("dl") +: col("g.p").cast("long").as("p") +:
         (1 to B).map(k => col(s"g.k$k")): _*)
     // NB no repartition before the checkpoints: the next round
     // joins on (d, p), so any pre-partitioning by d alone would be
     // an exchange bought for nothing
-    var cur = gB
-      .join(denseRankTuples(gB, parts, B),
+    var cur = Checkpoints.materialize(gB
+      .join(denseRankTuples(gB, parts, B, scratch),
         (1 to B).map(k => s"k$k"))
-      .select(col("d"), col("p"), col("dl"), col("rank"))
-      .localCheckpoint(true)
+      .select(col("d"), col("p"), col("dl"), col("rank")))
+    scratch += cur
     // octupling rounds; the FINAL round appends a (doc, pos) tiebreak
     // coordinate, so its dense rank IS the suffix-array position —
     // no separate ordering pass (equal full suffixes only ever
     // needed an arbitrary-but-deterministic adjacency order)
-    var w = B
+    var w: Long = B
     var tied = false
     while (!tied) {
-      val isLast = w.toLong * 8 >= math.max(maxLen, 1).toLong
+      val isLast = w * 8 >= math.max(maxLen, 1).toLong
       def shifted(k: Int, as: String) = cur.select(col("d"),
-        (col("p") - k * w).as("p"), col("rank").as(as))
+        (col("p") - lit(k.toLong * w)).as("p"), col("rank").as(as))
       val paired0 = (1 to 7).foldLeft(
         cur.select(col("d"), col("p"), col("dl"),
           col("rank").as("k1"))) { (acc, k) =>
@@ -204,11 +226,15 @@ object SuffixRepeats {
         else paired0.withColumn("k9",
           col("d") * (maxLen.toLong + 1L) + col("p"))
       val width = if (isLast) 9 else 8
-      cur = paired
-        .join(denseRankTuples(paired, parts, width),
+      val prev = cur
+      cur = Checkpoints.materialize(paired
+        .join(denseRankTuples(paired, parts, width, scratch),
           (1 to width).map(k => s"k$k"))
-        .select(col("d"), col("p"), col("dl"), col("rank"))
-        .localCheckpoint(true)
+        .select(col("d"), col("p"), col("dl"), col("rank")))
+      scratch += cur
+      // the new round is materialized — the previous round's blocks
+      // are no longer reachable from any live plan; free them now
+      Checkpoints.release(prev)
       tied = isLast
       w *= 8
     }
@@ -224,8 +250,12 @@ object SuffixRepeats {
         Seq("idx"))
       .join(dt.select(col("d").as("dA"), col("tk").as("tkA")), Seq("dA"))
       .join(dt.select(col("d").as("dB"), col("tk").as("tkB")), Seq("dB"))
-    val sufA = slice(col("tkA"), col("pA"), lit(math.max(maxLen, 1)))
-    val sufB = slice(col("tkB"), col("pB"), lit(math.max(maxLen, 1)))
+    // slice starts are IntegerType; in-document positions always fit
+    // (array sizes are Int) even though shift arithmetic runs long
+    val sufA = slice(col("tkA"), col("pA").cast("int"),
+      lit(math.max(maxLen, 1)))
+    val sufB = slice(col("tkB"), col("pB").cast("int"),
+      lit(math.max(maxLen, 1)))
     // zip_with pads the shorter side with null; null <=> token is
     // false, so running off one suffix's end registers as a mismatch
     val firstMiss = array_position(

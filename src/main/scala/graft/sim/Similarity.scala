@@ -247,8 +247,11 @@ object Similarity {
   private[graft] val fitRunCount =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
-  private[graft] def corpusPlanKey(corpus: DataFrame): Int =
-    corpus.queryExecution.analyzed.canonicalized.semanticHash()
+  /** 128-bit plan digest + semanticHash (r7 ADVICE item 1 — see
+    * [[graft.model.PlanKey]]).
+    */
+  private[graft] def corpusPlanKey(corpus: DataFrame): String =
+    graft.model.PlanKey.of(corpus)
 
   /** The query-facing trained quantizer: [[kmeansInit]] +
     * [[fitIvfKmeans]], memoized per (corpus plan, params). First call

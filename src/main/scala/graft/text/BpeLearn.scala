@@ -134,10 +134,12 @@ object BpeLearn {
           val row = top.head
           val (a, b) = (row.getString(0), row.getString(1))
           out += Merge(r, a, b, a + b, row.getLong(2))
-          val next = vocab
-            .withColumn("syms", applyMerge(col("syms"), a, b))
-            .localCheckpoint(true)
-          if (vocab ne vocab0) vocab.unpersist(false)
+          val next = graft.model.Checkpoints.materialize(vocab
+            .withColumn("syms", applyMerge(col("syms"), a, b)))
+          // release the superseded round's checkpoint blocks (a plain
+          // Dataset.unpersist goes through the CacheManager and never
+          // touches checkpoint-backed RDD storage — r7 ADVICE item 2)
+          if (vocab ne vocab0) graft.model.Checkpoints.release(vocab)
           vocab = next
           r += 1
         }
@@ -145,7 +147,7 @@ object BpeLearn {
       out.result()
     } finally {
       vocab0.unpersist(false)
-      if (vocab ne vocab0) vocab.unpersist(false)
+      if (vocab ne vocab0) graft.model.Checkpoints.release(vocab)
     }
   }
 
@@ -211,18 +213,17 @@ object BpeLearn {
             out += Merge(rank, a, b, a + b, cnt)
             rank += 1
           }
-          val next = vocab
+          val next = graft.model.Checkpoints.materialize(vocab
             .withColumn("syms", applyMergeBatch(col("syms"),
-              batch.map { case (a, b, _) => (a, b) }))
-            .localCheckpoint(true)
-          if (vocab ne vocab0) vocab.unpersist(false)
+              batch.map { case (a, b, _) => (a, b) })))
+          if (vocab ne vocab0) graft.model.Checkpoints.release(vocab)
           vocab = next
         }
       }
       (out.result(), rounds)
     } finally {
       vocab0.unpersist(false)
-      if (vocab ne vocab0) vocab.unpersist(false)
+      if (vocab ne vocab0) graft.model.Checkpoints.release(vocab)
     }
   }
 }

@@ -70,8 +70,7 @@ object MultiPattern {
 
   def cachedPatterns(docs: DataFrame, textCol: String = "text",
                      k: Int = 48, minLen: Int = 4): Seq[String] = {
-    val key = "ac:" +
-      docs.queryExecution.analyzed.canonicalized.semanticHash() +
+    val key = "ac:" + graft.model.PlanKey.of(docs) +
       s":$textCol:$k:$minLen"
     fitOnceCache.computeIfAbsent(key,
       _ => fitPatterns(docs, textCol, k, minLen))

@@ -110,8 +110,7 @@ object UnigramLm {
     */
   def cachedInventory(docs: DataFrame,
                       textCol: String = "text"): Seq[(String, Long)] = {
-    val key = "uni:" +
-      docs.queryExecution.analyzed.canonicalized.semanticHash() +
+    val key = "uni:" + graft.model.PlanKey.of(docs) +
       s":$textCol:$MaxWordLen:$MaxPieceLen:$TopMultiPieces"
     fitOnceCache.computeIfAbsent(key, _ => fitInventory(docs, textCol))
   }

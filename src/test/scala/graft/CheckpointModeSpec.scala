@@ -1,0 +1,82 @@
+package graft
+
+import graft.dedup.{Dedup, SuffixRepeats}
+import graft.model.Checkpoints
+
+/** Reliable-checkpoint mode (r7 verdict item 3): with
+  * `graft.checkpoint.dir` set, every fixpoint/index lineage
+  * truncation becomes a reliable `df.checkpoint` against that
+  * directory — executor-loss-safe on a real cluster — and results
+  * are BIT-IDENTICAL to the default localCheckpoint mode.
+  */
+class CheckpointModeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ckDir(): java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft-ck")
+
+  private def filesUnder(p: java.nio.file.Path): Long = {
+    val s = java.nio.file.Files.walk(p)
+    try s.filter(java.nio.file.Files.isRegularFile(_)).count()
+    finally s.close()
+  }
+
+  private def withReliable[A](dir: String)(body: => A): A = {
+    spark.conf.set(Checkpoints.DirConf, dir)
+    try body finally spark.conf.unset(Checkpoints.DirConf)
+  }
+
+  test("suffix-array spans are bit-identical in reliable mode") {
+    val rnd = new scala.util.Random(19)
+    val vocab = Vector("x", "y", "z", "w")
+    val docs = (0L until 10L).map { d =>
+      d -> Seq.fill(8 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size)))
+    }
+    val frame = docs.toDF("doc_id", "tokens")
+    // different `parts` values key separate fit-once entries, so the
+    // second call really rebuilds — under the reliable conf
+    val local = SuffixRepeats.repeatedSpans(frame, 3, parts = 4)
+      .collect().map(_.toSeq).toSet
+    val dir = ckDir()
+    val reliable = withReliable(dir.toString) {
+      val before = SuffixRepeats.buildRunCount.get()
+      val r = SuffixRepeats.repeatedSpans(frame, 3, parts = 5)
+        .collect().map(_.toSeq).toSet
+      assert(SuffixRepeats.buildRunCount.get() == before + 1,
+        "reliable-mode call must have actually rebuilt")
+      r
+    }
+    assert(reliable == local)
+    assert(filesUnder(dir) > 0,
+      "reliable mode must have written checkpoint files")
+  }
+
+  test("CC label propagation is bit-identical in reliable mode") {
+    // two components, one via a chain (exercises several rounds)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L)).toDF("id_a", "id_b")
+    def run() = Dedup.duplicateClusters(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val local = run()
+    val dir = ckDir()
+    val reliable = withReliable(dir.toString) { run() }
+    assert(reliable == local)
+    assert(local == Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (5L, 1L), (10L, 10L), (11L, 10L), (12L, 10L)))
+    assert(filesUnder(dir) > 0,
+      "reliable mode must have written checkpoint files")
+  }
+
+  test("BPE learning is bit-identical in reliable mode") {
+    val docs = Seq((1L, "aa ab aa ab aa cd cd"),
+      (2L, "aa ab cd ee ee ee")).toDF("doc_id", "text")
+    val local = graft.text.BpeLearn.learnMerges(docs, nMerges = 4)
+    val dir = ckDir()
+    val reliable = withReliable(dir.toString) {
+      graft.text.BpeLearn.learnMerges(docs, nMerges = 4)
+    }
+    assert(reliable == local)
+    assert(filesUnder(dir) > 0,
+      "reliable mode must have written checkpoint files")
+  }
+}
