@@ -45,7 +45,7 @@ object DevPlans {
       "q118_audio_fingerprint" -> "audio perceptual near-dup: RIFF/WAVE decode + 64-bit energy-delta fingerprint inside the mapPartitions codec seam (payload bytes never shuffle), then the q117 banded equi-join — pair candidates from 16-bit band equality, never the all-pairs square",
       "q121_hard_negatives" -> "hard-negative mining: query sample BROADCAST against one corpus scan (label-mismatch predicate rides the broadcast nested loop), cosine projection codegen'd, then the bounded-heap aggregate — partial heaps map-side, <=k rows per (partition, query) shuffled, no WindowExec",
       "q123_cdc_chunks" -> "content-defined chunking: O(n) rolling-hash cuts inside the scan projection; the dedup exchanges carry (doc_id, chunk md5) pairs keyed on the hash — chunk text never shuffles past the md5",
-      "q125_dup_substring_coverage" -> "repeated-substring coverage: positional 32-gram md5s explode from the scan, dup hashes from one keyed aggregate, span merge = per-doc window over marked positions (sum-of-min identity) — no interval lists, no self-join on text",
+      "q125_dup_substring_coverage" -> "repeated-substring coverage (r8): a PROJECTION of q134's fit-once suffix-array span table — the dumped plan is the warm path: span-table checkpoint scan LEFT-joined to per-doc token counts, no gram explode, no text in any exchange; the SA build is paid once per corpus and shared with q134 (plan-identical saCorpus key)",
       "q126_incremental_neardup" -> "incremental near-dup gate: new batch and history each collapse to distinct signatures, band equi-join (never new×history pairs), per-new-doc best match via the bounded-heap top-1 aggregate — partial heaps below the exchange, no WindowExec",
       "q131_bpe_vocab_apply" -> "vocab-scale BPE apply: greedy merge-priority segmentation runs as ONE native expression inside the scan projection (the 1,100-entry merge-rank map rides into codegen as a reference object; per-word cost is hash lookups, independent of |merges|) — zero exchanges, zero HOFs; a 32k-merge vocabulary swaps in at the identical plan",
       "q132_redact_adversarial" -> "adversarial redact fuzz: 12 edge-case templates constructed and scrubbed inside one codegen'd projection (posexplode + the single-pass byte scanners) — same zero-exchange shape as q92, but every \\b/backtracking decision lands on an RE2-divergence-prone fixture the DuckDB oracle re-runs through real regexp machinery",
@@ -57,7 +57,10 @@ object DevPlans {
       "q139_blocklist_scan" -> "Aho-Corasick blocklist: one scan + the compiled automaton as a codegen reference object — O(n + matches) per doc independent of pattern count, zero exchanges; the quadratic per-pattern alternative (|patterns| regex passes) never appears in any plan",
       "q141_quality_auc" -> "exact AUC: groupBy(6dp score) collapses the corpus to a VALUE-RANGE-bounded distinct-score table before the cumulative window (so the one unpartitioned window is over <=1e6+1 rows regardless of corpus size); all rank math is integer 2-midrank — the dumped plan shows partial aggregation below the score exchange and a 1-row final total",
       "q142_calibration" -> "calibration table: integer decile bins in the scan projection, ONE partial-aggregated groupBy to <=10 rows — reliability of a 100 TB classifier costs one scan and a 10-row exchange",
-      "q143_corpus_rollup" -> "corpus report: ROLLUP's Expand replicates rows per grouping set BEFORE the partial aggregate — all three grains from one scan, exchange carries |groups| rows per grain, never the corpus")
+      "q143_corpus_rollup" -> "corpus report: ROLLUP's Expand replicates rows per grouping set BEFORE the partial aggregate — all three grains from one scan, exchange carries |groups| rows per grain, never the corpus",
+      "q144_stratified_sample" -> "fixed-k-per-stratum sampling: deterministic md5 priority in the scan projection, then the q109 bounded-heap aggregate per stratum — partial_topkbyscore absorbs each partition BEFORE the exchange (≤k rows per (partition, stratum) as serialized heaps), no WindowExec, no global sort",
+      "q145_jpeg_phash" -> "JPEG perceptual near-dup: baseline-JFIF encode + full decode (Huffman, dequant, IDCT, 4:2:0 upsample, YCbCr->RGB) + 72x64->9x8 resample + dHash ALL inside the mapPartitions codec seam — payload bytes never shuffle, only 16-char hashes reach the q117 banded equi-join; decode cost distributes with the rows, the 100 TB multimodal shape",
+      "q146_dedup_clean" -> "exact-substring span removal (Lee et al.'s actual dedup step): the fit-once SA span LIST aggregates to a per-doc sliver that BROADCASTS into the corpus scan; the cut is an index-filter HOF in the projection — one corpus scan, zero corpus shuffles, and the digest pins the exact surviving token sequence")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by graft.DevPlans)\n\n")
     sb.append("Representative `.explain(\"formatted\")` output at sf0.01, AQE off\n")

@@ -128,13 +128,17 @@ object SuffixRepeats {
   private[graft] val buildRunCount =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
-  /** Per-doc maximal repeated spans of ≥ `minLen` tokens over a
-    * (doc_id, tokens: array<string>) frame. One row per document
-    * containing at least one qualifying span:
-    * (doc_id, n_spans, covered_tokens, max_repeat_len).
+  /** The cached SA index primitive: the merged SPAN LIST — one row
+    * per maximal repeated span of ≥ `minLen` tokens,
+    * (doc_id, s, e, span_max_ell) with [s, e) 1-based token
+    * positions and span_max_ell the longest single repeat starting
+    * inside the span. Everything downstream is a projection of this
+    * sliver: the q134 per-doc aggregate ([[repeatedSpans]]), q125's
+    * coverage fraction, and q146's span REMOVAL (the actual
+    * "deduplicate the training set" transform of Lee et al.).
     */
-  def repeatedSpans(docsTok: DataFrame, minLen: Int,
-                    parts: Int = 8): DataFrame = {
+  def repeatedSpanList(docsTok: DataFrame, minLen: Int,
+                       parts: Int = 8): DataFrame = {
     val key = "sa:" + graft.model.PlanKey.of(docsTok) + s":$minLen:$parts"
     val hit = indexCache.get(key)
     if (hit != null && !hit.sparkSession.sparkContext.isStopped) hit
@@ -146,7 +150,7 @@ object SuffixRepeats {
       }
       val scratch = ListBuffer.empty[DataFrame]
       val built = Checkpoints.materialize(
-        buildRepeatedSpans(docsTok, minLen, parts, scratch))
+        buildSpanList(docsTok, minLen, parts, scratch))
       // the span table is materialized — every per-round checkpoint
       // behind it is now garbage; release instead of waiting on
       // ContextCleaner GC (r7 ADVICE item 2)
@@ -156,9 +160,25 @@ object SuffixRepeats {
     }
   }
 
-  private def buildRepeatedSpans(docsTok: DataFrame, minLen: Int,
-                                 parts: Int,
-                                 scratch: ListBuffer[DataFrame])
+  /** Per-doc maximal repeated spans of ≥ `minLen` tokens over a
+    * (doc_id, tokens: array<string>) frame. One row per document
+    * containing at least one qualifying span:
+    * (doc_id, n_spans, covered_tokens, max_repeat_len). A projection
+    * of the fit-once cached [[repeatedSpanList]] — the per-doc max of
+    * per-span maxima IS the per-doc max ℓ, since every qualifying
+    * starter lies in exactly one merged span.
+    */
+  def repeatedSpans(docsTok: DataFrame, minLen: Int,
+                    parts: Int = 8): DataFrame =
+    repeatedSpanList(docsTok, minLen, parts)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_spans"),
+        sum(col("e") - col("s")).cast("long").as("covered_tokens"),
+        max(col("span_max_ell")).cast("long").as("max_repeat_len"))
+
+  private def buildSpanList(docsTok: DataFrame, minLen: Int,
+                            parts: Int,
+                            scratch: ListBuffer[DataFrame])
       : DataFrame = {
     require(minLen >= 1, s"minLen=$minLen must be >= 1")
     buildRunCount.incrementAndGet()
@@ -284,15 +304,10 @@ object SuffixRepeats {
       .withColumn("__new",
         when(runMax.isNull || col("p") > runMax, 1).otherwise(0))
       .withColumn("__isl", sum(col("__new")).over(wD))
-    val spans = islands.groupBy(col("d"), col("__isl"))
-      .agg(min(col("p")).as("s"), max(col("e")).as("e"))
-    spans.groupBy(col("d"))
-      .agg(count(lit(1)).cast("long").as("n_spans"),
-        sum(col("e") - col("s")).cast("long").as("covered_tokens"))
-      .join(ell.groupBy(col("d"))
-        .agg(max(col("ell")).cast("long").as("max_repeat_len")),
-        Seq("d"))
-      .select(col("d").as("doc_id"), col("n_spans"),
-        col("covered_tokens"), col("max_repeat_len"))
+    islands.groupBy(col("d"), col("__isl"))
+      .agg(min(col("p")).as("s"), max(col("e")).as("e"),
+        max(col("ell")).cast("long").as("span_max_ell"))
+      .select(col("d").as("doc_id"), col("s").cast("long").as("s"),
+        col("e").cast("long").as("e"), col("span_max_ell"))
   }
 }

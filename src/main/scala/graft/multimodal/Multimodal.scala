@@ -283,11 +283,13 @@ object Multimodal {
     }
   }
 
-  /** Container sniff: PNG by signature, else PPM — every image
+  /** Container sniff: PNG / JPEG by signature, else PPM — every image
     * feature head goes through this one seam.
     */
   def decodeImage(bytes: Array[Byte]): Option[Ppm.Image] =
-    if (Png.hasSignature(bytes)) Png.decode(bytes) else Ppm.decode(bytes)
+    if (Png.hasSignature(bytes)) Png.decode(bytes)
+    else if (Jpeg.hasSignature(bytes)) Jpeg.decode(bytes)
+    else Ppm.decode(bytes)
 
   /** Little-endian RIFF byte plumbing shared by the WAVE and AVI
     * codecs (both are RIFF containers; one writer/reader pair keeps
@@ -1120,6 +1122,45 @@ object Multimodal {
           (if (k % 17 == v) (base + 40) % 256 else base).toByte
         }
         (id, "image", Png.encode(Ppm.Image(9, 8, px)), 9, 8, 0L, "png")
+      }
+      .toDF("asset_id", "media_type", "payload", "width", "height",
+        "duration_ms", "codec")
+  }
+
+  /** [[ppmAssetsNearDup]]'s near-dup structure behind a REAL baseline
+    * JFIF container (r7 verdict item 2 — the dominant crawler image
+    * format): the SAME 216-byte pixel formula collapses to its 72
+    * per-cell GRAY values ((b0+b1+b2)/3, exactly the oracle's `gr`
+    * CTE), and each gray becomes one constant 8×8 luma block of a
+    * 72×64 4:2:0 YCbCr JPEG ([[Jpeg.encodeGrayBlocks]] — Huffman,
+    * quantized DCT, restart markers). Constant blocks round-trip
+    * EXACTLY (see [[Jpeg]]'s exactness contract), and nearest-neighbor
+    * resampling back to 9×8 samples one pixel per block — so the q117
+    * oracle applies VERBATIM and the hash match isolates the full
+    * JFIF encode → decode → resample → dHash path.
+    */
+  def jpegAssetsNearDup(vectors: DataFrame,
+                        dupGroups: Int = 53): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    require(dupGroups > 0, s"dupGroups=$dupGroups must be > 0")
+    vectors.select(col("vec_id").cast("long")).as[Long]
+      .map { id =>
+        val isDup = id % 5 == 0
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val seed = if (isDup) (id % dupGroups) + 1
+                   else dupGroups + 1 + md5Uniform(md, id.toString, 8)
+        val v = if (isDup) ((id / dupGroups) % 4).toInt else 0
+        val blocks = Array.tabulate(14)(b => md.digest(
+          s"$seed:$b".getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        def px(k: Int): Int = {
+          val base = blocks(k / 16)(k % 16) & 0xff
+          if (k % 17 == v) (base + 40) % 256 else base
+        }
+        val grays = Array.tabulate(72)(k =>
+          (px(3 * k) + px(3 * k + 1) + px(3 * k + 2)) / 3)
+        (id, "image", Jpeg.encodeGrayBlocks(9, 8, grays), 72, 64, 0L,
+          "jpeg")
       }
       .toDF("asset_id", "media_type", "payload", "width", "height",
         "duration_ms", "codec")

@@ -55,4 +55,65 @@ class ArtifactsSpec extends SparkSpec {
     Artifacts.savePatterns(spark, p, pats)
     assert(Artifacts.loadPatterns(spark, p) == pats)
   }
+
+  test("BPE merges round-trip and drive the native apply identically") {
+    import graft.text.{BpeApply, BpeLearn}
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val merges = BpeLearn.learnMerges(d, nMerges = 8)
+    val p = tmp("merges")
+    Artifacts.saveMerges(spark, p, merges)
+    val back = Artifacts.loadMerges(spark, p)
+    assert(back == merges, "merge list must round-trip exactly")
+    // the handoff: segmentation under the LOADED merge table equals
+    // segmentation under the trained one (rank order is the model)
+    def seg(ms: Seq[BpeLearn.Merge]) = d
+      .withColumn("st", BpeApply.segmentStats(col("text"),
+        ms.map(m => (m.sym_a, m.sym_b))))
+      .select(col("doc_id"), col("st.n_pieces"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(seg(back).toSeq == seg(merges).toSeq)
+  }
+
+  test("PQ codebooks round-trip bit-for-bit and score with zero fits") {
+    import graft.sim.Pq
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cbs = Pq.trainedCodebooks(vecs, m = 4, k = 4, iters = 2)
+    val p = tmp("cb")
+    Artifacts.saveCodebooks(spark, p, cbs)
+    val back = Artifacts.loadCodebooks(spark, p)
+    assert(back == cbs.map(_.map(_.toSeq).toSeq).toSeq,
+      "codebooks must round-trip exactly (doubles are bit-stable)")
+    // scoring with the LOADED codebooks runs no fit
+    val before = Similarity.fitRunCount.get()
+    val scored = vecs
+      .withColumn("d", Pq.distances(col("embedding"), back))
+      .select(col("vec_id"), Pq.codes(col("d")).as("codes"))
+      .collect()
+    assert(Similarity.fitRunCount.get() == before,
+      "loading codebooks must not trigger training")
+    assert(scored.nonEmpty)
+  }
+
+  test("suffix-array span table persists as an offline index") {
+    import graft.dedup.SuffixRepeats
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c")
+    val docs = (0L until 12L).map { i =>
+      i -> Seq.fill(10 + rnd.nextInt(15))(vocab(rnd.nextInt(3)))
+    }.toDF("doc_id", "tokens")
+    val spans = SuffixRepeats.repeatedSpans(docs, minLen = 3, parts = 4)
+    val p = tmp("spans")
+    Artifacts.saveSpanTable(spans, p)
+    val back = Artifacts.loadSpanTable(spark, p)
+    assert(back.columns.toSeq == spans.columns.toSeq)
+    val a = spans.collect().map(_.toSeq).toSet
+    val b = back.collect().map(_.toSeq).toSet
+    assert(a == b, "span rows must round-trip exactly")
+    // consuming the loaded table is a plain scan — no SA rebuild
+    val builds = SuffixRepeats.buildRunCount.get()
+    val cov = back.agg(sum(col("covered_tokens"))).head().getLong(0)
+    assert(SuffixRepeats.buildRunCount.get() == builds)
+    assert(cov >= 0)
+  }
 }

@@ -53,4 +53,39 @@ class BpeLearnBatchedSpec extends SparkSpec {
     // ones, and greedy takes them in descending order per round)
     assert(merges.forall(_.pair_count > 0))
   }
+
+  test("vocabulary scale: 1,100 merges, rounds ~ merges/batch, flat walls") {
+    // r7 verdict item 5: the sf0.001 fixture's 24-token vocabulary
+    // caps the earlier demos at 32 merges — synthesize a corpus with
+    // 1,100 DISJOINT learnable pairs (two unique CJK-range chars per
+    // word, so no merge can interact with or create another) and
+    // train a production-scale vocabulary. Batching must deliver all
+    // 1,100 merges in ≤ 2·ceil(1100/64) driver rounds, and per-round
+    // wall must stay flat (the localCheckpoint-per-round discipline:
+    // round k's lineage never grows with k).
+    val nPairs = 1100
+    val batch = 64
+    val words = (0 until nPairs).map { i =>
+      "" + (0x4e00 + 2 * i).toChar + (0x4e00 + 2 * i + 1).toChar
+    }
+    val docs = words.grouped(50).map(_.mkString(" ")).toSeq.toDF("text")
+    val t0 = System.nanoTime()
+    val (merges, rounds) =
+      BpeLearn.learnMergesBatched(docs, nMerges = nPairs,
+        batchSize = batch)
+    val wallSec = (System.nanoTime() - t0) / 1e9
+    assert(merges.size == nPairs, s"expected $nPairs merges, got ${merges.size}")
+    assert(merges.map(_.merge_rank) == (1 to nPairs))
+    assert(merges.map(m => (m.sym_a, m.sym_b)).distinct.size == nPairs)
+    // every learned merge is one of the planted two-char words
+    val planted = words.map(w => (w.substring(0, 1), w.substring(1))).toSet
+    assert(merges.forall(m => planted((m.sym_a, m.sym_b))))
+    val maxRounds = 2 * ((nPairs + batch - 1) / batch)
+    assert(rounds <= maxRounds,
+      s"1,100 merges at batch $batch must take <= $maxRounds rounds, got $rounds")
+    // flat-wall smoke bound: ~18 rounds of vocab-sized work; minutes
+    // would indicate per-round lineage growth
+    assert(wallSec < 300.0,
+      f"1,100-merge training took $wallSec%.1f s - per-round cost is not flat")
+  }
 }

@@ -84,4 +84,45 @@ class FitCacheSpec extends SparkSpec {
     assert(Similarity.fitRunCount.get() == afterFirst,
       "q62/q36-again must reuse q36's trained centroids (zero fits)")
   }
+
+  test("corpus-count memo: second construction launches zero count jobs") {
+    // r7 verdict item 4: q129's shard count (and phashGroups' dup
+    // groups) derive from a memoized corpus count — the SECOND
+    // construction of a plan-identical frame must be a map hit
+    import graft.model.CorpusStats
+    val dir = "/root/testdata/sf0.001"
+    def construct(): Unit =
+      QueriesScale.queries("q129_epoch_shuffle")(spark, dir)
+    construct()
+    val afterFirst = CorpusStats.countRunCount.get()
+    construct()
+    construct()
+    assert(CorpusStats.countRunCount.get() == afterFirst,
+      "re-constructing q129 must not launch another count job")
+    // a different corpus plan is a distinct entry (a real count)
+    val other = spark.read
+      .parquet(s"$dir/documents.parquet").filter(col("doc_id") % 2 === 0)
+    val before = CorpusStats.countRunCount.get()
+    assert(CorpusStats.cachedCount(other) >= 0)
+    assert(CorpusStats.countRunCount.get() == before + 1)
+    assert(CorpusStats.cachedCount(other) >= 0)
+    assert(CorpusStats.countRunCount.get() == before + 1)
+  }
+
+  test("q125 and q134 share one suffix-array index build") {
+    // r7 verdict item 1: both queries construct the plan-identical
+    // saCorpus frame, so whichever runs first pays the SA build and
+    // the other reads the warm fit-once span table
+    import graft.dedup.SuffixRepeats
+    val dir = "/root/testdata/sf0.001"
+    def run(name: String): Unit =
+      QueriesScale.queries(name)(spark, dir).write
+        .mode("overwrite").format("noop").save()
+    run("q134_suffix_repeats")
+    val afterFirst = SuffixRepeats.buildRunCount.get()
+    run("q125_dup_substring_coverage")
+    run("q134_suffix_repeats")
+    assert(SuffixRepeats.buildRunCount.get() == afterFirst,
+      "q125/q134-again must reuse the cached span table (zero builds)")
+  }
 }

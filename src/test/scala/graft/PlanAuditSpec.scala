@@ -261,6 +261,22 @@ class PlanAuditSpec extends SparkSpec {
       s"q109 must not fall back to a window sort:\n${p.take(2000)}")
   }
 
+  test("q144 stratified sample inherits the q109 heap-agg shape") {
+    // r7 verdict item 7: the fixed-k-per-stratum sampler must plan as
+    // the bounded-heap aggregate — partial heaps absorbed map-side
+    // below the exchange, never a per-stratum window sort
+    val p = plan("q144_stratified_sample")
+    val nAgg = "ObjectHashAggregate".r.findAllIn(p).length
+    assert(nAgg >= 2,
+      s"q144 expected partial+final ObjectHashAggregate, got $nAgg:\n" +
+        p.take(2000))
+    assert(p.contains("partial_topkbyscore"),
+      s"q144 expected a partial_ aggregate mode below the exchange:\n" +
+        p.take(2000))
+    assert(!p.contains("Window"),
+      s"q144 must not fall back to a window sort:\n${p.take(2000)}")
+  }
+
   test("scd2 merge shares one exchange across both window passes") {
     // Merge.scd2's key repartition must serve the same-instant winner
     // window AND the range-chaining window — hash(key) satisfies the
