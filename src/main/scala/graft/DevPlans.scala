@@ -37,7 +37,7 @@ object DevPlans {
       "q100_token_budget_select" -> "token-budget selection: a global quality-ordered cumsum decomposed into a distributed prefix sum — within-bucket windows on the ONE shared bucket exchange (scan=1), cross-bucket offsets from a <=101-row aggregate broadcast back; no corpus-sized global sort or single-partition window",
       "q102_zorder_layout" -> "z-order layout audit: Morton code is a pure codegen'd integer projection over the scan; the ONLY exchange carries <=16 partial-aggregated file rows — layout quality for a 100 TB table is audited without moving the table",
       "q103_length_batch_pack" -> "length-bucketed packing: batching window partitions by (bucket, hash-shard) so a dominant length bucket splits across the cluster (no single-partition WindowExec); the per-batch aggregate reuses the window's (bucket,shard) exchange — subset-clustering, no second corpus shuffle — and the bucket rollup exchanges only per-batch rows",
-      "q104_contamination_spans" -> "contamination spans: corpus shingles posexplode into a BROADCAST semi-probe of the eval set — the only shuffled rows are hit (doc_id,pos) slivers for the run window; corpus text never exchanges and the runs decompose via pos - row_number, no self-join",
+      "q104_contamination_spans" -> "contamination spans: ONE native pass per doc (tokenize→slide→md5, the PositionalShingleHashes expression — no per-element re-tokenize) posexplodes into a BROADCAST semi-probe of the eval set; the window rides the shared docs() hash partitioning so only hit (doc_id,pos) slivers reach the run decomposition (pos - row_number, no self-join)",
       "q105_audio_stats" -> "audio decode: WAV generation + RIFF parse + one-pass sample stats all inside ONE mapPartitions projection over the scan — zero exchanges; decode cost distributes with the rows, the 100 TB multimodal shape",
       "q107_ann_nprobe_sweep" -> "nprobe sweep: ONE corpus-side cell join + cosine projection at nprobe=8 (queries broadcast), repartition barrier pins the scored candidates, then the 4-setting explode + per-(nprobe,query) windows re-rank the same candidate rows — the sweep never re-touches the corpus",
       "q108_source_quality_rank" -> "per-source quality rank: q100's two-level prefix design per source — within-(source,bucket) row_number on the ONE shared (source,bucket) exchange (scan=1, ReusedExchange for the totals branch), cross-bucket offsets and per-source totals broadcast back from bucket-table-sized aggregates; no per-source global sort",
@@ -60,7 +60,9 @@ object DevPlans {
       "q143_corpus_rollup" -> "corpus report: ROLLUP's Expand replicates rows per grouping set BEFORE the partial aggregate — all three grains from one scan, exchange carries |groups| rows per grain, never the corpus",
       "q144_stratified_sample" -> "fixed-k-per-stratum sampling: deterministic md5 priority in the scan projection, then the q109 bounded-heap aggregate per stratum — partial_topkbyscore absorbs each partition BEFORE the exchange (≤k rows per (partition, stratum) as serialized heaps), no WindowExec, no global sort",
       "q145_jpeg_phash" -> "JPEG perceptual near-dup: baseline-JFIF encode + full decode (Huffman, dequant, IDCT, 4:2:0 upsample, YCbCr->RGB) + 72x64->9x8 resample + dHash ALL inside the mapPartitions codec seam — payload bytes never shuffle, only 16-char hashes reach the q117 banded equi-join; decode cost distributes with the rows, the 100 TB multimodal shape",
-      "q146_dedup_clean" -> "exact-substring span removal (Lee et al.'s actual dedup step): the fit-once SA span LIST aggregates to a per-doc sliver that BROADCASTS into the corpus scan; the cut is an index-filter HOF in the projection — one corpus scan, zero corpus shuffles, and the digest pins the exact surviving token sequence")
+      "q146_dedup_clean" -> "exact-substring span removal (Lee et al.'s actual dedup step): the fit-once SA span LIST aggregates to a per-doc sliver that BROADCASTS into the corpus scan; the cut is an index-filter HOF in the projection — one corpus scan, zero corpus shuffles, and the digest pins the exact surviving token sequence",
+      "q147_warc_segment" -> "crawl-layer WARC segmentation: container assembly is generator scaffolding (one grouping exchange); the operator under test — the record walk (version line -> named fields -> Content-Length block -> HTTP parse) — is partition-local mapPartitions, payload bytes never shuffle, and production swaps in binaryFile scans of real *.warc with the parser unchanged",
+      "q148_html_extract" -> "HTML main-content extraction: page render and the one-pass extractor (title, <p> content, entity decode, link-density stats, chrome/script rejection) are both per-row map stages — the only exchange is the shared scan-spread repartition, extraction adds none; only extracted text moves downstream, the 100 TB boilerplate-removal shape")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by graft.DevPlans)\n\n")
     sb.append("Representative `.explain(\"formatted\")` output at sf0.01, AQE off\n")

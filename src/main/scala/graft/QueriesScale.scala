@@ -1928,16 +1928,18 @@ object QueriesScale {
     // sliver.
     "q104_contamination_spans" -> q { (spark, dir) =>
       import graft.sampling.Sampling
+      import graft.dedup.HashExpressions
       val d = docs(spark, dir)
       val isBench = Sampling.hashFraction(col("doc_id"), "bench") < 0.05
       val bench = d.filter(isBench)
-        .select(explode(TextAnalysis.shingles(col("text"))).as("s"))
-        .select(md5(col("s")).as("h")).distinct()
+        .select(explode(
+          HashExpressions.distinctShingleHashes(col("text"))).as("h"))
+        .distinct()
       val hits = d.filter(!isBench)
-        .select(col("doc_id"),
-          posexplode(TextAnalysis.shingles(col("text"))))
+        .select(col("doc_id"), posexplode(
+          HashExpressions.positionalShingleHashes(col("text"))))
         .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
-          md5(col("col")).as("h"))
+          col("col").as("h"))
         .join(broadcast(bench), "h")
       val wr = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
       hits.withColumn("grp", col("pos") - row_number().over(wr))
@@ -2402,6 +2404,59 @@ object QueriesScale {
         .select(col("doc_id"),
           size(col("clean")).cast("long").as("n_tokens_clean"),
           md5(concat_ws(" ", col("clean"))).as("clean_digest"))
+    },
+
+    // Crawl-layer ingest: WARC container segmentation — the step
+    // UPSTREAM of every text operator here. Docs assemble into
+    // multi-record WARC/1.0 containers (warcinfo preamble + one HTTP
+    // response record per doc, every 31st a 404), then the REAL
+    // byte-walk parser (version line → named fields → Content-Length
+    // block → HTTP status/headers/body) re-emits per-record rows. The
+    // oracle rebuilds every offset, length, status and body md5 from
+    // string arithmetic — one wrong header byte, a missed CRLF, or an
+    // off-by-one in block framing shifts every downstream offset and
+    // fails the hash. Scale shape: parse is partition-local
+    // (mapPartitions), payload bytes never shuffle; production swaps
+    // the synthetic assembly for binaryFile reads of real *.warc
+    // (WarcIngest.readWarcFiles), parser unchanged.
+    "q147_warc_segment" -> q { (spark, dir) =>
+      import graft.sources.WarcIngest
+      // raw table read, NOT docs(): the assembly groupByKey is itself
+      // the work-spreading exchange — a doc_id repartition before it
+      // would shuffle the corpus twice
+      val shards = WarcIngest.warcShardsFromDocs(
+        t(spark, dir, "documents"), 32)
+      WarcIngest.warcRecords(shards).toDF()
+        .select(col("shard_id"), col("rec_index"), col("rec_offset"),
+          col("target_uri"), col("content_length"), col("http_status"),
+          col("body_len"), col("body_md5"))
+    },
+
+    // HTML main-content extraction: docs render to full synthetic
+    // pages (title, nav/footer chrome, a script whose body contains a
+    // raw '<', entity-escaped 40-token paragraphs, links wrapping the
+    // first token of every third paragraph), then ONE native pass
+    // pulls the title, the paragraph text (inline tags stripped,
+    // entities decoded, chrome and script NEVER collected), and the
+    // link-density stats. The oracle rebuilds the extracted side from
+    // the ORIGINAL text columns (fixed token windows), so a naive
+    // strip-all-tags extractor — which would leak "Home About" and
+    // the footer into main_text — fails the hash, as does any
+    // entity/escape asymmetry. Scan-parallel per row, zero exchanges.
+    "q148_html_extract" -> q { (spark, dir) =>
+      import graft.text.HtmlExtract
+      HtmlExtract.pagesFromDocs(docs(spark, dir))
+        .select(col("doc_id"),
+          HtmlExtract.htmlExtract(col("html")).as("x"))
+        .select(col("doc_id"), col("x.title").as("title"),
+          col("x.main_text").as("main_text"),
+          col("x.n_paragraphs").as("n_paragraphs"),
+          col("x.n_links").as("n_links"),
+          col("x.link_text_chars").as("link_text_chars"),
+          pround(when(length(col("x.main_text")) > 0,
+            col("x.link_text_chars").cast("double") /
+              length(col("x.main_text")).cast("double"))
+            .otherwise(lit(0.0)), 6).as("link_density"))
     },
 
     // Audio perceptual near-dup: Haitsma–Kalker energy-delta
@@ -5786,6 +5841,93 @@ object QueriesScale {
          |       COALESCE(ka.n, 0) AS n_tokens_clean,
          |       COALESCE(ka.dig, md5('')) AS clean_digest
          |FROM aug LEFT JOIN ka USING (doc_id)""".stripMargin,
+
+    // q147: the oracle rebuilds every container's bytes as SQL string
+    // arithmetic — the exact HTTP block (status line, fixed headers,
+    // Content-Length of the UTF-8 body), the exact WARC header
+    // (version, type, target URI, Content-Length of the block), the
+    // 73-byte warcinfo preamble, and the +4 record terminator — then
+    // derives offsets as a running sum per shard. strlen() is DuckDB's
+    // BYTE length, matching the parser's UTF-8 walk.
+    "q147_warc_segment" ->
+      """WITH r AS (
+        |  SELECT doc_id, source, doc_id % 32 AS shard_id,
+        |         CASE WHEN doc_id % 31 = 5 THEN 'not found'
+        |              ELSE text END AS body,
+        |         CASE WHEN doc_id % 31 = 5 THEN '404 Not Found'
+        |              ELSE '200 OK' END AS stline,
+        |         CAST(CASE WHEN doc_id % 31 = 5 THEN 404 ELSE 200 END
+        |              AS BIGINT) AS st
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, shard_id, st, body,
+        |         'HTTP/1.1 ' || stline || chr(13) || chr(10) ||
+        |         'Content-Type: text/plain; charset=utf-8' ||
+        |         chr(13) || chr(10) ||
+        |         'Content-Length: ' || CAST(strlen(body) AS VARCHAR) ||
+        |         chr(13) || chr(10) || chr(13) || chr(10) || body AS http,
+        |         'http://corpus.example/' || source || '/' ||
+        |           CAST(doc_id AS VARCHAR) AS uri
+        |  FROM r),
+        |l AS (
+        |  SELECT doc_id, shard_id, st, body, http, uri,
+        |         strlen('WARC/1.0' || chr(13) || chr(10) ||
+        |           'WARC-Type: response' || chr(13) || chr(10) ||
+        |           'WARC-Target-URI: ' || uri || chr(13) || chr(10) ||
+        |           'Content-Length: ' || CAST(strlen(http) AS VARCHAR) ||
+        |           chr(13) || chr(10) || chr(13) || chr(10))
+        |         + strlen(http) + 4 AS rec_len
+        |  FROM h)
+        |SELECT shard_id,
+        |       CAST(row_number() OVER w AS BIGINT) - 1 AS rec_index,
+        |       CAST(73 + COALESCE(SUM(rec_len) OVER (
+        |         PARTITION BY shard_id ORDER BY doc_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |         AS BIGINT) AS rec_offset,
+        |       uri AS target_uri,
+        |       CAST(strlen(http) AS BIGINT) AS content_length,
+        |       st AS http_status,
+        |       CAST(strlen(body) AS BIGINT) AS body_len,
+        |       md5(body) AS body_md5
+        |FROM l WINDOW w AS (PARTITION BY shard_id ORDER BY doc_id)"""
+        .stripMargin,
+
+    // q148: the oracle never parses HTML — it rebuilds the EXTRACTED
+    // side from the original text columns: paragraphs are fixed
+    // 40-token windows (list slicing), main_text re-joins them with
+    // \n, the link count/chars come from the every-third-paragraph
+    // first-token rule. Escape→unescape must round-trip for the
+    // main_text hash to match.
+    "q148_html_extract" ->
+      """WITH tk AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS t,
+        |         CAST(ceil(len(string_split(text, ' ')) / 40.0)
+        |              AS BIGINT) AS np
+        |  FROM documents),
+        |para AS (
+        |  SELECT doc_id, u.p AS p,
+        |         array_to_string(t[40*u.p+1 : 40*u.p+40], ' ') AS ptxt,
+        |         CASE WHEN u.p % 3 = 1 THEN length(t[40*u.p+1])
+        |              ELSE 0 END AS lch
+        |  FROM tk, LATERAL (SELECT unnest(generate_series(0,
+        |    CAST(np - 1 AS INT))) AS p) u),
+        |agg AS (
+        |  SELECT doc_id,
+        |         string_agg(ptxt, chr(10) ORDER BY p) AS main_text,
+        |         CAST(sum(lch) AS BIGINT) AS link_text_chars
+        |  FROM para GROUP BY doc_id)
+        |SELECT tk.doc_id,
+        |       'Doc ' || CAST(tk.doc_id AS VARCHAR) || ' (' ||
+        |         tk.source || ')' AS title,
+        |       agg.main_text,
+        |       tk.np AS n_paragraphs,
+        |       CAST((tk.np + 1) // 3 AS BIGINT) AS n_links,
+        |       agg.link_text_chars,
+        |       round(CASE WHEN length(agg.main_text) > 0
+        |             THEN CAST(agg.link_text_chars AS DOUBLE)
+        |                  / length(agg.main_text)
+        |             ELSE 0.0 END, 6) AS link_density
+        |FROM tk JOIN agg USING (doc_id)""".stripMargin,
 
     // q134: the oracle builds the SAME sliced+boilerplated corpus,
     // then sorts the per-doc suffix token-lists DIRECTLY (DuckDB

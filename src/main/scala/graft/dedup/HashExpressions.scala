@@ -164,12 +164,48 @@ object HashExpressions {
         newChild: Expression): Expression = copy(child = newChild)
   }
 
+  /** md5 hex of EVERY word shingle in position order (duplicates
+    * kept) — the positional sibling of [[DistinctShingleHashes]] for
+    * span work: `posexplode` over the result gives the 0-based
+    * shingle position the contamination-run decomposition needs.
+    * Replaces the `posexplode(shingles(text))` + `md5` chain whose
+    * `transform(sequence, i => slice(tokens, i, n))` HOF re-evaluates
+    * the full tokenize per element (O(tokens²) per document,
+    * interpreted). Shingle semantics match [[DistinctShingleHashes]]:
+    * documents shorter than `shingleSize` tokens contribute the whole
+    * token sequence as one shingle.
+    */
+  case class PositionalShingleHashes(child: Expression, shingleSize: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, false)
+
+    override def nullSafeEval(input: Any): Any = {
+      val text = input.asInstanceOf[UTF8String].toString
+      val toks = tokenize(text)
+      val md = MessageDigest.getInstance("MD5")
+      val shingles: Iterator[String] =
+        if (toks.length >= shingleSize)
+          toks.sliding(shingleSize).map(_.mkString(" "))
+        else Iterator.single(toks.mkString(" "))
+      val out = shingles
+        .map(s => UTF8String.fromString(md5Hex(md, s)): Any).toArray
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(
+        newChild: Expression): Expression = copy(child = newChild)
+  }
+
   def minhashSignature(text: Column, k: Int = 16,
                        shingleSize: Int = 3): Column =
     toColumn(MinHashSignature(toExpression(text), k, shingleSize))
 
   def distinctShingleHashes(text: Column, shingleSize: Int = 3): Column =
     toColumn(DistinctShingleHashes(toExpression(text), shingleSize))
+
+  def positionalShingleHashes(text: Column,
+                              shingleSize: Int = 3): Column =
+    toColumn(PositionalShingleHashes(toExpression(text), shingleSize))
 
   def simhash(text: Column): Column =
     toColumn(SimHash64(toExpression(text)))

@@ -6,9 +6,12 @@ import org.apache.spark.sql.functions._
 /** Persistence for trained engine artifacts — the "tiny persisted
   * table" leg of the fit-once discipline: IVF/PQ centroids
   * ([[graft.sim.Similarity.trainedCentroids]]), unigram-LM piece
-  * inventories ([[graft.text.UnigramLm.cachedInventory]]), and
-  * blocklist pattern tables
-  * ([[graft.text.MultiPattern.cachedPatterns]]).
+  * inventories ([[graft.text.UnigramLm.cachedInventory]]), blocklist
+  * pattern tables ([[graft.text.MultiPattern.cachedPatterns]]), BPE
+  * merge lists ([[graft.text.BpeLearn]]), PQ codebooks
+  * ([[graft.sim.Pq]]), the q134 suffix-array span table, and linear-
+  * model weight vectors (q140) — every trained state the catalog
+  * produces.
   *
   * In production, training runs offline and the online path loads the
   * artifact — the session-scoped caches cover re-execution within a
@@ -141,4 +144,27 @@ object Artifacts {
   def loadSpanTable(spark: SparkSession,
                     path: String): org.apache.spark.sql.DataFrame =
     spark.read.parquet(path)
+
+  /** Linear-model weight vectors — q140's trained quality classifier
+    * (and any (feature, weight) model). The ordinal pins position so
+    * the margin expression rebuilds in training order; the name makes
+    * the artifact self-describing across jobs.
+    */
+  def saveWeights(spark: SparkSession, path: String,
+                  weights: Seq[(String, Double)]): Unit = {
+    import spark.implicits._
+    weights.zipWithIndex
+      .map { case ((name, w), i) => (i, name, w) }
+      .toDF("ordinal", "feature", "weight")
+      .repartition(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  def loadWeights(spark: SparkSession,
+                  path: String): Seq[(String, Double)] =
+    spark.read.parquet(path)
+      .orderBy(col("ordinal").asc)
+      .collect()
+      .map(r => (r.getAs[String]("feature"), r.getAs[Double]("weight")))
+      .toSeq
 }

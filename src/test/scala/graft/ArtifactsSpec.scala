@@ -116,4 +116,22 @@ class ArtifactsSpec extends SparkSpec {
     assert(SuffixRepeats.buildRunCount.get() == builds)
     assert(cov >= 0)
   }
+
+  test("linear-model weights round-trip in training order") {
+    val w = Seq("bias" -> -0.123456, "x1" -> 0.4, "x2" -> 1.75,
+      "x3" -> -8.0, "x4" -> 0.000001)
+    val p = tmp("weights")
+    Artifacts.saveWeights(spark, p, w)
+    val back = Artifacts.loadWeights(spark, p)
+    assert(back == w, "weights must round-trip exactly, in order")
+    // the loaded vector rebuilds the q140 margin expression directly
+    import spark.implicits._
+    val margin = back.tail.zipWithIndex.foldLeft(lit(back.head._2)) {
+      case (acc, ((_, wj), j)) => acc + lit(wj) * col(s"x${j + 1}")
+    }
+    val scored = Seq((1.0, 2.0, 3.0, 4.0)).toDF("x1", "x2", "x3", "x4")
+      .select(margin.as("m")).head().getDouble(0)
+    assert(approx(scored,
+      -0.123456 + 0.4 * 1 + 1.75 * 2 - 8.0 * 3 + 0.000001 * 4))
+  }
 }

@@ -420,4 +420,27 @@ class PlanAuditSpec extends SparkSpec {
     } finally saved.fold(conf.unset("spark.sql.adaptive.enabled"))(
       conf.set("spark.sql.adaptive.enabled", _))
   }
+
+  test("warc segmentation: one assembly exchange, parse stays local") {
+    val p = plan("q147_warc_segment")
+    val nEx = "Exchange".r.findAllIn(p).length
+    assert(nEx == 1,
+      s"q147 expected exactly the container-assembly exchange, got " +
+        s"$nEx:\n${p.take(3000)}")
+    assert(p.contains("MapPartitions"),
+      s"q147 parse must be a mapPartitions seam:\n${p.take(2000)}")
+    assert(!p.contains("Join"), s"q147 has no joins:\n${p.take(2000)}")
+  }
+
+  test("html extraction adds no exchange beyond the scan spread") {
+    // docs() hash-spreads the single-split parquet scan (one
+    // REPARTITION_BY_COL); render + extract are per-row map stages
+    // that must add NOTHING on top
+    val p = plan("q148_html_extract")
+    val nEx = "Exchange".r.findAllIn(p).length
+    assert(nEx == 1,
+      s"q148 expected only the scan-spread exchange, got $nEx:\n" +
+        p.take(3000))
+    assert(!p.contains("Join"), s"q148 has no joins:\n${p.take(2000)}")
+  }
 }
