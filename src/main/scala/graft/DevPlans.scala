@@ -62,7 +62,9 @@ object DevPlans {
       "q145_jpeg_phash" -> "JPEG perceptual near-dup: baseline-JFIF encode + full decode (Huffman, dequant, IDCT, 4:2:0 upsample, YCbCr->RGB) + 72x64->9x8 resample + dHash ALL inside the mapPartitions codec seam — payload bytes never shuffle, only 16-char hashes reach the q117 banded equi-join; decode cost distributes with the rows, the 100 TB multimodal shape",
       "q146_dedup_clean" -> "exact-substring span removal (Lee et al.'s actual dedup step): the fit-once SA span LIST aggregates to a per-doc sliver that BROADCASTS into the corpus scan; the cut is an index-filter HOF in the projection — one corpus scan, zero corpus shuffles, and the digest pins the exact surviving token sequence",
       "q147_warc_segment" -> "crawl-layer WARC segmentation: container assembly is generator scaffolding (one grouping exchange); the operator under test — the record walk (version line -> named fields -> Content-Length block -> HTTP parse) — is partition-local mapPartitions, payload bytes never shuffle, and production swaps in binaryFile scans of real *.warc with the parser unchanged",
-      "q148_html_extract" -> "HTML main-content extraction: page render and the one-pass extractor (title, <p> content, entity decode, link-density stats, chrome/script rejection) are both per-row map stages — the only exchange is the shared scan-spread repartition, extraction adds none; only extracted text moves downstream, the 100 TB boilerplate-removal shape")
+      "q148_html_extract" -> "HTML main-content extraction: page render and the one-pass extractor (title, <p> content, entity decode, link-density stats, chrome/script rejection) are both per-row map stages — the only exchange is the shared scan-spread repartition, extraction adds none; only extracted text moves downstream, the 100 TB boilerplate-removal shape",
+      "q149_url_canonical" -> "URL canonicalization: three wire spellings per doc posexplode out of codegen'd column concat (no Encoder round-trip), the RFC 3986 normalizer is a per-row native expression, and the only post-spread exchange is the canonical-keyed groupBy over URL-sized rows — crawl-identity dedup never moves page content",
+      "q150_crawl_pipeline" -> "crawl capstone in ONE plan: render -> WARC assembly (exchange 1) -> partition-local byte-walk parse -> native extract -> per-source rollup (exchange 2, counter-sized partial aggs below it); page bytes never shuffle after assembly and no stage joins")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by graft.DevPlans)\n\n")
     sb.append("Representative `.explain(\"formatted\")` output at sf0.01, AQE off\n")

@@ -2459,6 +2459,64 @@ object QueriesScale {
             .otherwise(lit(0.0)), 6).as("link_density"))
     },
 
+    // URL canonicalization — crawl-identity dedup: each doc's page
+    // arrives under three wire spellings (case/default-port/fragment
+    // noise; %-escaped path + dot-segment + utm_ param; parent-hop
+    // path + unsorted params) and the native canonicalizer (RFC 3986
+    // §6: case fold, port drop, %-normalize, remove_dot_segments,
+    // param sort, tracking-param drop, fragment drop) must collapse
+    // all three to the SAME canonical form, which the oracle writes
+    // directly from doc_id arithmetic. n_variants == 3 per canonical
+    // proves the collapse; any missed normalization forks a group.
+    // Scan-parallel map + one fingerprint-sized groupBy.
+    "q149_url_canonical" -> q { (spark, dir) =>
+      import graft.sources.UrlCanonicalize
+      UrlCanonicalize.urlVariantsFromDocs(docs(spark, dir))
+        .select(UrlCanonicalize.urlCanonical(col("url")).as("u"))
+        .groupBy(col("u.canonical").as("canonical_url"))
+        .agg(min(col("u.domain")).as("domain"),
+          count(lit(1)).as("n_variants"))
+    },
+
+    // Crawl capstone — the full ingest path in ONE plan: pages render
+    // (HTML with chrome/script/entities/links), pack into WARC
+    // containers as text/html responses, byte-walk parse back out,
+    // extract main content, roll up per source. The oracle rebuilds
+    // the per-source aggregates (and an order-pinned digest over
+    // every page's extracted text) from the ORIGINAL text columns —
+    // one wrong byte anywhere in render → frame → parse → extract
+    // flips a page's md5 and the source digest with it. Scale shape:
+    // render and extract are map stages, parse is partition-local,
+    // the only exchanges are the container assembly and the final
+    // source rollup; page bytes never shuffle after assembly.
+    "q150_crawl_pipeline" -> q { (spark, dir) =>
+      import graft.sources.WarcIngest
+      import graft.text.HtmlExtract
+      val pages = HtmlExtract.pagesFromDocs(t(spark, dir, "documents"))
+        .select(col("doc_id"), col("source"), col("html").as("text"))
+      val shards = WarcIngest.warcShardsFromDocs(pages, 32,
+        errEvery = 0L, contentType = "text/html; charset=utf-8")
+      WarcIngest.warcRecords(shards).toDF()
+        .filter(col("http_status") === 200)
+        .select(split(col("target_uri"), "/").getItem(3).as("src"),
+          element_at(split(col("target_uri"), "/"), -1).cast("long")
+            .as("did"),
+          HtmlExtract.htmlExtract(col("body_text")).as("x"))
+        .select(col("src"), col("did"),
+          col("x.n_paragraphs").as("np"), col("x.n_links").as("nl"),
+          col("x.link_text_chars").as("lc"),
+          md5(col("x.main_text")).as("h"))
+        .groupBy(col("src"))
+        .agg(count(lit(1)).as("n_pages"),
+          sum(col("np")).as("total_paragraphs"),
+          sum(col("nl")).as("total_links"),
+          sum(col("lc")).as("total_link_chars"),
+          md5(concat_ws(",", transform(
+            sort_array(collect_list(struct(col("did"), col("h")))),
+            s => s.getField("h")))).as("text_digest"))
+        .withColumnRenamed("src", "source")
+    },
+
     // Audio perceptual near-dup: Haitsma–Kalker energy-delta
     // fingerprint over REAL decoded PCM16 (RIFF/WAVE round-trip),
     // then the same banded-LSH pair join + exact hamming rescore as
@@ -5928,6 +5986,52 @@ object QueriesScale {
         |                  / length(agg.main_text)
         |             ELSE 0.0 END, 6) AS link_density
         |FROM tk JOIN agg USING (doc_id)""".stripMargin,
+
+    // q149: the canonical form comes straight from doc_id arithmetic
+    // — the engine must DERIVE the same string from three messy wire
+    // spellings, and the 3/3 counts prove all of them collapsed.
+    "q149_url_canonical" ->
+      """SELECT 'https://www.example' || CAST(doc_id % 50 AS VARCHAR)
+        |         || '.com/docs/' || CAST(doc_id AS VARCHAR)
+        |         || '?a=' || CAST(doc_id % 7 AS VARCHAR)
+        |         || '&b=' || CAST(doc_id % 11 AS VARCHAR)
+        |         AS canonical_url,
+        |       'example' || CAST(doc_id % 50 AS VARCHAR) || '.com'
+        |         AS domain,
+        |       CAST(3 AS BIGINT) AS n_variants
+        |FROM documents""".stripMargin,
+
+    // q150: the q148 reconstruction aggregated per source, plus an
+    // order-pinned digest over every page's extracted-text md5 — the
+    // whole render→WARC→parse→extract path must be byte-exact for
+    // any source row to hash-match.
+    "q150_crawl_pipeline" ->
+      """WITH tk AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS t,
+        |         CAST(ceil(len(string_split(text, ' ')) / 40.0)
+        |              AS BIGINT) AS np
+        |  FROM documents),
+        |para AS (
+        |  SELECT doc_id, u.p AS p,
+        |         array_to_string(t[40*u.p+1 : 40*u.p+40], ' ') AS ptxt,
+        |         CASE WHEN u.p % 3 = 1 THEN length(t[40*u.p+1])
+        |              ELSE 0 END AS lch
+        |  FROM tk, LATERAL (SELECT unnest(generate_series(0,
+        |    CAST(np - 1 AS INT))) AS p) u),
+        |agg AS (
+        |  SELECT doc_id,
+        |         string_agg(ptxt, chr(10) ORDER BY p) AS main_text,
+        |         CAST(sum(lch) AS BIGINT) AS lc
+        |  FROM para GROUP BY doc_id)
+        |SELECT tk.source,
+        |       CAST(count(*) AS BIGINT) AS n_pages,
+        |       CAST(sum(tk.np) AS BIGINT) AS total_paragraphs,
+        |       CAST(sum((tk.np + 1) // 3) AS BIGINT) AS total_links,
+        |       CAST(sum(agg.lc) AS BIGINT) AS total_link_chars,
+        |       md5(string_agg(md5(agg.main_text), ','
+        |         ORDER BY tk.doc_id)) AS text_digest
+        |FROM tk JOIN agg USING (doc_id)
+        |GROUP BY tk.source""".stripMargin,
 
     // q134: the oracle builds the SAME sliced+boilerplated corpus,
     // then sorts the per-doc suffix token-lists DIRECTLY (DuckDB

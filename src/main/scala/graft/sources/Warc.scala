@@ -198,15 +198,18 @@ object WarcIngest {
 
   /** Build one synthetic response record's bytes for a doc. Every
     * `errEvery`-th doc (doc_id % errEvery == 5) is a 404 with a fixed
-    * short body — the status-dispatch case.
+    * short body — the status-dispatch case; `errEvery <= 0` disables
+    * the variant (every record a 200).
     */
   def docRecord(docId: Long, source: String, text: String,
-                errEvery: Long = 31L): String = {
-    val is404 = docId % errEvery == 5
+                errEvery: Long = 31L,
+                contentType: String = "text/plain; charset=utf-8")
+      : String = {
+    val is404 = errEvery > 0 && docId % errEvery == 5
     val body = if (is404) "not found" else text
     val status = if (is404) "404 Not Found" else "200 OK"
     val http = "HTTP/1.1 " + status + CRLF +
-      "Content-Type: text/plain; charset=utf-8" + CRLF +
+      "Content-Type: " + contentType + CRLF +
       "Content-Length: " + utf8Len(body) + CRLF + CRLF + body
     val uri = s"http://corpus.example/$source/$docId"
     "WARC/1.0" + CRLF +
@@ -225,7 +228,10 @@ object WarcIngest {
     * cost, not parser cost; production reads real files via
     * [[readWarcFiles]].
     */
-  def warcShardsFromDocs(docs: DataFrame, nShards: Int = 32): DataFrame = {
+  def warcShardsFromDocs(docs: DataFrame, nShards: Int = 32,
+                         errEvery: Long = 31L,
+                         contentType: String =
+                           "text/plain; charset=utf-8"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select((col("doc_id") % nShards).cast("long").as("shard_id"),
@@ -236,7 +242,7 @@ object WarcIngest {
         val recs = rows.toArray.sortBy(_._2)
         val sb = new StringBuilder(InfoPreamble)
         recs.foreach { case (_, id, src, text) =>
-          sb.append(docRecord(id, src, text))
+          sb.append(docRecord(id, src, text, errEvery, contentType))
         }
         (shard, sb.toString.getBytes(UTF_8))
       }

@@ -33,7 +33,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - `n_links` / `link_text_chars`: `<a>` elements INSIDE `<p>`
   *     content and their decoded text length (code points) — the
   *     numerator of link density; nav/footer links don't count.
-  *   - Entities: the generated three (`&amp;` `&lt;` `&gt;`) decode;
+  *   - Entities: the named three (`&amp;` `&lt;` `&gt;`) and numeric
+  *     references (`&#NN;` / `&#xHH;`, printable BMP scalars) decode;
   *     anything else passes through literally.
   *
   * Scale shape: per-row scan-parallel expression, zero exchanges —
@@ -107,11 +108,31 @@ object HtmlExtract {
             }
           }
         } else if (c == '&') {
-          val (decoded, adv) =
-            if (html.startsWith("amp;", i + 1)) ('&', 5)
-            else if (html.startsWith("lt;", i + 1)) ('<', 4)
-            else if (html.startsWith("gt;", i + 1)) ('>', 4)
-            else ('&', 1)
+          // named (&amp; &lt; &gt;) and numeric (&#NN; / &#xHH;, BMP
+          // range) references decode; anything else passes literally
+          var decoded = '&'
+          var adv = 1
+          if (html.startsWith("amp;", i + 1)) { decoded = '&'; adv = 5 }
+          else if (html.startsWith("lt;", i + 1)) { decoded = '<'; adv = 4 }
+          else if (html.startsWith("gt;", i + 1)) { decoded = '>'; adv = 4 }
+          else if (i + 2 < n && html.charAt(i + 1) == '#') {
+            val hex = i + 2 < n &&
+              (html.charAt(i + 2) == 'x' || html.charAt(i + 2) == 'X')
+            val ds = if (hex) i + 3 else i + 2
+            var de = ds
+            var v = 0L
+            while (de < n && v <= 0x10FFFFL && {
+              val d = Character.digit(html.charAt(de), if (hex) 16 else 10)
+              if (d >= 0) { v = v * (if (hex) 16 else 10) + d; true }
+              else false
+            }) de += 1
+            if (de > ds && de < n && html.charAt(de) == ';' &&
+                v >= 0x20 && v <= 0xFFFF &&
+                !Character.isSurrogate(v.toChar)) {
+              decoded = v.toChar
+              adv = de - i + 1
+            }
+          }
           if (inTitle) title.append(decoded)
           if (inP) {
             para.append(decoded)
@@ -190,7 +211,9 @@ object HtmlExtract {
     import spark.implicits._
     docs.select(col("doc_id").cast("long"), col("source"), col("text"))
       .as[(Long, String, String)]
-      .map { case (id, src, text) => (id, renderPage(id, src, text)) }
-      .toDF("doc_id", "html")
+      .map { case (id, src, text) =>
+        (id, src, renderPage(id, src, text))
+      }
+      .toDF("doc_id", "source", "html")
   }
 }

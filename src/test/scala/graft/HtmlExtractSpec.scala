@@ -40,6 +40,14 @@ class HtmlExtractSpec extends SparkSpec {
     assert(r.getString(1) == "<tag> & &nbsp; &amp")
   }
 
+  test("numeric references: printable BMP decode, the rest literal") {
+    val r = extract("<p>&#65;&#x41;&#x6a; &#169;</p>")
+    assert(r.getString(1) == "AAj ©")
+    // unterminated, control-range, surrogate, and overflow stay literal
+    val bad = extract("<p>&#65 &#12; &#xD800; &#1114112; &#;</p>")
+    assert(bad.getString(1) == "&#65 &#12; &#xD800; &#1114112; &#;")
+  }
+
   test("style blocks and unterminated tags don't corrupt the walk") {
     val r = extract(
       "<style>p::before { content: '<'; }</style><p>ok</p><p>tail<")

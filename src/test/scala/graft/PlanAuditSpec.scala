@@ -432,6 +432,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), s"q147 has no joins:\n${p.take(2000)}")
   }
 
+  test("crawl capstone: assembly + rollup exchanges only, no joins") {
+    val p = plan("q150_crawl_pipeline")
+    val nEx = "Exchange".r.findAllIn(p).length
+    assert(nEx == 2,
+      s"q150 expected assembly + source-rollup exchanges, got $nEx:\n" +
+        p.take(3000))
+    assert(!p.contains("Join"), s"q150 has no joins:\n${p.take(2000)}")
+    assert(p.contains("partial_"),
+      s"q150 rollup needs a map-side partial below the exchange:\n" +
+        p.take(3000))
+  }
+
+  test("url canonicalization groups fingerprints, never page content") {
+    val p = plan("q149_url_canonical")
+    assert(!p.contains("Join"), s"q149 has no joins:\n${p.take(2000)}")
+    assert(!p.contains("text#"),
+      s"q149 must not carry document text past the scan:\n" +
+        p.take(3000))
+  }
+
   test("html extraction adds no exchange beyond the scan spread") {
     // docs() hash-spreads the single-split parquet scan (one
     // REPARTITION_BY_COL); render + extract are per-row map stages
