@@ -64,7 +64,8 @@ object DevPlans {
       "q147_warc_segment" -> "crawl-layer WARC segmentation: container assembly is generator scaffolding (one grouping exchange); the operator under test — the record walk (version line -> named fields -> Content-Length block -> HTTP parse) — is partition-local mapPartitions, payload bytes never shuffle, and production swaps in binaryFile scans of real *.warc with the parser unchanged",
       "q148_html_extract" -> "HTML main-content extraction: page render and the one-pass extractor (title, <p> content, entity decode, link-density stats, chrome/script rejection) are both per-row map stages — the only exchange is the shared scan-spread repartition, extraction adds none; only extracted text moves downstream, the 100 TB boilerplate-removal shape",
       "q149_url_canonical" -> "URL canonicalization: three wire spellings per doc posexplode out of codegen'd column concat (no Encoder round-trip), the RFC 3986 normalizer is a per-row native expression, and the only post-spread exchange is the canonical-keyed groupBy over URL-sized rows — crawl-identity dedup never moves page content",
-      "q150_crawl_pipeline" -> "crawl capstone in ONE plan: render -> WARC assembly (exchange 1) -> partition-local byte-walk parse -> native extract -> per-source rollup (exchange 2, counter-sized partial aggs below it); page bytes never shuffle after assembly and no stage joins")
+      "q150_crawl_pipeline" -> "crawl capstone in ONE plan: render -> WARC assembly (exchange 1) -> partition-local byte-walk parse -> native extract -> per-source rollup (exchange 2, counter-sized partial aggs below it); page bytes never shuffle after assembly and no stage joins",
+      "q151_kneser_ney" -> "Kneser-Ney bigram LM: q136's shape with real smoothing — ONE exploded-bigram exchange feeds the pair-count aggregate AND the pair join; ctx (c1 + continuation types in one pass) and cont tables are vocab-bounded SHUFFLE_HASH sides; the 1-row type total broadcasts; scoring never re-tokenizes")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by graft.DevPlans)\n\n")
     sb.append("Representative `.explain(\"formatted\")` output at sf0.01, AQE off\n")

@@ -3056,18 +3056,21 @@ object QueriesScale {
             element_at(col("tk"), col("p") + 1))), 1, 8), 16, 10)
             .cast("long"), lit(B.toLong)).as("b"))
         // compute-once barrier: bucket ints are md5-uniform (no skew
-        // possible), so tc, rc, and the score join all reuse ONE
-        // explode+hash exchange instead of re-deriving it three times
+        // possible), so the distribution aggregate and the score join
+        // reuse ONE explode+hash exchange
         .repartition(col("b"))
-      val tc = bg.filter(col("lang") === "en")
-        .groupBy(col("b")).agg(count(lit(1)).as("ct"))
-      val rc = bg.groupBy(col("b")).agg(count(lit(1)).as("cr"))
-      val tot = rc.agg(sum(col("cr")).as("nr"))
-        .crossJoin(tc.agg(sum(col("ct")).as("nt")))
-      val lr = rc.join(tc, Seq("b"), "left")
-        .crossJoin(broadcast(tot))
+      // BOTH distributions in one pass over the exploded bigrams: the
+      // target count is a conditional sum inside the raw count's
+      // aggregate (an en-only bucket with no rows would have been a
+      // NULL left-join slot — the conditional sum yields the same 0)
+      val g = bg.groupBy(col("b")).agg(
+        count(lit(1)).as("cr"),
+        sum(when(col("lang") === "en", lit(1L)).otherwise(lit(0L)))
+          .as("ct"))
+      val tot = g.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+      val lr = g.crossJoin(broadcast(tot))
         .select(col("b"),
-          (log((coalesce(col("ct"), lit(0L)) + lit(1.0)) /
+          (log((col("ct") + lit(1.0)) /
             (col("nt") + lit(B.toDouble)))
             - log((col("cr") + lit(1.0)) /
               (col("nr") + lit(B.toDouble)))).as("lw"))
@@ -3099,6 +3102,65 @@ object QueriesScale {
           when(col("sel_rank").isNull, lit(null).cast("boolean"))
             .otherwise(col("sel_rank") * 4 <= col("__n"))
             .as("selected"))
+    },
+
+    // Interpolated Kneser–Ney bigram LM — the smoothing the CCNet
+    // family actually ships (absolute discount d=0.75 + continuation-
+    // probability backoff), upgrading q136's add-α: p(w2|w1) =
+    // max(c12−d,0)/c1 + d·N1+(w1,·)/c1 · N1+(·,w2)/N1+(··), pure
+    // continuation for unseen contexts, 1e-10 floor for unseen words.
+    // Scale shape: q136's — model tables are vocab-bounded aggregates
+    // off ONE exploded-bigram exchange ((w1,w2) clustering feeds both
+    // the count aggregate and the pair join), scoring streams the
+    // corpus bigrams through three SHUFFLE_HASH model joins (the
+    // model side never corpus-sized), totals broadcast as 1 row.
+    // Engine-exactness: every model number is an integer count;
+    // the probability arithmetic is written in the identical order on
+    // both engines and the displayed perplexity rounds to 4dp.
+    "q151_kneser_ney" -> q { (spark, dir) =>
+      val base = docs(spark, dir).select(col("doc_id"), col("lang"),
+        TextAnalysis.tokens(col("text")).as("tk"))
+      val bg = base.select(col("doc_id"), col("lang"),
+          explode(when(size(col("tk")) >= 2,
+            sequence(lit(1), size(col("tk")) - 1))
+            .otherwise(array().cast("array<int>"))).as("p"),
+          col("tk"))
+        .select(col("doc_id"), col("lang"),
+          element_at(col("tk"), col("p")).as("w1"),
+          element_at(col("tk"), col("p") + 1).as("w2"))
+        .repartition(col("w1"), col("w2"))
+      val c12 = bg.filter(col("lang") === "en")
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      // context table in ONE pass over the pair counts: total count
+      // AND distinct-continuation count (every c12 row is a type)
+      val ctx = c12.groupBy(col("w1"))
+        .agg(sum(col("c12")).as("c1"), count(lit(1)).as("nr"))
+      val cont = c12.groupBy(col("w2")).agg(count(lit(1)).as("nl"))
+      val nall = c12.agg(count(lit(1)).as("nall"))
+      val d = lit(0.75)
+      val pcont = coalesce(col("nl"), lit(0L)).cast("double") /
+        col("nall").cast("double")
+      val p = when(col("c1").isNull, pcont)
+        .otherwise(
+          greatest(coalesce(col("c12"), lit(0L)).cast("double") - d,
+            lit(0.0)) / col("c1").cast("double") +
+            (d * col("nr").cast("double") / col("c1").cast("double"))
+              * pcont)
+      val sc = bg
+        .join(c12.hint("shuffle_hash"), Seq("w1", "w2"), "left")
+        .join(ctx.hint("shuffle_hash"), Seq("w1"), "left")
+        .join(cont.hint("shuffle_hash"), Seq("w2"), "left")
+        .crossJoin(broadcast(nall))
+        .select(col("doc_id"),
+          log(greatest(p, lit(1e-10))).as("lp"))
+      val ppl = sc.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          pround(exp(-avg(col("lp"))), 4).as("kn_ppl"))
+      base.select(col("doc_id"))
+        .join(ppl, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          col("kn_ppl"))
     },
 
     // Unigram-LM tokenizer, trained AND applied in-engine (the
@@ -6610,6 +6672,48 @@ object QueriesScale {
     // rank is the NAIVE global row_number the engine reproduces with
     // its bucketed two-level rank — rank parity proves the two-level
     // construction exact, not just approximately ordered.
+    // q151: identical model counts and probability arithmetic, in the
+    // same evaluation order; c12 is MATERIALIZED (4 references).
+    "q151_kneser_ney" ->
+      s"""WITH $toksSql,
+         |bg AS (
+         |  SELECT doc_id, lang, tk[u.p] AS w1, tk[u.p + 1] AS w2
+         |  FROM toks, LATERAL (SELECT unnest(generate_series(
+         |    1, len(tk) - 1)) AS p) u
+         |  WHERE len(tk) >= 2),
+         |c12 AS MATERIALIZED (
+         |  SELECT w1, w2, count(*) AS c12 FROM bg
+         |  WHERE lang = 'en' GROUP BY 1, 2),
+         |ctx AS (SELECT w1, sum(c12) AS c1, count(*) AS nr
+         |        FROM c12 GROUP BY 1),
+         |cont AS (SELECT w2, count(*) AS nl FROM c12 GROUP BY 1),
+         |nall AS (SELECT count(*) AS nall FROM c12),
+         |sc AS (
+         |  SELECT bg.doc_id,
+         |         ln(GREATEST(
+         |           CASE WHEN ctx.c1 IS NULL
+         |                THEN CAST(COALESCE(cont.nl, 0) AS DOUBLE)
+         |                     / CAST(nall.nall AS DOUBLE)
+         |                ELSE GREATEST(CAST(COALESCE(c12.c12, 0)
+         |                       AS DOUBLE) - 0.75, 0.0)
+         |                     / CAST(ctx.c1 AS DOUBLE)
+         |                   + (0.75 * CAST(ctx.nr AS DOUBLE)
+         |                      / CAST(ctx.c1 AS DOUBLE))
+         |                     * (CAST(COALESCE(cont.nl, 0) AS DOUBLE)
+         |                        / CAST(nall.nall AS DOUBLE))
+         |                END, 1e-10)) AS lp
+         |  FROM bg LEFT JOIN c12 USING (w1, w2)
+         |          LEFT JOIN ctx USING (w1)
+         |          LEFT JOIN cont USING (w2) CROSS JOIN nall),
+         |p AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |         floor(exp(-avg(lp)) * 1e4 + 0.5) / 1e4 AS kn_ppl
+         |  FROM sc GROUP BY 1)
+         |SELECT toks.doc_id,
+         |       COALESCE(p.n_bigrams, 0) AS n_bigrams,
+         |       p.kn_ppl
+         |FROM toks LEFT JOIN p USING (doc_id)""".stripMargin,
+
     "q136_ngram_perplexity" ->
       s"""WITH $toksSql,
          |bg AS (

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** q151's interpolated Kneser–Ney bigram LM against hand-computed
+  * probabilities on a corpus small enough to verify on paper.
+  */
+class KneserNeySpec extends SparkSpec {
+
+  private def run(rows: Seq[(Long, String, String)]): Map[Long, (Long, Any)] = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("kn").toString
+    rows.toDF("doc_id", "lang", "text")
+      .write.mode("overwrite").parquet(dir + "/documents.parquet")
+    SparkEntry.queries("q151_kneser_ney")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.get(2)))).toMap
+  }
+
+  test("hand-computed KN probabilities, backoff, and unseen floor") {
+    // training corpus (en): "a b a b a c"
+    //   c12: (a,b)=2 (b,a)=2 (a,c)=1; ctx a:(c1=3,nr=2) b:(c1=2,nr=1)
+    //   cont: a=1 b=1 c=1; nall=3
+    val out = run(Seq(
+      (1L, "en", "a b a b a c"),
+      (2L, "xx", "a z"), // seen context, unseen word -> 1e-10 floor
+      (3L, "xx", "z a"), // unseen context -> pure continuation 1/3
+      (4L, "xx", "solo"))) // no bigrams -> null ppl
+    val pAB = math.max(2 - 0.75, 0.0) / 3 + (0.75 * 2 / 3) * (1.0 / 3)
+    val pBA = math.max(2 - 0.75, 0.0) / 2 + (0.75 * 1 / 2) * (1.0 / 3)
+    val pAC = math.max(1 - 0.75, 0.0) / 3 + (0.75 * 2 / 3) * (1.0 / 3)
+    val lp1 = (2 * math.log(pAB) + 2 * math.log(pBA) + math.log(pAC)) / 5
+    val exp1 = math.floor(math.exp(-lp1) * 1e4 + 0.5) / 1e4
+    assert(out(1L)._1 == 5L)
+    assert(out(1L)._2.asInstanceOf[Double] == exp1)
+    // unseen word: p floors at 1e-10 -> ppl = 1e10
+    assert(out(2L)._1 == 1L)
+    assert(out(2L)._2.asInstanceOf[Double] == 1e10)
+    // unseen context backs off to continuation p = nl(a)/nall = 1/3
+    assert(out(3L)._1 == 1L)
+    val exp3 = math.floor(math.exp(-math.log(1.0 / 3)) * 1e4 + 0.5) / 1e4
+    assert(out(3L)._2.asInstanceOf[Double] == exp3)
+    // single-token doc: no bigrams, null perplexity
+    assert(out(4L)._1 == 0L && out(4L)._2 == null)
+  }
+}
