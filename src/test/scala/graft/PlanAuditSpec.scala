@@ -421,6 +421,16 @@ class PlanAuditSpec extends SparkSpec {
       conf.set("spark.sql.adaptive.enabled", _))
   }
 
+  test("kneser-ney model joins hash, never sort-merge, the corpus") {
+    val p = plan("q151_kneser_ney")
+    assert(p.contains("ShuffledHashJoin"),
+      s"q151's model joins must be SHUFFLE_HASH (the model side is " +
+        s"vocab-bounded; sorting the corpus bigram stream three times " +
+        s"is the failure mode):\n${p.take(3000)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"q151 must not sort the bigram stream:\n${p.take(3000)}")
+  }
+
   test("warc segmentation: one assembly exchange, parse stays local") {
     val p = plan("q147_warc_segment")
     val nEx = "Exchange".r.findAllIn(p).length
