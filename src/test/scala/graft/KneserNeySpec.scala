@@ -43,4 +43,27 @@ class KneserNeySpec extends SparkSpec {
     // single-token doc: no bigrams, null perplexity
     assert(out(4L)._1 == 0L && out(4L)._2 == null)
   }
+
+  test("KN is a proper distribution: per-context mass sums to one") {
+    // the discount identity: sum over the vocab of
+    //   max(c12−d,0)/c1 + d·nr/c1 · nl(w2)/nall
+    // is (c1 − d·nr)/c1 + d·nr/c1 · Σ nl/nall = 1 exactly, because
+    // continuation probabilities themselves sum to 1. A smoothing
+    // bug (wrong discount mass, off-by-one type count) breaks this.
+    val c12 = Map(("a", "b") -> 2L, ("b", "a") -> 2L, ("a", "c") -> 1L)
+    val vocab = Seq("a", "b", "c")
+    val nall = c12.size.toDouble
+    val nl = vocab.map(w2 =>
+      w2 -> c12.keys.count(_._2 == w2).toDouble).toMap
+    val d = 0.75
+    Seq("a", "b").foreach { w1 =>
+      val c1 = c12.collect { case ((x, _), c) if x == w1 => c }.sum
+      val nr = c12.keys.count(_._1 == w1)
+      val mass = vocab.map { w2 =>
+        math.max(c12.getOrElse((w1, w2), 0L) - d, 0.0) / c1 +
+          (d * nr / c1) * (nl(w2) / nall)
+      }.sum
+      assert(approx(mass, 1.0, 1e-12), s"context $w1 mass $mass")
+    }
+  }
 }

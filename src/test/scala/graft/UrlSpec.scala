@@ -44,6 +44,21 @@ class UrlSpec extends SparkSpec {
     assert(canonicalize("mailto:x@y.z") == ("mailto:x@y.z", ""))
   }
 
+  test("canonicalization is idempotent over goldens and variants") {
+    val inputs = Seq(
+      "HTTPS://WWW.Example.COM:443/A/B?b=2&a=1#frag",
+      "https://h.io/d%6Fcs%2Ffile?k=%2f",
+      "https://h.io/a/./b/../c",
+      "https://h.io/p?utm_source=x&a=1&UTM_campaign=y&&b=",
+      "https://h.io", "not a url") ++
+      Seq(0L, 7L, 123L).flatMap(variants)
+    inputs.foreach { u =>
+      val once = canonicalize(u)._1
+      assert(canonicalize(once)._1 == once,
+        s"not a fixpoint: $u -> $once -> ${canonicalize(once)._1}")
+    }
+  }
+
   test("column generator mirrors the Scala reference byte-for-byte") {
     import spark.implicits._
     import graft.sources.UrlCanonicalize
