@@ -120,6 +120,28 @@ class WarcSpec extends SparkSpec {
     assert(d33.shard_id == 1L && d33.rec_index == 0L)
   }
 
+  test("generator params: content type threads through, errEvery<=0 " +
+    "disables the 404 variant") {
+    import spark.implicits._
+    // doc_id 5 would be the 404 doc under the default errEvery=31
+    val docs = Seq((5L, "web", "<p>hello</p>"))
+      .toDF("doc_id", "source", "text")
+    val recs = WarcIngest.warcRecords(
+      WarcIngest.warcShardsFromDocs(docs, 32, errEvery = 0L,
+        contentType = "text/html; charset=utf-8")).collect()
+    assert(recs.length == 1)
+    assert(recs.head.http_status == 200L,
+      "errEvery=0 must disable the 404 variant")
+    assert(recs.head.body_text == "<p>hello</p>")
+    // the content type is inside the HTTP block the parser frames by
+    // Content-Length, so a wrong header would corrupt the framing
+    val http = "HTTP/1.1 200 OK" + CRLF +
+      "Content-Type: text/html; charset=utf-8" + CRLF +
+      "Content-Length: 12" + CRLF + CRLF + "<p>hello</p>"
+    assert(recs.head.content_length ==
+      http.getBytes(UTF_8).length.toLong)
+  }
+
   test("file-based ingest: binaryFile scan of *.warc parses identically") {
     val dir = java.nio.file.Files.createTempDirectory("warcspec")
     val f = dir.resolve("part0.warc")
