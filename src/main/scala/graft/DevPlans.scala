@@ -51,8 +51,8 @@ object DevPlans {
       "q132_redact_adversarial" -> "adversarial redact fuzz: 12 edge-case templates constructed and scrubbed inside one codegen'd projection (posexplode + the single-pass byte scanners) — same zero-exchange shape as q92, but every \\b/backtracking decision lands on an RE2-divergence-prone fixture the DuckDB oracle re-runs through real regexp machinery",
       "q134_suffix_repeats" -> "suffix-array repeats: the dumped plan is the POST-BUILD span table — a bare scan over the fit-once checkpoint (q50's lineage-truncation signature; the SA is an offline index, built once per corpus). The build itself: prefix-octupling rounds as range-partitioned sorts + partition-local ordinals + per-partition-count offsets (dense rank, no collect, no single-partition stage); adjacency LCP via ONE zip_with pass; span merge a doc-partitioned window — nothing quadratic, nothing corpus-sized at the driver",
       "q135_decontaminate" -> "benchmark decontamination: both sides explode 8-gram md5s in-scan (gram TEXT never leaves the scan); the benchmark's distinct-gram set BROADCASTS into a left-semi probe of the streaming training side — the only exchange is the per-doc hit rollup; no gram-keyed corpus shuffle anywhere",
-      "q136_ngram_perplexity" -> "bigram-LM perplexity: ONE bigram explode behind the repartition(w1,w2) barrier — the model aggregate and the scoring join are ReusedExchange consumers; V and the tercile total ride 1-row broadcasts; the tercile cut is the q100 two-level integer-unit rank (bucketed row_number + a value-range-row offset table), no corpus-wide sort and no float percentile boundary",
-      "q137_dsir_weights" -> "DSIR importance weights: ONE hashed-bigram explode behind the repartition(bucket) barrier (md5-uniform buckets — skew-proof); target/raw distributions are 4096-row aggregates on that exchange; the log-ratio table BROADCASTS into the score join; selection = the same two-level integer-unit rank, desc via negated units",
+      "q136_ngram_perplexity" -> "bigram-LM perplexity, ONLINE path (r9): the count tables are fit-once trained state (NgramLm.cachedBigram, shared with q151) — the dumped plan is scoring only: one explode + sized model joins (broadcast under the pair threshold, per-distinct-pair SHUFFLE_HASH at scale) + the per-doc aggregate; V is a literal; the tercile total rides the rank's own bucket table (no separate count job); the tercile cut is the q100 two-level integer-unit rank, no corpus-wide sort and no float percentile boundary",
+      "q137_dsir_weights" -> "DSIR importance weights, ONLINE path (r9): the 4096-row log-ratio table is fit-once trained state (NgramLm.cachedDsir) that BROADCASTS into the score join over one hashed-bigram explode — the per-doc aggregate rides the scan's doc_id clustering (zero added corpus exchanges); selection = the two-level integer-unit rank (desc via negated units) with the total from the rank's own bucket table",
       "q138_unigram_viterbi" -> "unigram-LM tokenizer: the plan is ONE scan + the native Viterbi expression (zero exchanges at apply time — the inventory rides into codegen as a reference object via the fit-once cache); the dumped plan is the ONLINE path, proving training jobs don't re-run per execution",
       "q139_blocklist_scan" -> "Aho-Corasick blocklist: one scan + the compiled automaton as a codegen reference object — O(n + matches) per doc independent of pattern count, zero exchanges; the quadratic per-pattern alternative (|patterns| regex passes) never appears in any plan",
       "q141_quality_auc" -> "exact AUC: groupBy(6dp score) collapses the corpus to a VALUE-RANGE-bounded distinct-score table before the cumulative window (so the one unpartitioned window is over <=1e6+1 rows regardless of corpus size); all rank math is integer 2-midrank — the dumped plan shows partial aggregation below the score exchange and a 1-row final total",
@@ -65,7 +65,8 @@ object DevPlans {
       "q148_html_extract" -> "HTML main-content extraction: page render and the one-pass extractor (title, <p> content, entity decode, link-density stats, chrome/script rejection) are both per-row map stages — the only exchange is the shared scan-spread repartition, extraction adds none; only extracted text moves downstream, the 100 TB boilerplate-removal shape",
       "q149_url_canonical" -> "URL canonicalization: three wire spellings per doc posexplode out of codegen'd column concat (no Encoder round-trip), the RFC 3986 normalizer is a per-row native expression, and the only post-spread exchange is the canonical-keyed groupBy over URL-sized rows — crawl-identity dedup never moves page content",
       "q150_crawl_pipeline" -> "crawl capstone in ONE plan: render -> WARC assembly (exchange 1) -> partition-local byte-walk parse -> native extract -> per-source rollup (exchange 2, counter-sized partial aggs below it); page bytes never shuffle after assembly and no stage joins",
-      "q151_kneser_ney" -> "Kneser-Ney bigram LM: q136's shape with real smoothing — ONE exploded-bigram exchange feeds the pair-count aggregate AND the pair join; ctx (c1 + continuation types in one pass) and cont tables are vocab-bounded SHUFFLE_HASH sides; the 1-row type total broadcasts; scoring never re-tokenizes")
+      "q151_kneser_ney" -> "Kneser-Ney bigram LM, ONLINE path (r9): q136's fit-once model SHARED (one cache entry serves both queries); scoring is one explode + sized model joins + the per-doc aggregate, and short docs ride a null-lp sentinel row through the same aggregate — no corpus-table tail join anywhere in the plan; totals are literals",
+      "q152_warc_gz_segment" -> "gzip WARC segmentation (the Common Crawl delivery format): q147's plan with member-wise inflation added INSIDE the partition-local walk — same single assembly exchange, same mapPartitions seam, compressed bytes never shuffle; offsets index the inflated stream so the arithmetic oracle is q147's verbatim")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by graft.DevPlans)\n\n")
     sb.append("Representative `.explain(\"formatted\")` output at sf0.01, AQE off\n")

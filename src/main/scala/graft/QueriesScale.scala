@@ -84,7 +84,10 @@ object QueriesScale {
     * |buckets|-row broadcast offset table — the exact global rank by
     * (units asc, doc_id asc) with no corpus-wide single-partition
     * sort. The offset window IS unpartitioned, but over the bucket-
-    * level aggregate (value-range-sized, never corpus-sized).
+    * level aggregate (value-range-sized, never corpus-sized). The
+    * output also carries `__total` (the ranked row count, summed in
+    * the same tiny bucket-table pass) so callers cutting by rank
+    * fraction need no separate corpus-sized count job.
     */
   private def globalRankByUnits(df: DataFrame, units: String,
       rankName: String): DataFrame = {
@@ -93,9 +96,12 @@ object QueriesScale {
     val bt = b.groupBy(col("__bk")).agg(count(lit(1)).as("__bn"))
     val wb = Window.orderBy(col("__bk").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
+    val wa = Window.orderBy(col("__bk").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val off = bt
       .withColumn("__off", coalesce(sum(col("__bn")).over(wb), lit(0L)))
-      .select(col("__bk"), col("__off"))
+      .withColumn("__total", sum(col("__bn")).over(wa))
+      .select(col("__bk"), col("__off"), col("__total"))
     val wr = Window.partitionBy(col("__bk"))
       .orderBy(col(units).asc, col("doc_id").asc)
     b.join(broadcast(off), Seq("__bk"))
@@ -2432,6 +2438,25 @@ object QueriesScale {
           col("body_len"), col("body_md5"))
     },
 
+    // q147 over the ACTUAL Common Crawl delivery format (r8 verdict
+    // item 2): the same synthetic records compressed as one gzip
+    // member each and concatenated into a `.warc.gz` container. The
+    // parser detects the magic bytes and member-wise inflates inside
+    // the same partition-local walk; offsets index the INFLATED
+    // stream, so the output — and therefore the oracle, which
+    // rebuilds the uncompressed framing arithmetically — is
+    // bit-identical to q147's. Same scale shape: one assembly
+    // exchange, parse/inflate stays local, bodies never shuffle.
+    "q152_warc_gz_segment" -> q { (spark, dir) =>
+      import graft.sources.WarcIngest
+      val shards = WarcIngest.warcGzShardsFromDocs(
+        t(spark, dir, "documents"), 32)
+      WarcIngest.warcRecords(shards).toDF()
+        .select(col("shard_id"), col("rec_index"), col("rec_offset"),
+          col("target_uri"), col("content_length"), col("http_status"),
+          col("body_len"), col("body_md5"))
+    },
+
     // HTML main-content extraction: docs render to full synthetic
     // pages (title, nav/footer chrome, a script whose body contains a
     // raw '<', entity-escaped 40-token paragraphs, links wrapping the
@@ -2971,62 +2996,57 @@ object QueriesScale {
     // trusted slice (lang='en'), score EVERY doc's perplexity under
     // it, and cut the corpus into head/middle/tail terciles — the
     // canonical "keep what looks like the reference distribution"
-    // filter. Scale shape: model counts are vocab-bounded aggregates;
-    // scoring streams doc bigrams against the count tables with
-    // SHUFFLE_HASH equi-joins (the count side is model-sized, the doc
-    // side never sorts); V and the tercile total are 1-row broadcast
-    // bounds; the tercile CUT is q100/q108's bucketed two-level rank
-    // (integer ppl-unit buckets + a |value-range|-row offset table) —
-    // exact global rank, no corpus-wide single-partition sort, and
-    // head/middle/tail decided in integer arithmetic (rank*3 vs n),
-    // never on a float percentile boundary.
+    // filter. Scale shape (r8 verdict item 1): the count tables are
+    // TRAINED STATE — fit once per corpus plan (NgramLm.cachedBigram,
+    // shared with q151's Kneser–Ney scorer) and served materialized
+    // on every later execution, so the online path is scoring only:
+    // NgramLm.scoreBigrams broadcast-joins the model when its exact
+    // fitted size is small (occurrences never exchange; the scan's
+    // doc_id clustering survives to the per-doc aggregate) and
+    // switches to per-distinct-pair SHUFFLE_HASH scoring at scale
+    // (occurrence rows traverse exactly one exchange); V is a
+    // literal; the tercile CUT is q100/q108's bucketed two-level
+    // rank (integer ppl-unit buckets + a |value-range|-row offset
+    // table) — exact global rank, no corpus-wide single-partition
+    // sort, and head/middle/tail decided in integer arithmetic
+    // (rank*3 vs n), never on a float percentile boundary.
     "q136_ngram_perplexity" -> q { (spark, dir) =>
       val base = docs(spark, dir).select(col("doc_id"), col("lang"),
         TextAnalysis.tokens(col("text")).as("tk"))
-      val bg = base.select(col("doc_id"), col("lang"),
+      // plan-identical to q151's frame → ONE shared cached model
+      val m = graft.model.NgramLm.cachedBigram(base, "en")
+      val bg = base.select(col("doc_id"),
           explode(when(size(col("tk")) >= 2,
             sequence(lit(1), size(col("tk")) - 1))
             .otherwise(array().cast("array<int>"))).as("p"),
           col("tk"))
-        .select(col("doc_id"), col("lang"),
+        .select(col("doc_id"),
           element_at(col("tk"), col("p")).as("w1"),
           element_at(col("tk"), col("p") + 1).as("w2"))
-        // compute-once barrier (q125 pattern): the explode runs ONCE;
-        // the c12 aggregate and the scoring join both reuse this
-        // exchange ((w1,w2) clustering satisfies both), so only the
-        // vocab-skewed w1 join below re-exchanges — and that one rides
-        // AQE skew splitting at scale
-        .repartition(col("w1"), col("w2"))
-      val c12 = bg.filter(col("lang") === "en")
-        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-      val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
-      val v = c12.agg(countDistinct(col("w2")).as("v"))
-      val sc = bg
-        .join(c12.hint("shuffle_hash"), Seq("w1", "w2"), "left")
-        .join(c1.hint("shuffle_hash"), Seq("w1"), "left")
-        .crossJoin(broadcast(v))
-        .select(col("doc_id"),
-          log((coalesce(col("c12"), lit(0L)) + lit(0.5)) /
-            (coalesce(col("c1"), lit(0L)).cast("double") +
-              lit(0.5) * (col("v") + 1))).as("lp"))
+      val sc = graft.model.NgramLm.scoreBigrams(bg, m,
+        log((coalesce(col("c12"), lit(0L)) + lit(0.5)) /
+          (coalesce(col("c1"), lit(0L)).cast("double") +
+            lit(0.5) * (lit(m.v) + 1))),
+        useCont = false)
       val ppl = sc.groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bigrams"),
           pround(exp(-avg(col("lp"))), 4).as("ppl"))
         // integer ppl units: the SAME floor(x*1e4+0.5) pround computes,
         // so rank order == displayed-value order by construction
         .withColumn("__u", floor(col("ppl") * 1e4 + 0.5).cast("long"))
+      // __total rides out of the rank's own bucket table — no
+      // separate corpus-sized count job / broadcast
       val ranked = globalRankByUnits(ppl, "__u", "ppl_rank")
-      val n = ranked.agg(count(lit(1)).as("__n"))
       base.select(col("doc_id"))
         .join(ranked, Seq("doc_id"), "left")
-        .crossJoin(broadcast(n))
         .select(col("doc_id"),
           coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
           col("ppl"),
           col("ppl_rank"),
           when(col("ppl").isNull, lit(null).cast("string"))
-            .when(col("ppl_rank") * 3 <= col("__n"), lit("head"))
-            .when(col("ppl_rank") * 3 <= col("__n") * 2, lit("middle"))
+            .when(col("ppl_rank") * 3 <= col("__total"), lit("head"))
+            .when(col("ppl_rank") * 3 <= col("__total") * 2,
+              lit("middle"))
             .otherwise(lit("tail")).as("bucket"))
     },
 
@@ -3035,45 +3055,32 @@ object QueriesScale {
     // slice, raw = the whole corpus; a doc's log importance weight is
     // the sum over its features of log(p_target/p_raw) under Laplace-
     // smoothed bucket distributions, and the top quartile by per-
-    // feature weight is selected. Scale shape: both distributions are
-    // 4096-row aggregates; the log-ratio table BROADCASTS into one
-    // streaming score join (feature text never shuffles — only bucket
-    // ints); totals are 1-row broadcast bounds; selection is the same
-    // integer-unit two-level rank as q136 (desc via negated units) —
-    // no float percentile, no corpus-wide sort.
+    // feature weight is selected. Scale shape (r8 verdict item 1):
+    // the 4096-row log-ratio table is TRAINED STATE — fit once per
+    // corpus plan (NgramLm.cachedDsir, both distributions in one
+    // pass with the target count a conditional sum inside the raw
+    // count's aggregate) and served materialized afterwards. Scoring
+    // BROADCASTS it into one streaming join over the exploded
+    // bigrams (feature text never shuffles — only bucket ints), and
+    // the per-doc aggregate reuses the scan's doc_id clustering, so
+    // the cached online path adds ZERO corpus exchanges; selection
+    // is the same integer-unit two-level rank as q136 (desc via
+    // negated units) — no float percentile, no corpus-wide sort.
     "q137_dsir_weights" -> q { (spark, dir) =>
       val B = 4096
       val base = docs(spark, dir).select(col("doc_id"), col("lang"),
         TextAnalysis.tokens(col("text")).as("tk"))
-      val bg = base.select(col("doc_id"), col("lang"),
+      val lr = graft.model.NgramLm.cachedDsir(base, B, "en")
+      val bg = base.select(col("doc_id"),
           explode(when(size(col("tk")) >= 2,
             sequence(lit(1), size(col("tk")) - 1))
             .otherwise(array().cast("array<int>"))).as("p"),
           col("tk"))
-        .select(col("doc_id"), col("lang"),
+        .select(col("doc_id"),
           pmod(conv(substring(md5(concat_ws(" ",
             element_at(col("tk"), col("p")),
             element_at(col("tk"), col("p") + 1))), 1, 8), 16, 10)
             .cast("long"), lit(B.toLong)).as("b"))
-        // compute-once barrier: bucket ints are md5-uniform (no skew
-        // possible), so the distribution aggregate and the score join
-        // reuse ONE explode+hash exchange
-        .repartition(col("b"))
-      // BOTH distributions in one pass over the exploded bigrams: the
-      // target count is a conditional sum inside the raw count's
-      // aggregate (an en-only bucket with no rows would have been a
-      // NULL left-join slot — the conditional sum yields the same 0)
-      val g = bg.groupBy(col("b")).agg(
-        count(lit(1)).as("cr"),
-        sum(when(col("lang") === "en", lit(1L)).otherwise(lit(0L)))
-          .as("ct"))
-      val tot = g.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
-      val lr = g.crossJoin(broadcast(tot))
-        .select(col("b"),
-          (log((col("ct") + lit(1.0)) /
-            (col("nt") + lit(B.toDouble)))
-            - log((col("cr") + lit(1.0)) /
-              (col("nr") + lit(B.toDouble)))).as("lw"))
       val w = bg.join(broadcast(lr), Seq("b"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_feats"), sum(col("lw")).as("__s"))
@@ -3091,16 +3098,16 @@ object QueriesScale {
           (col("__au") / 1e6).as("avg_lw"),
           // NEGATED so the ascending rank machinery yields desc rank
           (-col("__au")).as("__u"))
+      // __total rides out of the rank's own bucket table — no
+      // separate corpus-sized count job / broadcast
       val ranked = globalRankByUnits(w, "__u", "sel_rank")
-      val n = ranked.agg(count(lit(1)).as("__n"))
       base.select(col("doc_id"))
         .join(ranked, Seq("doc_id"), "left")
-        .crossJoin(broadcast(n))
         .select(col("doc_id"),
           coalesce(col("n_feats"), lit(0L)).as("n_feats"),
           col("log_w"), col("avg_lw"), col("sel_rank"),
           when(col("sel_rank").isNull, lit(null).cast("boolean"))
-            .otherwise(col("sel_rank") * 4 <= col("__n"))
+            .otherwise(col("sel_rank") * 4 <= col("__total"))
             .as("selected"))
     },
 
@@ -3109,58 +3116,49 @@ object QueriesScale {
     // probability backoff), upgrading q136's add-α: p(w2|w1) =
     // max(c12−d,0)/c1 + d·N1+(w1,·)/c1 · N1+(·,w2)/N1+(··), pure
     // continuation for unseen contexts, 1e-10 floor for unseen words.
-    // Scale shape: q136's — model tables are vocab-bounded aggregates
-    // off ONE exploded-bigram exchange ((w1,w2) clustering feeds both
-    // the count aggregate and the pair join), scoring streams the
-    // corpus bigrams through three SHUFFLE_HASH model joins (the
-    // model side never corpus-sized), totals broadcast as 1 row.
-    // Engine-exactness: every model number is an integer count;
-    // the probability arithmetic is written in the identical order on
-    // both engines and the displayed perplexity rounds to 4dp.
+    // Scale shape (r8 verdict item 1): the model tables are TRAINED
+    // STATE — fit once per corpus plan via NgramLm.cachedBigram and
+    // SHARED with q136 (same c12/ctx tables, same cache entry), so
+    // the online path is scoring only: NgramLm.scoreBigrams
+    // broadcast-joins the model when its exact fitted size is small
+    // (occurrences never exchange) and switches to per-distinct-pair
+    // SHUFFLE_HASH scoring at scale (occurrence rows traverse
+    // exactly one exchange; the model side never corpus-sized);
+    // totals are literals. Engine-exactness: every model number is
+    // an integer count; the probability arithmetic is written in the
+    // identical order on both engines and the displayed perplexity
+    // rounds to 4dp.
     "q151_kneser_ney" -> q { (spark, dir) =>
       val base = docs(spark, dir).select(col("doc_id"), col("lang"),
         TextAnalysis.tokens(col("text")).as("tk"))
-      val bg = base.select(col("doc_id"), col("lang"),
+      // plan-identical to q136's frame → ONE shared cached model
+      val m = graft.model.NgramLm.cachedBigram(base, "en")
+      // a doc with <2 tokens emits ONE null-position sentinel row →
+      // null w1/w2 → null lp, so count(lp)=0 and avg(lp)=null give
+      // the (0, null) output row WITHOUT a corpus-table tail join
+      val bg = base.select(col("doc_id"),
           explode(when(size(col("tk")) >= 2,
             sequence(lit(1), size(col("tk")) - 1))
-            .otherwise(array().cast("array<int>"))).as("p"),
+            .otherwise(array(lit(null).cast("int")))).as("p"),
           col("tk"))
-        .select(col("doc_id"), col("lang"),
+        .select(col("doc_id"),
           element_at(col("tk"), col("p")).as("w1"),
           element_at(col("tk"), col("p") + 1).as("w2"))
-        .repartition(col("w1"), col("w2"))
-      val c12 = bg.filter(col("lang") === "en")
-        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-      // context table in ONE pass over the pair counts: total count
-      // AND distinct-continuation count (every c12 row is a type)
-      val ctx = c12.groupBy(col("w1"))
-        .agg(sum(col("c12")).as("c1"), count(lit(1)).as("nr"))
-      val cont = c12.groupBy(col("w2")).agg(count(lit(1)).as("nl"))
-      val nall = c12.agg(count(lit(1)).as("nall"))
       val d = lit(0.75)
       val pcont = coalesce(col("nl"), lit(0L)).cast("double") /
-        col("nall").cast("double")
+        lit(m.nall).cast("double")
       val p = when(col("c1").isNull, pcont)
         .otherwise(
           greatest(coalesce(col("c12"), lit(0L)).cast("double") - d,
             lit(0.0)) / col("c1").cast("double") +
             (d * col("nr").cast("double") / col("c1").cast("double"))
               * pcont)
-      val sc = bg
-        .join(c12.hint("shuffle_hash"), Seq("w1", "w2"), "left")
-        .join(ctx.hint("shuffle_hash"), Seq("w1"), "left")
-        .join(cont.hint("shuffle_hash"), Seq("w2"), "left")
-        .crossJoin(broadcast(nall))
-        .select(col("doc_id"),
-          log(greatest(p, lit(1e-10))).as("lp"))
-      val ppl = sc.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"),
+      val sc = graft.model.NgramLm.scoreBigrams(bg, m,
+        log(greatest(p, lit(1e-10))))
+      sc.groupBy(col("doc_id"))
+        .agg(count(col("lp")).as("n_bigrams"),
           pround(exp(-avg(col("lp"))), 4).as("kn_ppl"))
-      base.select(col("doc_id"))
-        .join(ppl, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-          col("kn_ppl"))
+        .select(col("doc_id"), col("n_bigrams"), col("kn_ppl"))
     },
 
     // Unigram-LM tokenizer, trained AND applied in-engine (the
@@ -5970,6 +5968,52 @@ object QueriesScale {
     // derives offsets as a running sum per shard. strlen() is DuckDB's
     // BYTE length, matching the parser's UTF-8 walk.
     "q147_warc_segment" ->
+      """WITH r AS (
+        |  SELECT doc_id, source, doc_id % 32 AS shard_id,
+        |         CASE WHEN doc_id % 31 = 5 THEN 'not found'
+        |              ELSE text END AS body,
+        |         CASE WHEN doc_id % 31 = 5 THEN '404 Not Found'
+        |              ELSE '200 OK' END AS stline,
+        |         CAST(CASE WHEN doc_id % 31 = 5 THEN 404 ELSE 200 END
+        |              AS BIGINT) AS st
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, shard_id, st, body,
+        |         'HTTP/1.1 ' || stline || chr(13) || chr(10) ||
+        |         'Content-Type: text/plain; charset=utf-8' ||
+        |         chr(13) || chr(10) ||
+        |         'Content-Length: ' || CAST(strlen(body) AS VARCHAR) ||
+        |         chr(13) || chr(10) || chr(13) || chr(10) || body AS http,
+        |         'http://corpus.example/' || source || '/' ||
+        |           CAST(doc_id AS VARCHAR) AS uri
+        |  FROM r),
+        |l AS (
+        |  SELECT doc_id, shard_id, st, body, http, uri,
+        |         strlen('WARC/1.0' || chr(13) || chr(10) ||
+        |           'WARC-Type: response' || chr(13) || chr(10) ||
+        |           'WARC-Target-URI: ' || uri || chr(13) || chr(10) ||
+        |           'Content-Length: ' || CAST(strlen(http) AS VARCHAR) ||
+        |           chr(13) || chr(10) || chr(13) || chr(10))
+        |         + strlen(http) + 4 AS rec_len
+        |  FROM h)
+        |SELECT shard_id,
+        |       CAST(row_number() OVER w AS BIGINT) - 1 AS rec_index,
+        |       CAST(73 + COALESCE(SUM(rec_len) OVER (
+        |         PARTITION BY shard_id ORDER BY doc_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |         AS BIGINT) AS rec_offset,
+        |       uri AS target_uri,
+        |       CAST(strlen(http) AS BIGINT) AS content_length,
+        |       st AS http_status,
+        |       CAST(strlen(body) AS BIGINT) AS body_len,
+        |       md5(body) AS body_md5
+        |FROM l WINDOW w AS (PARTITION BY shard_id ORDER BY doc_id)"""
+        .stripMargin,
+
+    // q152: gzip members inflate to the SAME byte stream q147 walks
+    // (offsets index the inflated stream), so the arithmetic oracle
+    // is q147's verbatim — compression must be output-invisible.
+    "q152_warc_gz_segment" ->
       """WITH r AS (
         |  SELECT doc_id, source, doc_id % 32 AS shard_id,
         |         CASE WHEN doc_id % 31 = 5 THEN 'not found'

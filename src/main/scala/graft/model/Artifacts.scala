@@ -145,6 +145,29 @@ object Artifacts {
                     path: String): org.apache.spark.sql.DataFrame =
     spark.read.parquet(path)
 
+  /** The q136/q151 bigram LM — [[NgramLm.BigramLm]]. Only the pair
+    * counts persist: ctx/cont/nall/v are exact integer projections of
+    * c12, so [[loadNgram]] re-derives them with vocab-bounded
+    * aggregates (never a corpus scan) and materializes the result —
+    * the loaded model is bit-identical to the fitted one. Unlike the
+    * other artifacts this one is NOT driver-sized at scale (billions
+    * of distinct bigrams at 100 TB), so it writes distributed —
+    * no repartition(1), no collect.
+    */
+  def saveNgram(model: NgramLm.BigramLm, path: String): Unit =
+    model.c12.write.mode("overwrite").parquet(path)
+
+  def loadNgram(spark: SparkSession, path: String): NgramLm.BigramLm = {
+    val c12 = Checkpoints.materialize(spark.read.parquet(path))
+    val ctx = Checkpoints.materialize(c12.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("nr")))
+    val cont = Checkpoints.materialize(c12.groupBy(col("w2"))
+      .agg(count(lit(1)).as("nl")))
+    val tot = c12.agg(count(lit(1)).as("nall"),
+      countDistinct(col("w2")).as("v")).head()
+    NgramLm.BigramLm(c12, ctx, cont, tot.getLong(0), tot.getLong(1))
+  }
+
   /** Linear-model weight vectors — q140's trained quality classifier
     * (and any (feature, weight) model). The ordinal pins position so
     * the margin expression rebuilds in training order; the name makes

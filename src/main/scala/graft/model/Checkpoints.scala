@@ -1,5 +1,6 @@
 package graft.model
 
+import org.apache.spark.SparkContext
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.LogicalRDD
 
@@ -24,10 +25,26 @@ import org.apache.spark.sql.execution.LogicalRDD
   * (r7 ADVICE item 2): per-round checkpoints in an iterative build
   * are garbage the moment the next round materializes, and waiting
   * for ContextCleaner GC pins executor storage for the JVM lifetime.
+  * It must be called ONLY on the exact frame returned by
+  * [[materialize]] (r8 ADVICE item 1): anything derived from a
+  * still-live checkpoint shares that checkpoint's leaf, and since
+  * truncation discarded the lineage behind it, unpersisting a shared
+  * leaf would break sibling frames unrecoverably. The guard is
+  * structural — a frame whose analyzed plan is not a single root
+  * LogicalRDD is a no-op, so a mistaken call can never reach a
+  * shared leaf.
   */
 object Checkpoints {
 
   val DirConf = "graft.checkpoint.dir"
+
+  /** The (context, raw conf value) last applied via setCheckpointDir —
+    * getCheckpointDir returns the RESOLVED URI (scheme-qualified), so
+    * comparing against the raw value needs this side record (r8
+    * ADVICE item 4: the old substring containment could silently skip
+    * setCheckpointDir when another path contained the conf value).
+    */
+  @volatile private var appliedDir: (SparkContext, String) = null
 
   /** Eagerly materialize `df` and truncate its lineage — local block
     * storage by default, reliable checkpoint when [[DirConf]] is set.
@@ -37,23 +54,41 @@ object Checkpoints {
     spark.conf.getOption(DirConf) match {
       case Some(dir) =>
         val sc = spark.sparkContext
-        if (!sc.getCheckpointDir.exists(_.contains(dir)))
+        val cur = appliedDir
+        if (cur == null || !(cur._1 eq sc) || cur._2 != dir ||
+            sc.getCheckpointDir.isEmpty) {
           sc.setCheckpointDir(dir)
+          appliedDir = (sc, dir)
+        }
         df.checkpoint(eager = true)
       case None =>
         df.localCheckpoint(eager = true)
     }
   }
 
-  /** Unpersist the block storage behind a frame previously returned
-    * by [[materialize]] (no-op for reliable-checkpoint files, which
-    * ContextCleaner removes when `spark.cleaner.referenceTracking
-    * .cleanCheckpoints` is on). Non-blocking; safe to call on any
-    * frame — only checkpoint-backed leaves are touched.
+  /** Free the storage behind a frame returned by [[materialize]]:
+    * unpersists the local-checkpoint blocks, and in reliable mode
+    * also DELETES the checkpoint files (r8 ADVICE item 5:
+    * `spark.cleaner.referenceTracking.cleanCheckpoints` is off by
+    * default, so iterative loops would otherwise accumulate one
+    * checkpoint directory per round on HDFS/S3 for the app
+    * lifetime). Non-blocking on the block side; a no-op for any
+    * frame that is not the direct output of [[materialize]] (see
+    * class doc — this protects shared checkpoint leaves).
     */
   def release(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
-      case l: LogicalRDD => l.rdd.unpersist(blocking = false)
-      case _ => ()
+    df.queryExecution.analyzed match {
+      case l: LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+        if (df.sparkSession.conf.getOption(DirConf).isDefined)
+          l.rdd.getCheckpointFile.foreach { p =>
+            try {
+              val path = new org.apache.hadoop.fs.Path(p)
+              val fs = path.getFileSystem(
+                df.sparkSession.sparkContext.hadoopConfiguration)
+              fs.delete(path, true)
+            } catch { case _: java.io.IOException => () }
+          }
+      case _ => () // derived frame: never touch shared leaves
     }
 }

@@ -17,6 +17,15 @@ import org.apache.spark.sql.DataFrame
   * Values are primitives (no session-bound state to evict), and an
   * entry is ~100 bytes, bounded by the number of distinct corpus
   * plans a JVM sizes against — never corpus-sized.
+  *
+  * Same-JVM staleness (r8 ADVICE item 3): the memo keys on the
+  * canonicalized PLAN, not file contents — if the files behind a path
+  * are REWRITTEN within one JVM (e.g. regenerating an sf dir between
+  * runs), a later construction reads the stale count. That trade is
+  * deliberate (checking file mtimes would reintroduce a filesystem
+  * round-trip per construction, and every other fit-once cache in the
+  * engine makes the same assumption); a harness that rewrites inputs
+  * in-place must call [[clear]] between corpora.
   */
 object CorpusStats {
   private val cache = new ConcurrentHashMap[String, java.lang.Long]()
@@ -31,4 +40,9 @@ object CorpusStats {
       countRunCount.incrementAndGet()
       df.count()
     })
+
+  /** Drop every memoized count — for harnesses that rewrite input
+    * files in-place within one JVM (see class doc).
+    */
+  def clear(): Unit = cache.clear()
 }

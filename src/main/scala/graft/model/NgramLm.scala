@@ -1,0 +1,210 @@
+package graft.model
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fit-once n-gram language models (r8 verdict item 1): the
+  * q136/q151 bigram count tables and q137's DSIR bucket log-ratio
+  * table are TRAINED STATE — exactly like the IVF centroids and the
+  * suffix-array span table — but were rebuilt from the corpus inside
+  * every query execution, which made the LM-scoring family the only
+  * >2×-behind queries in the catalog (and at 100 TB would re-scan
+  * the trusted slice per run).
+  *
+  * Discipline (the [[graft.sim.Similarity.trainedCentroids]] /
+  * [[graft.dedup.SuffixRepeats.repeatedSpanList]] pattern): the
+  * model tables are built ONCE per (corpus plan, params) key —
+  * vocab-bounded aggregates, eagerly materialized via
+  * [[Checkpoints.materialize]] so they live in executor storage with
+  * truncated lineage — and memoized in a process-wide map keyed by
+  * [[PlanKey]]. q136 and q151 construct plan-identical token frames,
+  * so they SHARE one [[BigramLm]] entry: whichever runs first pays
+  * the fit, the other scores against warm tables with zero model
+  * jobs (FitCacheSpec asserts it via [[fitRunCount]]).
+  *
+  * The tables are DataFrames, not driver collections, because an
+  * n-gram model is vocab-bounded but NOT driver-sized at 100 TB
+  * (billions of distinct bigrams): they stay distributed and join
+  * shuffle-hash into the scoring stream. Cross-job persistence is
+  * [[Artifacts.saveNgram]]/[[Artifacts.loadNgram]].
+  */
+object NgramLm {
+
+  /** Trained bigram model over a trusted slice:
+    *  - `c12`:  (w1, w2, c12)    — pair counts
+    *  - `ctx`:  (w1, c1, nr)     — context total + distinct
+    *                               continuations N1+(w1,·)
+    *  - `cont`: (w2, nl)         — continuation types N1+(·,w2)
+    *  - `nall`: total distinct pairs N1+(··)
+    *  - `v`:    distinct continuation vocabulary |{w2}|
+    * Everything an add-α (q136) or interpolated Kneser–Ney (q151)
+    * scorer needs; all values are integer counts, so the model is
+    * bit-identical however many times it is (re)built.
+    */
+  final case class BigramLm(c12: DataFrame, ctx: DataFrame,
+                            cont: DataFrame, nall: Long, v: Long)
+
+  private val bigramCache = new ConcurrentHashMap[String, BigramLm]()
+  private val dsirCache = new ConcurrentHashMap[String, DataFrame]()
+
+  /** Count of ACTUAL model fits (cache hits leave it untouched) —
+    * FitCacheSpec's zero-model-jobs-on-re-execution counter.
+    */
+  private[graft] val fitRunCount = new AtomicLong(0L)
+
+  private def live(df: DataFrame): Boolean =
+    !df.sparkSession.sparkContext.isStopped
+
+  private def evictDead[V](cache: ConcurrentHashMap[String, V],
+                           frame: V => DataFrame): Unit =
+    cache.forEach { (k, v) =>
+      if (!live(frame(v))) cache.remove(k)
+    }
+
+  /** The query-facing trained bigram LM: `base` must carry
+    * (doc_id, lang, tk) with `tk` the token array. First call per
+    * corpus plan pays one pass over the trusted slice (explode →
+    * three vocab-bounded aggregates + a 1-row totals job); every
+    * later call — including the 2nd/3rd bench rounds and the q136 ↔
+    * q151 cross-query hit — reads the materialized tables with zero
+    * model jobs. Counts are integers, so semantics are identical to
+    * building the tables inline.
+    */
+  def cachedBigram(base: DataFrame,
+                   trustedLang: String = "en"): BigramLm = {
+    val key = s"bigram:${PlanKey.of(base)}:$trustedLang"
+    val hit = bigramCache.get(key)
+    if (hit != null && live(hit.c12)) hit
+    else {
+      evictDead[BigramLm](bigramCache, _.c12)
+      fitRunCount.incrementAndGet()
+      val bg = base.filter(col("lang") === trustedLang)
+        .select(explode(when(size(col("tk")) >= 2,
+          sequence(lit(1), size(col("tk")) - 1))
+          .otherwise(array().cast("array<int>"))).as("p"),
+          col("tk"))
+        .select(element_at(col("tk"), col("p")).as("w1"),
+          element_at(col("tk"), col("p") + 1).as("w2"))
+      val c12 = Checkpoints.materialize(
+        bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12")))
+      // context table in ONE pass over the pair counts: total count
+      // AND distinct-continuation count (every c12 row is a type)
+      val ctx = Checkpoints.materialize(c12.groupBy(col("w1"))
+        .agg(sum(col("c12")).as("c1"), count(lit(1)).as("nr")))
+      val cont = Checkpoints.materialize(c12.groupBy(col("w2"))
+        .agg(count(lit(1)).as("nl")))
+      val tot = c12.agg(count(lit(1)).as("nall"),
+        countDistinct(col("w2")).as("v")).head()
+      val m = BigramLm(c12, ctx, cont, tot.getLong(0), tot.getLong(1))
+      bigramCache.put(key, m)
+      m
+    }
+  }
+
+  /** Broadcast-vs-shuffle cutover for the scoring joins, in PAIRS
+    * (c12 rows ≈ 50 B each → the default ≈ 200 MB broadcast, inside
+    * a healthy executor budget). The model's exact size is KNOWN at
+    * fit time (`nall`), so the decision needs no stats estimation —
+    * it is the AQE sized-join decision made with a certain number.
+    */
+  val BroadcastMaxPairsConf = "graft.ngram.broadcastMaxPairs"
+  private val DefaultBroadcastMaxPairs = 4000000L
+
+  /** Score a corpus bigram stream (doc_id, w1, w2) against a trained
+    * [[BigramLm]]: left-joins the model tables in, evaluates `lp`
+    * (a log-probability over the joined columns c12/c1/nr/nl), and
+    * returns (doc_id, lp) — the shared online path of q136 (add-α)
+    * and q151 (Kneser–Ney).
+    *
+    * Two shapes by MEASURED model size:
+    *  - model ≤ [[BroadcastMaxPairsConf]] pairs: BROADCAST joins —
+    *    bigram occurrences never exchange, the doc_id clustering of
+    *    the scan survives to the per-doc aggregate, and the whole
+    *    score is scan-shaped.
+    *  - larger (the 100 TB shape: billions of distinct bigrams):
+    *    log-probs are computed per DISTINCT corpus pair
+    *    (vocab-bounded; the distinct's partial aggregation means
+    *    only per-partition-distinct pairs exchange, never raw
+    *    occurrences) through SHUFFLE_HASH model joins, then joined
+    *    back — occurrence rows traverse exactly ONE exchange.
+    * Both shapes evaluate the identical expression over identical
+    * integer inputs, so results are bit-equal.
+    */
+  def scoreBigrams(bg: DataFrame, m: BigramLm, lp: org.apache.spark.sql.Column,
+                   useCont: Boolean = true): DataFrame = {
+    // sentinel rows (null w1 — a caller's marker for a doc with no
+    // bigrams) must flow through with a NULL score, so the per-doc
+    // aggregate sees the doc without a tail join: count(lp) skips it
+    val lpn = when(col("w1").isNull, lit(null).cast("double"))
+      .otherwise(lp)
+    val maxPairs = bg.sparkSession.conf
+      .getOption(BroadcastMaxPairsConf)
+      .map(_.toLong).getOrElse(DefaultBroadcastMaxPairs)
+    if (m.nall <= maxPairs) {
+      val j0 = bg.join(broadcast(m.c12), Seq("w1", "w2"), "left")
+        .join(broadcast(m.ctx), Seq("w1"), "left")
+      val j = if (useCont) j0.join(broadcast(m.cont), Seq("w2"), "left")
+        else j0
+      j.select(col("doc_id"), lpn.as("lp"))
+    } else {
+      val pairs = bg.select(col("w1"), col("w2")).distinct()
+      val plp0 = pairs
+        .join(m.c12.hint("shuffle_hash"), Seq("w1", "w2"), "left")
+        .join(m.ctx.hint("shuffle_hash"), Seq("w1"), "left")
+      val plp = (if (useCont)
+        plp0.join(m.cont.hint("shuffle_hash"), Seq("w2"), "left")
+      else plp0)
+        .select(col("w1").as("__pw1"), col("w2").as("__pw2"),
+          lpn.as("lp"))
+      // inner + null-safe keys: every corpus pair — the sentinel
+      // (null, null) included — is in plp by construction
+      bg.join(plp.hint("shuffle_hash"),
+          bg("w1") <=> col("__pw1") && bg("w2") <=> col("__pw2"))
+        .select(col("doc_id"), col("lp"))
+    }
+  }
+
+  /** The query-facing trained DSIR importance model (q137): the
+    * bucket log-ratio table (b, lw) — exactly `bBuckets` rows, so
+    * the scoring join BROADCASTS at any corpus size. `base` carries
+    * (doc_id, lang, tk); both the raw and target distributions come
+    * from one pass (the target count is a conditional sum inside the
+    * raw count's aggregate).
+    */
+  def cachedDsir(base: DataFrame, bBuckets: Int,
+                 trustedLang: String = "en"): DataFrame = {
+    val key = s"dsir:${PlanKey.of(base)}:$bBuckets:$trustedLang"
+    val hit = dsirCache.get(key)
+    if (hit != null && live(hit)) hit
+    else {
+      evictDead[DataFrame](dsirCache, identity)
+      fitRunCount.incrementAndGet()
+      val bg = base.select(col("lang"),
+        explode(when(size(col("tk")) >= 2,
+          sequence(lit(1), size(col("tk")) - 1))
+          .otherwise(array().cast("array<int>"))).as("p"),
+        col("tk"))
+        .select(col("lang"),
+          pmod(conv(substring(md5(concat_ws(" ",
+            element_at(col("tk"), col("p")),
+            element_at(col("tk"), col("p") + 1))), 1, 8), 16, 10)
+            .cast("long"), lit(bBuckets.toLong)).as("b"))
+      val g = bg.groupBy(col("b")).agg(
+        count(lit(1)).as("cr"),
+        sum(when(col("lang") === trustedLang, lit(1L))
+          .otherwise(lit(0L))).as("ct"))
+      val tot = g.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+      val lr = Checkpoints.materialize(g.crossJoin(broadcast(tot))
+        .select(col("b"),
+          (log((col("ct") + lit(1.0)) /
+            (col("nt") + lit(bBuckets.toDouble)))
+            - log((col("cr") + lit(1.0)) /
+              (col("nr") + lit(bBuckets.toDouble)))).as("lw")))
+      dsirCache.put(key, lr)
+      lr
+    }
+  }
+}

@@ -14,17 +14,33 @@ import org.apache.spark.sql.functions._
   * exactly this: split each container into records, parse the record
   * and HTTP headers, and emit (uri, status, payload) rows. (The
   * reference pipeline ingests JSON API responses —
-  * reference `src/espn_client.py` — and has no crawl layer; this is
-  * brief-driven scale work.)
+  * reference `src/ingestion.py:32-54` — and has no crawl layer; this
+  * is brief-driven scale work.)
   *
   * Scope (the codec-seam discipline of [[graft.multimodal.Multimodal]]):
   * WARC/1.0, CRLF header lines, `Content-Length`-delimited blocks,
   * `response` records carrying `application/http` payloads; records of
   * other WARC-Types are walked over (their length still comes from the
-  * real header parse) but not emitted. Malformed framing — a missing
-  * version line, an unparsable Content-Length, a truncated block —
-  * aborts the walk at that point and returns what was parsed before
-  * it, so one corrupt container tail cannot poison a batch.
+  * real header parse) but not emitted. Gzip containers — the actual
+  * Common Crawl delivery format, one gzip member per record
+  * concatenated into `*.warc.gz` — are detected by magic bytes and
+  * member-wise inflated inside the same partition-local walk
+  * ([[gunzipMembers]]); record offsets are positions in the inflated
+  * stream, so plain and gzipped forms of one container parse
+  * identically. Malformed framing — a missing version line, an
+  * unparsable Content-Length, a truncated block, a corrupt gzip
+  * member — aborts the walk at that point and returns what was parsed
+  * before it, so one corrupt container tail cannot poison a batch.
+  *
+  * Body decode is charset-aware ([[decodeBody]]): the HTTP
+  * Content-Type `charset=` parameter wins, then an HTML5-style
+  * prescan of the first 1024 bytes for a `<meta charset>` /
+  * `http-equiv` declaration; with no declaration the body is decoded
+  * as strict UTF-8 and falls back to ISO-8859-1 when invalid (every
+  * byte sequence is valid latin-1, so the fallback is total).
+  * Supported names: the UTF-8/ISO-8859-1/windows-1252/US-ASCII
+  * family; anything else takes the sniff-then-fallback path —
+  * deliberately minimal, documented, and deterministic.
   *
   * Scale shape: parsing is partition-local (`mapPartitions`), one
   * record walk per container, payload bytes never shuffle — the
@@ -50,12 +66,39 @@ object WarcIngest {
 
   private val CRLF = "\r\n"
 
-  /** Parse one WARC container. Returns emitted `response` records in
-    * offset order; `shard_id` is caller-provided provenance (file or
-    * shard id), `body_text` is the HTTP body decoded as UTF-8 (the
-    * downstream text-pipeline hand-off).
+  /** True when the container starts with the gzip magic (RFC 1952). */
+  private[sources] def isGzip(bytes: Array[Byte]): Boolean =
+    bytes.length >= 2 && bytes(0) == 0x1f.toByte && bytes(1) == 0x8b.toByte
+
+  /** Inflate a (possibly multi-member — the `.warc.gz` layout is one
+    * member per record) gzip stream, partition-locally. Truncation
+    * recovery mirrors the plain walk's: a corrupt or truncated member
+    * stops inflation there and returns the bytes already produced, so
+    * the record walk parses the intact prefix. `GZIPInputStream`
+    * consumes concatenated members natively and verifies each
+    * member's CRC32.
     */
-  def parseContainer(shardId: Long, bytes: Array[Byte]): Seq[WarcRecord] = {
+  private[sources] def gunzipMembers(bytes: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(
+      math.max(64, bytes.length * 4))
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes), 64 * 1024)
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    } catch { case _: java.io.IOException => () }
+    out.toByteArray
+  }
+
+  /** Parse one WARC container (plain or gzipped — see [[isGzip]]).
+    * Returns emitted `response` records in offset order; `shard_id`
+    * is caller-provided provenance (file or shard id), `body_text` is
+    * the HTTP body decoded charset-aware ([[decodeBody]]) — the
+    * downstream text-pipeline hand-off.
+    */
+  def parseContainer(shardId: Long, raw: Array[Byte]): Seq[WarcRecord] = {
+    val bytes = if (isGzip(raw)) gunzipMembers(raw) else raw
     val md = MessageDigest.getInstance("MD5")
     val out = scala.collection.mutable.ArrayBuffer.empty[WarcRecord]
     var pos = 0
@@ -117,10 +160,21 @@ object WarcIngest {
           } else 0L
         var bp = if (sLine == null) blockStart else sLine._2
         var httpBlank = false
+        var httpContentType: String = null
         while (!httpBlank && bp < blockStart + contentLength) {
           val l = readLine(bytes, bp)
           if (l == null) httpBlank = true
-          else { bp = l._2; if (l._1.isEmpty) httpBlank = true }
+          else {
+            bp = l._2
+            if (l._1.isEmpty) httpBlank = true
+            else {
+              val ci = l._1.indexOf(':')
+              if (ci > 0 &&
+                  l._1.substring(0, ci).trim
+                    .equalsIgnoreCase("content-type"))
+                httpContentType = l._1.substring(ci + 1).trim
+            }
+          }
         }
         val bodyLen = (blockStart + contentLength - bp).max(0L)
         val body = new Array[Byte](bodyLen.toInt)
@@ -129,11 +183,94 @@ object WarcIngest {
         val digest = md.digest(body)
         val hex = digest.map(b => f"${b & 0xff}%02x").mkString
         out += WarcRecord(shardId, recIndex, recOffset.toLong, targetUri,
-          contentLength, status, bodyLen, hex, new String(body, UTF_8))
+          contentLength, status, bodyLen, hex,
+          decodeBody(body, httpContentType))
         recIndex += 1
       }
     }
     out.toSeq
+  }
+
+  /** Resolve a declared charset name to a supported JDK charset.
+    * Whitelisted (determinism over completeness): the UTF-8 family,
+    * the latin-1 family, windows-1252 (the HTML5 superset of
+    * latin-1 — decoded as itself, not approximated), US-ASCII.
+    * Unknown names return None → the caller's sniff/fallback path.
+    */
+  private def namedCharset(name: String)
+      : Option[java.nio.charset.Charset] = {
+    val n = name.trim.stripPrefix("\"").stripSuffix("\"")
+      .stripPrefix("'").stripSuffix("'").toLowerCase
+    n match {
+      case "utf-8" | "utf8" =>
+        Some(UTF_8)
+      case "iso-8859-1" | "iso8859-1" | "latin-1" | "latin1" |
+           "l1" | "iso_8859-1" =>
+        Some(java.nio.charset.StandardCharsets.ISO_8859_1)
+      case "windows-1252" | "cp1252" | "cp-1252" =>
+        Some(java.nio.charset.Charset.forName("windows-1252"))
+      case "us-ascii" | "ascii" =>
+        Some(java.nio.charset.StandardCharsets.US_ASCII)
+      case _ => None
+    }
+  }
+
+  /** Extract `charset=` from a Content-Type value (header or meta). */
+  private def charsetParam(contentType: String)
+      : Option[java.nio.charset.Charset] = {
+    val lower = contentType.toLowerCase
+    val i = lower.indexOf("charset=")
+    if (i < 0) None
+    else {
+      val rest = contentType.substring(i + 8)
+      val end = rest.indexWhere(c => c == ';' || c == ' ' || c == '>')
+      namedCharset(if (end < 0) rest else rest.substring(0, end))
+    }
+  }
+
+  /** HTML5-style charset prescan of the first 1024 body bytes
+    * (decoded as latin-1, which is total, for the scan itself):
+    * `<meta charset="...">` or
+    * `<meta http-equiv="content-type" content="...; charset=...">`.
+    */
+  private val MetaCharsetRe =
+    """(?i)<meta[^>]*charset\s*=\s*["']?([A-Za-z0-9_\-]+)""".r
+
+  private def metaCharset(body: Array[Byte])
+      : Option[java.nio.charset.Charset] = {
+    val n = math.min(body.length, 1024)
+    val head = new String(body, 0, n,
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    MetaCharsetRe.findFirstMatchIn(head)
+      .flatMap(m => namedCharset(m.group(1)))
+  }
+
+  /** Charset-aware body decode (r8 verdict item 3): HTTP header
+    * `charset=` wins, then the meta prescan; undeclared bodies decode
+    * as STRICT UTF-8 with an ISO-8859-1 fallback when invalid (latin-1
+    * is total over bytes, so the fallback never throws and never
+    * silently mangles valid UTF-8 — the old behavior decoded
+    * EVERYTHING as lenient UTF-8, turning latin-1 bytes into U+FFFD).
+    */
+  private[sources] def decodeBody(body: Array[Byte],
+                                  contentType: String): String = {
+    val declared = Option(contentType).flatMap(charsetParam)
+      .orElse(metaCharset(body))
+    declared match {
+      case Some(cs) => new String(body, cs)
+      case None =>
+        try {
+          val dec = UTF_8.newDecoder()
+            .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+            .onUnmappableCharacter(
+              java.nio.charset.CodingErrorAction.REPORT)
+          dec.decode(java.nio.ByteBuffer.wrap(body)).toString
+        } catch {
+          case _: java.nio.charset.CharacterCodingException =>
+            new String(body,
+              java.nio.charset.StandardCharsets.ISO_8859_1)
+        }
+    }
   }
 
   /** Read a CRLF-terminated ASCII line starting at `pos`; returns
@@ -163,16 +300,18 @@ object WarcIngest {
       })
   }
 
-  /** File-based ingest: every *.warc under `path` becomes one
-    * container row (shard_id = a stable hash of the file path), then
-    * [[warcRecords]] segments it. The production entry point — the
-    * synthesized-container path exists so the catalog query can be
-    * oracle-checked without binary fixtures in testdata.
+  /** File-based ingest: every *.warc / *.warc.gz under `path` becomes
+    * one container row (shard_id = a stable hash of the file path),
+    * then [[warcRecords]] segments it — gzip is detected per
+    * container by magic bytes, so mixed directories work. The
+    * production entry point — the synthesized-container path exists
+    * so the catalog query can be oracle-checked without binary
+    * fixtures in testdata.
     */
   def readWarcFiles(spark: org.apache.spark.sql.SparkSession,
                     path: String): Dataset[WarcRecord] = {
     val files = spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.warc").load(path)
+      .option("pathGlobFilter", "*.warc*").load(path)
       .select(xxhash64(col("path")).as("shard_id"),
         col("content").as("payload"))
     warcRecords(files)
@@ -245,6 +384,46 @@ object WarcIngest {
           sb.append(docRecord(id, src, text, errEvery, contentType))
         }
         (shard, sb.toString.getBytes(UTF_8))
+      }
+      .toDF("shard_id", "payload")
+  }
+
+  /** Gzip one record's bytes as ONE gzip member (the `.warc.gz`
+    * member-per-record layout).
+    */
+  private def gzipMember(bytes: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(bytes.length / 2 + 32)
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(bytes); gz.finish(); gz.close()
+    bos.toByteArray
+  }
+
+  /** [[warcShardsFromDocs]] in the Common Crawl delivery format: the
+    * SAME records, each compressed as its own gzip member and the
+    * members concatenated — so the parse output (offsets included:
+    * they index the inflated stream) is bit-identical to the plain
+    * container's, and q152 can share q147's arithmetic oracle.
+    */
+  def warcGzShardsFromDocs(docs: DataFrame, nShards: Int = 32,
+                           errEvery: Long = 31L,
+                           contentType: String =
+                             "text/plain; charset=utf-8"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select((col("doc_id") % nShards).cast("long").as("shard_id"),
+        col("doc_id").cast("long"), col("source"), col("text"))
+      .as[(Long, Long, String, String)]
+      .groupByKey(_._1)
+      .mapGroups { (shard, rows) =>
+        val recs = rows.toArray.sortBy(_._2)
+        val bos = new java.io.ByteArrayOutputStream()
+        bos.write(gzipMember(InfoPreamble.getBytes(UTF_8)))
+        recs.foreach { case (_, id, src, text) =>
+          bos.write(gzipMember(
+            docRecord(id, src, text, errEvery, contentType)
+              .getBytes(UTF_8)))
+        }
+        (shard, bos.toByteArray)
       }
       .toDF("shard_id", "payload")
   }

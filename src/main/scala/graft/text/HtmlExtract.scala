@@ -83,13 +83,22 @@ object HtmlExtract {
             i = j + 1
             name match {
               case "script" | "style" if !closing =>
-                // raw-text element: scan for the literal close tag
+                // raw-text element: scan FORWARD for the close tag
+                // with a case-insensitive regionMatches walk — never
+                // lowercase a copy of the whole document per tag (r8
+                // ADVICE item 2: that was O(len × nScripts) time and
+                // garbage on real pages)
                 val close = "</" + name
-                val k = html.toLowerCase(java.util.Locale.ROOT)
-                  .indexOf(close, i)
-                if (k < 0) i = n
+                var k = i
+                var found = -1
+                while (found < 0 && k <= n - close.length) {
+                  if (html.regionMatches(true, k, close, 0,
+                      close.length)) found = k
+                  else k += 1
+                }
+                if (found < 0) i = n
                 else {
-                  val endGt = html.indexOf('>', k)
+                  val endGt = html.indexOf('>', found)
                   i = if (endGt < 0) n else endGt + 1
                 }
               case "title" => inTitle = !closing

@@ -67,7 +67,8 @@ class CheckpointModeSpec extends SparkSpec {
       "reliable mode must have written checkpoint files")
   }
 
-  test("BPE learning is bit-identical in reliable mode") {
+  test("BPE learning is bit-identical in reliable mode, and " +
+      "superseded round checkpoints are deleted (r8 ADVICE 5)") {
     val docs = Seq((1L, "aa ab aa ab aa cd cd"),
       (2L, "aa ab cd ee ee ee")).toDF("doc_id", "text")
     val local = graft.text.BpeLearn.learnMerges(docs, nMerges = 4)
@@ -76,7 +77,29 @@ class CheckpointModeSpec extends SparkSpec {
       graft.text.BpeLearn.learnMerges(docs, nMerges = 4)
     }
     assert(reliable == local)
-    assert(filesUnder(dir) > 0,
-      "reliable mode must have written checkpoint files")
+    // reliable mode engaged: setCheckpointDir created its app subdir
+    val subdirs = {
+      val s = java.nio.file.Files.list(dir)
+      try s.count() finally s.close()
+    }
+    assert(subdirs > 0, "reliable mode must have used the directory")
+    // every BPE round's checkpoint is superseded by the next and the
+    // merge list outlives them all as driver data — release() must
+    // have DELETED each round's files, or a real cluster accumulates
+    // one directory per merge round for the app lifetime
+    assert(filesUnder(dir) == 0,
+      s"superseded round checkpoints must be deleted, found " +
+        s"${filesUnder(dir)} files")
+  }
+
+  test("release() is a no-op on frames derived from a checkpoint " +
+      "(r8 ADVICE 1: shared leaves must never be unpersisted)") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val ck = Checkpoints.materialize(base)
+    val derived = ck.filter($"id" > 1L) // shares ck's LogicalRDD leaf
+    Checkpoints.release(derived)        // must NOT touch the leaf
+    // the shared checkpoint must still be readable after the call
+    assert(ck.count() == 3L && derived.count() == 2L)
+    Checkpoints.release(ck)             // the real release still works
   }
 }

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.model.{Artifacts, NgramLm}
+import graft.text.TextAnalysis
+
+/** Fit-once n-gram LM caching (r8 verdict item 1): the q136/q151
+  * count tables and q137's DSIR log-ratio table are trained state —
+  * the SECOND execution of any query in the family must launch ZERO
+  * model-build jobs, q136 and q151 must share ONE cache entry, and
+  * the broadcast/shuffle scoring shapes must be bit-equal.
+  */
+class NgramLmSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def run(name: String): Unit =
+    QueriesScale.queries(name)(spark, dir).write
+      .mode("overwrite").format("noop").save()
+
+  private def rows(name: String): Set[Row] =
+    QueriesScale.queries(name)(spark, dir).collect().toSet
+
+  test("q136/q151 share one bigram model; re-execution never refits") {
+    run("q136_ngram_perplexity")
+    val afterFirst = NgramLm.fitRunCount.get()
+    run("q151_kneser_ney")
+    run("q136_ngram_perplexity")
+    run("q151_kneser_ney")
+    assert(NgramLm.fitRunCount.get() == afterFirst,
+      "q151/q136-again must reuse q136's fitted bigram model " +
+        "(zero model-build jobs)")
+  }
+
+  test("q137 re-execution never refits the DSIR model") {
+    run("q137_dsir_weights")
+    val afterFirst = NgramLm.fitRunCount.get()
+    run("q137_dsir_weights")
+    assert(NgramLm.fitRunCount.get() == afterFirst,
+      "q137 must reuse its fitted DSIR log-ratio table")
+  }
+
+  test("broadcast and shuffle scoring shapes are bit-equal") {
+    // the sized decision (NgramLm.scoreBigrams) only changes WHERE
+    // the model joins run, never the arithmetic — force the 100 TB
+    // shuffle path and compare against the default broadcast path
+    val bcast = Seq("q136_ngram_perplexity", "q151_kneser_ney")
+      .map(n => n -> rows(n)).toMap
+    spark.conf.set(NgramLm.BroadcastMaxPairsConf, "0")
+    try {
+      bcast.foreach { case (n, expected) =>
+        assert(rows(n) == expected,
+          s"$n: shuffle-path result diverged from broadcast path")
+      }
+    } finally spark.conf.unset(NgramLm.BroadcastMaxPairsConf)
+  }
+
+  test("docs with <2 tokens surface as (0 bigrams, null ppl) rows") {
+    // the q151 sentinel shape: short docs emit one null-position row
+    // instead of requiring a corpus-table tail join — on BOTH shapes
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("ngram_short")
+      .toString
+    Seq(
+      (0L, "the cat sat on the mat", "en", "s", 22L),
+      (1L, "one", "en", "s", 3L),          // 1 token: no bigrams
+      (2L, "", "en", "s", 0L),             // 0 tokens
+      (3L, "the cat sat", "fr", "s", 11L)  // scored, not trusted
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    def out(): Map[Long, (Long, Option[Double])] =
+      QueriesScale.queries("q151_kneser_ney")(spark, tmp).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    val b = out()
+    assert(b.keySet == Set(0L, 1L, 2L, 3L), s"every doc must appear: $b")
+    assert(b(1L) == ((0L, None)) && b(2L) == ((0L, None)),
+      s"short docs must be (0, null): $b")
+    assert(b(0L)._1 == 5L && b(0L)._2.isDefined)
+    spark.conf.set(NgramLm.BroadcastMaxPairsConf, "0")
+    try assert(out() == b, "sentinel rows must survive the shuffle " +
+      "path's null-safe score join")
+    finally spark.conf.unset(NgramLm.BroadcastMaxPairsConf)
+  }
+
+  test("saveNgram/loadNgram round-trips the model exactly") {
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.tokens(col("text")).as("tk"))
+    val fitted = NgramLm.cachedBigram(base, "en")
+    val tmp = java.nio.file.Files.createTempDirectory("ngram_art")
+      .toString
+    Artifacts.saveNgram(fitted, s"$tmp/bigram")
+    val before = NgramLm.fitRunCount.get()
+    val loaded = Artifacts.loadNgram(spark, s"$tmp/bigram")
+    assert(NgramLm.fitRunCount.get() == before,
+      "loading an artifact must not trigger a fit")
+    assert(loaded.nall == fitted.nall && loaded.v == fitted.v)
+    def tbl(df: org.apache.spark.sql.DataFrame): Set[Row] =
+      df.collect().toSet
+    assert(tbl(loaded.c12) == tbl(fitted.c12))
+    assert(tbl(loaded.ctx) == tbl(fitted.ctx))
+    assert(tbl(loaded.cont) == tbl(fitted.cont))
+  }
+}

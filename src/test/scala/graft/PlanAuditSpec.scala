@@ -421,14 +421,45 @@ class PlanAuditSpec extends SparkSpec {
       conf.set("spark.sql.adaptive.enabled", _))
   }
 
-  test("kneser-ney model joins hash, never sort-merge, the corpus") {
+  test("kneser-ney scoring: small model broadcasts, zero corpus joins") {
+    // NgramLm.scoreBigrams' sized decision, small side: at sf0.001
+    // the fitted model is far under the pair threshold, so every
+    // model join must be a BROADCAST (occurrence rows never exchange
+    // for scoring) and nothing may sort the bigram stream
     val p = plan("q151_kneser_ney")
-    assert(p.contains("ShuffledHashJoin"),
-      s"q151's model joins must be SHUFFLE_HASH (the model side is " +
-        s"vocab-bounded; sorting the corpus bigram stream three times " +
-        s"is the failure mode):\n${p.take(3000)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q151's small-model joins must broadcast:\n${p.take(3000)}")
     assert(!p.contains("SortMergeJoin"),
       s"q151 must not sort the bigram stream:\n${p.take(3000)}")
+    assert(!p.contains("ShuffledHashJoin"),
+      s"a small fitted model must not shuffle the corpus:\n${p.take(3000)}")
+  }
+
+  test("kneser-ney scoring at scale: shuffle-hash, never sort-merge") {
+    // the 100 TB shape: force the sized decision to the large-model
+    // path — log-probs per DISTINCT pair through SHUFFLE_HASH model
+    // joins (the model side is vocab-bounded; sorting the corpus
+    // bigram stream is the failure mode)
+    spark.conf.set(graft.model.NgramLm.BroadcastMaxPairsConf, "0")
+    try {
+      val p = plan("q151_kneser_ney")
+      assert(p.contains("ShuffledHashJoin"),
+        s"q151's large-model joins must be SHUFFLE_HASH:\n${p.take(3000)}")
+      assert(!p.contains("SortMergeJoin"),
+        s"q151 must not sort the bigram stream:\n${p.take(3000)}")
+    } finally spark.conf.unset(graft.model.NgramLm.BroadcastMaxPairsConf)
+  }
+
+  test("gzip warc segmentation: same one-exchange local-parse shape") {
+    // member-wise inflation happens INSIDE the partition-local walk —
+    // compression must not change the plan
+    val p = plan("q152_warc_gz_segment")
+    val nEx = "Exchange".r.findAllIn(p).length
+    assert(nEx == 1,
+      s"q152 expected exactly the container-assembly exchange, got " +
+        s"$nEx:\n${p.take(3000)}")
+    assert(p.contains("MapPartitions"),
+      s"q152 parse/inflate must be a mapPartitions seam:\n${p.take(2000)}")
   }
 
   test("warc segmentation: one assembly exchange, parse stays local") {
