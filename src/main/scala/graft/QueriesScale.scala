@@ -88,12 +88,24 @@ object QueriesScale {
     * output also carries `__total` (the ranked row count, summed in
     * the same tiny bucket-table pass) so callers cutting by rank
     * fraction need no separate corpus-sized count job.
+    *
+    * NULL-unit rows (the sentinel shape: docs with nothing to rank)
+    * flow THROUGH with a null rank/total instead of forcing callers
+    * into a corpus-table tail join: they are excluded from the
+    * bucket table, spread across partitions by doc_id (a null hash
+    * key would pile every unrankable doc into one partition at
+    * 100 TB), and pick up null offsets from the LEFT offset join.
     */
   private def globalRankByUnits(df: DataFrame, units: String,
       rankName: String): DataFrame = {
     val b = df.withColumn("__bk", floor(col(units) / lit(10000L)))
-      .repartition(col("__bk"))
-    val bt = b.groupBy(col("__bk")).agg(count(lit(1)).as("__bn"))
+      // constant second key for ranked rows keeps each bucket whole;
+      // null-bucket rows spread by doc_id
+      .withColumn("__sp", when(col("__bk").isNull, col("doc_id"))
+        .otherwise(lit(0L)))
+      .repartition(col("__bk"), col("__sp"))
+    val bt = b.filter(col("__bk").isNotNull)
+      .groupBy(col("__bk")).agg(count(lit(1)).as("__bn"))
     val wb = Window.orderBy(col("__bk").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val wa = Window.orderBy(col("__bk").asc)
@@ -102,12 +114,12 @@ object QueriesScale {
       .withColumn("__off", coalesce(sum(col("__bn")).over(wb), lit(0L)))
       .withColumn("__total", sum(col("__bn")).over(wa))
       .select(col("__bk"), col("__off"), col("__total"))
-    val wr = Window.partitionBy(col("__bk"))
+    val wr = Window.partitionBy(col("__bk"), col("__sp"))
       .orderBy(col(units).asc, col("doc_id").asc)
-    b.join(broadcast(off), Seq("__bk"))
+    b.join(broadcast(off), Seq("__bk"), "left")
       .withColumn(rankName,
         (row_number().over(wr) + col("__off")).cast("long"))
-      .drop("__bk", "__off", units)
+      .drop("__bk", "__sp", "__off", units)
   }
 
   /** Banded-LSH pair join + exact nibble-xor hamming rescore over an
@@ -2468,6 +2480,57 @@ object QueriesScale {
     // strip-all-tags extractor — which would leak "Home About" and
     // the footer into main_text — fails the hash, as does any
     // entity/escape asymmetry. Scan-parallel per row, zero exchanges.
+    // robots.txt crawl screening (RFC 9309) — the admission step
+    // between URL canonicalization (q149) and fetch: each host's
+    // robots.txt (synthesized deterministically per source, with an
+    // other-bot group that must be IGNORED and a graftbot group that
+    // OVERRIDES the * group on even-length hosts) parses ONCE per
+    // host into a rule array, and every candidate URL is decided by
+    // longest-match precedence (most pattern octets; Allow wins
+    // ties; no match ⇒ allowed) with *-wildcards and $-anchors.
+    // Scale shape: parsing is host-bounded; the rule table BROADCASTS
+    // into one scan-shaped decision pass (a native glob walk — no
+    // regex compiles, URLs never shuffle); the oracle re-derives the
+    // per-source rule sets and replays the precedence with LIKE
+    // translations of the same patterns.
+    "q153_robots_screen" -> q { (spark, dir) =>
+      import graft.sources.RobotsIngest
+      val d = docs(spark, dir)
+      val star = "User-agent: other-bot\nDisallow: /\n\n" +
+        "User-agent: *\nDisallow: /nav\nAllow: /nav/ok*\n" +
+        "Disallow: /*.tmp$\nDisallow: /id/\nAllow: /id/*4$\n" +
+        "Crawl-delay: 2\n"
+      val agentGroup =
+        "User-agent: graftbot\nDisallow: /nav\nDisallow: /*.tmp$\n\n"
+      val hosts = d.select(col("source")).distinct()
+        .withColumn("robots_txt",
+          concat(lit("# synthetic robots\n"),
+            when(length(col("source")) % 2 === 0, lit(agentGroup))
+              .otherwise(lit("")),
+            lit(star)))
+        .select(col("source"),
+          RobotsIngest.robotsRules(col("robots_txt"), "graftbot")
+            .as("rules"))
+      val urls = d.select(col("doc_id"), col("source"),
+        when(col("doc_id") % 6 === 0,
+          concat(lit("/nav/ok/"), col("doc_id")))
+          .when(col("doc_id") % 6 === 1, lit("/nav/menu"))
+          .when(col("doc_id") % 6 === 2,
+            concat(lit("/id/"), col("doc_id")))
+          .when(col("doc_id") % 6 === 3,
+            concat(lit("/files/"), col("doc_id"), lit(".tmp")))
+          .when(col("doc_id") % 6 === 4,
+            concat(lit("/files/"), col("doc_id"), lit(".tmpx")))
+          .otherwise(lit("/about")).as("path"))
+      urls.join(broadcast(hosts), Seq("source"))
+        .withColumn("dc",
+          RobotsIngest.robotsDecide(col("path"), col("rules")))
+        .select(col("doc_id"), col("path"),
+          col("dc.allowed").as("allowed"),
+          col("dc.rule").as("rule"),
+          col("dc.match_len").cast("long").as("match_len"))
+    },
+
     "q148_html_extract" -> q { (spark, dir) =>
       import graft.text.HtmlExtract
       HtmlExtract.pagesFromDocs(docs(spark, dir))
@@ -3015,10 +3078,13 @@ object QueriesScale {
         TextAnalysis.tokens(col("text")).as("tk"))
       // plan-identical to q151's frame → ONE shared cached model
       val m = graft.model.NgramLm.cachedBigram(base, "en")
+      // a doc with <2 tokens emits ONE null-position sentinel row →
+      // null lp → (0 bigrams, null ppl, null rank) flows through the
+      // aggregate AND the null-aware rank with no corpus tail join
       val bg = base.select(col("doc_id"),
           explode(when(size(col("tk")) >= 2,
             sequence(lit(1), size(col("tk")) - 1))
-            .otherwise(array().cast("array<int>"))).as("p"),
+            .otherwise(array(lit(null).cast("int")))).as("p"),
           col("tk"))
         .select(col("doc_id"),
           element_at(col("tk"), col("p")).as("w1"),
@@ -3029,18 +3095,16 @@ object QueriesScale {
             lit(0.5) * (lit(m.v) + 1))),
         useCont = false)
       val ppl = sc.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"),
+        .agg(count(col("lp")).as("n_bigrams"),
           pround(exp(-avg(col("lp"))), 4).as("ppl"))
         // integer ppl units: the SAME floor(x*1e4+0.5) pround computes,
         // so rank order == displayed-value order by construction
         .withColumn("__u", floor(col("ppl") * 1e4 + 0.5).cast("long"))
       // __total rides out of the rank's own bucket table — no
       // separate corpus-sized count job / broadcast
-      val ranked = globalRankByUnits(ppl, "__u", "ppl_rank")
-      base.select(col("doc_id"))
-        .join(ranked, Seq("doc_id"), "left")
+      globalRankByUnits(ppl, "__u", "ppl_rank")
         .select(col("doc_id"),
-          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          col("n_bigrams"),
           col("ppl"),
           col("ppl_rank"),
           when(col("ppl").isNull, lit(null).cast("string"))
@@ -3071,19 +3135,23 @@ object QueriesScale {
       val base = docs(spark, dir).select(col("doc_id"), col("lang"),
         TextAnalysis.tokens(col("text")).as("tk"))
       val lr = graft.model.NgramLm.cachedDsir(base, B, "en")
+      // sentinel shape (see q136/q151): short docs emit one
+      // null-bucket row — concat_ws would silently fold the null
+      // positions to md5("") so the bucket must null out explicitly
       val bg = base.select(col("doc_id"),
           explode(when(size(col("tk")) >= 2,
             sequence(lit(1), size(col("tk")) - 1))
-            .otherwise(array().cast("array<int>"))).as("p"),
+            .otherwise(array(lit(null).cast("int")))).as("p"),
           col("tk"))
         .select(col("doc_id"),
-          pmod(conv(substring(md5(concat_ws(" ",
-            element_at(col("tk"), col("p")),
-            element_at(col("tk"), col("p") + 1))), 1, 8), 16, 10)
-            .cast("long"), lit(B.toLong)).as("b"))
-      val w = bg.join(broadcast(lr), Seq("b"))
+          when(col("p").isNull, lit(null).cast("long"))
+            .otherwise(pmod(conv(substring(md5(concat_ws(" ",
+              element_at(col("tk"), col("p")),
+              element_at(col("tk"), col("p") + 1))), 1, 8), 16, 10)
+              .cast("long"), lit(B.toLong))).as("b"))
+      val w = bg.join(broadcast(lr), Seq("b"), "left")
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_feats"), sum(col("lw")).as("__s"))
+        .agg(count(col("lw")).as("n_feats"), sum(col("lw")).as("__s"))
         // signed integer units = pround(s/n, 6)'s two branches × 1e6:
         // the units are the single source of truth — avg_lw is
         // units/1e6 and the rank orders by units, so displayed value
@@ -3099,12 +3167,11 @@ object QueriesScale {
           // NEGATED so the ascending rank machinery yields desc rank
           (-col("__au")).as("__u"))
       // __total rides out of the rank's own bucket table — no
-      // separate corpus-sized count job / broadcast
-      val ranked = globalRankByUnits(w, "__u", "sel_rank")
-      base.select(col("doc_id"))
-        .join(ranked, Seq("doc_id"), "left")
+      // separate corpus-sized count job / broadcast; sentinel rows
+      // carry a null rank straight through (no base tail join)
+      globalRankByUnits(w, "__u", "sel_rank")
         .select(col("doc_id"),
-          coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+          col("n_feats"),
           col("log_w"), col("avg_lw"), col("sel_rank"),
           when(col("sel_rank").isNull, lit(null).cast("boolean"))
             .otherwise(col("sel_rank") * 4 <= col("__total"))
@@ -6055,6 +6122,77 @@ object QueriesScale {
         |       md5(body) AS body_md5
         |FROM l WINDOW w AS (PARTITION BY shard_id ORDER BY doc_id)"""
         .stripMargin,
+
+    // q153: the oracle re-derives the per-source rule sets (the
+    // graftbot group on even-length hosts, the * group elsewhere —
+    // exactly what RFC group selection must produce) and replays
+    // longest-match precedence via LIKE translations of the fixed
+    // pattern grammar (prefix / star / $-anchor), ranked by
+    // (pattern octets desc, allow desc).
+    "q153_robots_screen" ->
+      """WITH s AS (SELECT DISTINCT source FROM documents),
+        |rules AS (
+        |  SELECT source, FALSE AS allow, '/nav' AS pattern FROM s
+        |    WHERE strlen(source) % 2 = 0
+        |  UNION ALL SELECT source, FALSE, '/*.tmp$' FROM s
+        |    WHERE strlen(source) % 2 = 0
+        |  UNION ALL SELECT source, FALSE, '/nav' FROM s
+        |    WHERE strlen(source) % 2 = 1
+        |  UNION ALL SELECT source, TRUE, '/nav/ok*' FROM s
+        |    WHERE strlen(source) % 2 = 1
+        |  UNION ALL SELECT source, FALSE, '/*.tmp$' FROM s
+        |    WHERE strlen(source) % 2 = 1
+        |  UNION ALL SELECT source, FALSE, '/id/' FROM s
+        |    WHERE strlen(source) % 2 = 1
+        |  UNION ALL SELECT source, TRUE, '/id/*4$' FROM s
+        |    WHERE strlen(source) % 2 = 1),
+        |u AS (
+        |  SELECT doc_id, source,
+        |         CASE CAST(doc_id % 6 AS INT)
+        |           WHEN 0 THEN '/nav/ok/' || CAST(doc_id AS VARCHAR)
+        |           WHEN 1 THEN '/nav/menu'
+        |           WHEN 2 THEN '/id/' || CAST(doc_id AS VARCHAR)
+        |           WHEN 3 THEN '/files/' || CAST(doc_id AS VARCHAR)
+        |                       || '.tmp'
+        |           WHEN 4 THEN '/files/' || CAST(doc_id AS VARCHAR)
+        |                       || '.tmpx'
+        |           ELSE '/about' END AS path
+        |  FROM documents),
+        |pp AS (
+        |  SELECT source, allow, pattern,
+        |         pattern LIKE '%$' AS anch,
+        |         CASE WHEN instr(core, '*') > 0
+        |              THEN substr(core, 1, instr(core, '*') - 1)
+        |              ELSE core END AS pre,
+        |         CASE WHEN instr(core, '*') > 0
+        |              THEN substr(core, instr(core, '*') + 1)
+        |              ELSE NULL END AS post
+        |  FROM (SELECT *, CASE WHEN pattern LIKE '%$'
+        |                       THEN substr(pattern, 1,
+        |                                   strlen(pattern) - 1)
+        |                       ELSE pattern END AS core
+        |        FROM rules)),
+        |m AS (
+        |  SELECT u.doc_id, u.path, p.allow, p.pattern,
+        |         CAST(strlen(p.pattern) AS BIGINT) AS plen
+        |  FROM u JOIN pp p USING (source)
+        |  WHERE CASE
+        |    WHEN p.post IS NULL AND NOT p.anch
+        |      THEN u.path LIKE p.pre || '%'
+        |    WHEN p.post IS NULL AND p.anch THEN u.path = p.pre
+        |    WHEN p.anch THEN u.path LIKE p.pre || '%' || p.post
+        |    ELSE u.path LIKE p.pre || '%' || p.post || '%' END),
+        |best AS (
+        |  SELECT doc_id, allow, pattern, plen,
+        |         row_number() OVER (PARTITION BY doc_id
+        |           ORDER BY plen DESC, allow DESC) AS rn
+        |  FROM m)
+        |SELECT u.doc_id, u.path,
+        |       COALESCE(b.allow, TRUE) AS allowed,
+        |       b.pattern AS rule,
+        |       COALESCE(b.plen, 0) AS match_len
+        |FROM u LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+        |     USING (doc_id)""".stripMargin,
 
     // q148: the oracle never parses HTML — it rebuilds the EXTRACTED
     // side from the original text columns: paragraphs are fixed

@@ -64,13 +64,31 @@ object NgramLm {
       if (!live(frame(v))) cache.remove(k)
     }
 
+  /** Small fitted tables become driver-local relations (the IVF
+    * "centroid literal" discipline applied to tables): a broadcast
+    * over a LocalRelation builds its hashed relation from driver
+    * rows directly — no per-execution collect job against executor
+    * block storage — so the cached online path of q136/q137/q151
+    * schedules strictly fewer jobs. Above the threshold the tables
+    * stay distributed (never driver-sized at 100 TB).
+    */
+  private def localized(df: DataFrame, rows: Long,
+                        maxPairs: Long): DataFrame =
+    if (rows > maxPairs) df
+    else df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(df.collect(): _*), df.schema)
+
+  private def broadcastMaxPairs(df: DataFrame): Long =
+    df.sparkSession.conf.getOption(BroadcastMaxPairsConf)
+      .map(_.toLong).getOrElse(DefaultBroadcastMaxPairs)
+
   /** The query-facing trained bigram LM: `base` must carry
     * (doc_id, lang, tk) with `tk` the token array. First call per
     * corpus plan pays one pass over the trusted slice (explode →
     * three vocab-bounded aggregates + a 1-row totals job); every
     * later call — including the 2nd/3rd bench rounds and the q136 ↔
-    * q151 cross-query hit — reads the materialized tables with zero
-    * model jobs. Counts are integers, so semantics are identical to
+    * q151 cross-query hit — reads the fitted tables with zero model
+    * jobs. Counts are integers, so semantics are identical to
     * building the tables inline.
     */
   def cachedBigram(base: DataFrame,
@@ -98,7 +116,12 @@ object NgramLm {
         .agg(count(lit(1)).as("nl")))
       val tot = c12.agg(count(lit(1)).as("nall"),
         countDistinct(col("w2")).as("v")).head()
-      val m = BigramLm(c12, ctx, cont, tot.getLong(0), tot.getLong(1))
+      val (nall, v) = (tot.getLong(0), tot.getLong(1))
+      val mx = broadcastMaxPairs(base)
+      val m = BigramLm(localized(c12, nall, mx),
+        localized(ctx, nall, mx), localized(cont, nall, mx), nall, v)
+      if (nall <= mx) // the checkpoints are superseded by the
+        Seq(c12, ctx, cont).foreach(Checkpoints.release) // local copies
       bigramCache.put(key, m)
       m
     }
@@ -197,12 +220,17 @@ object NgramLm {
         sum(when(col("lang") === trustedLang, lit(1L))
           .otherwise(lit(0L))).as("ct"))
       val tot = g.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
-      val lr = Checkpoints.materialize(g.crossJoin(broadcast(tot))
+      val fitted = g.crossJoin(broadcast(tot))
         .select(col("b"),
           (log((col("ct") + lit(1.0)) /
             (col("nt") + lit(bBuckets.toDouble)))
             - log((col("cr") + lit(1.0)) /
-              (col("nr") + lit(bBuckets.toDouble)))).as("lw")))
+              (col("nr") + lit(bBuckets.toDouble)))).as("lw"))
+      // ≤ bBuckets rows by construction → always a driver-local
+      // relation: the per-execution broadcast builds from driver
+      // rows, no collect job
+      val lr = fitted.sparkSession.createDataFrame(
+        java.util.Arrays.asList(fitted.collect(): _*), fitted.schema)
       dsirCache.put(key, lr)
       lr
     }

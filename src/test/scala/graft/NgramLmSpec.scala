@@ -82,6 +82,28 @@ class NgramLmSpec extends SparkSpec {
     try assert(out() == b, "sentinel rows must survive the shuffle " +
       "path's null-safe score join")
     finally spark.conf.unset(NgramLm.BroadcastMaxPairsConf)
+
+    // q136/q137: sentinel rows must also ride the null-aware rank —
+    // short docs get (0 feats/bigrams, null value, null rank, null
+    // bucket/selected) and must NOT shift the ranked rows' offsets
+    val q136 = QueriesScale.queries("q136_ngram_perplexity")(spark, tmp)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.isNullAt(2), r.isNullAt(3), r.isNullAt(4)))
+      .toMap
+    assert(q136.keySet == Set(0L, 1L, 2L, 3L))
+    assert(q136(1L) == ((0L, true, true, true)) &&
+      q136(2L) == ((0L, true, true, true)),
+      s"short docs must be all-null in q136: $q136")
+    assert(q136(0L)._1 == 5L && !q136(0L)._2 && !q136(0L)._3,
+      s"ranked docs keep their rank: $q136")
+    val q137 = QueriesScale.queries("q137_dsir_weights")(spark, tmp)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.isNullAt(4), r.isNullAt(5))).toMap
+    assert(q137(1L) == ((0L, true, true)) &&
+      q137(2L) == ((0L, true, true)),
+      s"short docs must be unranked in q137: $q137")
+    // exactly the two long docs are ranked → ranks are {1, 2}
+    assert(Set(q137(0L), q137(3L)).forall(v => !v._2 && !v._3))
   }
 
   test("saveNgram/loadNgram round-trips the model exactly") {

@@ -450,6 +450,23 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.unset(graft.model.NgramLm.BroadcastMaxPairsConf)
   }
 
+  test("robots screening: host rules broadcast, URLs never shuffle") {
+    val p = plan("q153_robots_screen")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q153's host-rule table must broadcast:\n${p.take(2000)}")
+    assert(p.contains("robotsdecision") || p.contains("RobotsDecision"),
+      s"q153's decision must be the native glob expression:\n${p.take(2000)}")
+    // the two scan-spread repartitions (URL branch + hosts branch),
+    // the host-distinct aggregate, and the broadcast itself — the
+    // URL stream must not exchange FOR THE DECISION (no shuffle
+    // keyed on path/rules anywhere)
+    val nEx = "Exchange".r.findAllIn(p).length
+    assert(nEx <= 4,
+      s"q153 expected host-bounded exchanges only, got $nEx:\n${p.take(3000)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"q153 must never shuffle URLs against rules:\n${p.take(2000)}")
+  }
+
   test("gzip warc segmentation: same one-exchange local-parse shape") {
     // member-wise inflation happens INSIDE the partition-local walk —
     // compression must not change the plan
