@@ -2480,6 +2480,32 @@ object QueriesScale {
     // strip-all-tags extractor — which would leak "Home About" and
     // the footer into main_text — fails the hash, as does any
     // entity/escape asymmetry. Scan-parallel per row, zero exchanges.
+    // Crawl-ingest datacard: the first report a crawl operator reads
+    // — per-(status, Content-Type, resolved charset) record counts,
+    // body bytes, and distinct-body cardinality over segmented WARC
+    // records. The generator cycles four content types (with and
+    // without charset declarations) so the r9 charset-resolution
+    // logic — declared param wins, undeclared bodies strict-UTF-8
+    // with latin-1 fallback — lands under the ORACLE, not just
+    // specs. Scale shape: q147's parse (partition-local, bodies
+    // never shuffle) + a counter-sized partial-aggregated rollup;
+    // the exchange carries |status × type × charset| rows.
+    "q154_ingest_datacard" -> q { (spark, dir) =>
+      import graft.sources.WarcIngest
+      val cts = Array("text/plain; charset=utf-8",
+        "text/html; charset=iso-8859-1", "text/plain",
+        "application/json")
+      val shards = WarcIngest.warcShardsFromDocs(
+        t(spark, dir, "documents"), 32,
+        contentTypeOf = (id: Long) => cts((id % 4).toInt))
+      WarcIngest.warcRecords(shards).toDF()
+        .groupBy(col("http_status"), col("content_type"),
+          col("charset"))
+        .agg(count(lit(1)).as("n_records"),
+          sum(col("body_len")).as("total_body_bytes"),
+          countDistinct(col("body_md5")).as("n_distinct_bodies"))
+    },
+
     // robots.txt crawl screening (RFC 9309) — the admission step
     // between URL canonicalization (q149) and fetch: each host's
     // robots.txt (synthesized deterministically per source, with an
@@ -6122,6 +6148,34 @@ object QueriesScale {
         |       md5(body) AS body_md5
         |FROM l WINDOW w AS (PARTITION BY shard_id ORDER BY doc_id)"""
         .stripMargin,
+
+    // q154: the oracle rebuilds the datacard from document
+    // arithmetic — status from the 404 variant rule, content type
+    // from the doc_id cycle, and the resolved charset from the
+    // decode policy (declared param wins; undeclared valid-UTF-8
+    // bodies resolve to utf-8).
+    "q154_ingest_datacard" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 31 = 5 THEN 'not found'
+        |              ELSE text END AS body,
+        |         CAST(CASE WHEN doc_id % 31 = 5 THEN 404 ELSE 200 END
+        |              AS BIGINT) AS http_status,
+        |         CASE CAST(doc_id % 4 AS INT)
+        |           WHEN 0 THEN 'text/plain; charset=utf-8'
+        |           WHEN 1 THEN 'text/html; charset=iso-8859-1'
+        |           WHEN 2 THEN 'text/plain'
+        |           ELSE 'application/json' END AS content_type,
+        |         CASE CAST(doc_id % 4 AS INT)
+        |           WHEN 1 THEN 'iso-8859-1'
+        |           ELSE 'utf-8' END AS charset
+        |  FROM documents)
+        |SELECT http_status, content_type, charset,
+        |       CAST(count(*) AS BIGINT) AS n_records,
+        |       CAST(sum(strlen(body)) AS BIGINT) AS total_body_bytes,
+        |       CAST(count(DISTINCT md5(body)) AS BIGINT)
+        |         AS n_distinct_bodies
+        |FROM r GROUP BY 1, 2, 3""".stripMargin,
 
     // q153: the oracle re-derives the per-source rule sets (the
     // graftbot group on even-length hosts, the * group elsewhere —

@@ -62,7 +62,9 @@ object WarcIngest {
       http_status: Long,
       body_len: Long,
       body_md5: String,
-      body_text: String)
+      body_text: String,
+      content_type: String,
+      charset: String)
 
   private val CRLF = "\r\n"
 
@@ -182,9 +184,10 @@ object WarcIngest {
         md.reset()
         val digest = md.digest(body)
         val hex = digest.map(b => f"${b & 0xff}%02x").mkString
+        val (text, cs) = decodeBodyWithCharset(body, httpContentType)
         out += WarcRecord(shardId, recIndex, recOffset.toLong, targetUri,
-          contentLength, status, bodyLen, hex,
-          decodeBody(body, httpContentType))
+          contentLength, status, bodyLen, hex, text,
+          httpContentType, cs)
         recIndex += 1
       }
     }
@@ -253,22 +256,35 @@ object WarcIngest {
     * EVERYTHING as lenient UTF-8, turning latin-1 bytes into U+FFFD).
     */
   private[sources] def decodeBody(body: Array[Byte],
-                                  contentType: String): String = {
+                                  contentType: String): String =
+    decodeBodyWithCharset(body, contentType)._1
+
+  /** [[decodeBody]] plus the RESOLVED charset's canonical lowercase
+    * name — the decode-provenance label a crawl datacard rolls up
+    * (q154): the declared/sniffed charset when present, else
+    * "utf-8" for a clean strict decode or "iso-8859-1" for the
+    * total fallback.
+    */
+  private[sources] def decodeBodyWithCharset(body: Array[Byte],
+      contentType: String): (String, String) = {
     val declared = Option(contentType).flatMap(charsetParam)
       .orElse(metaCharset(body))
     declared match {
-      case Some(cs) => new String(body, cs)
+      case Some(cs) =>
+        (new String(body, cs),
+          cs.name().toLowerCase(java.util.Locale.ROOT))
       case None =>
         try {
           val dec = UTF_8.newDecoder()
             .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
             .onUnmappableCharacter(
               java.nio.charset.CodingErrorAction.REPORT)
-          dec.decode(java.nio.ByteBuffer.wrap(body)).toString
+          (dec.decode(java.nio.ByteBuffer.wrap(body)).toString, "utf-8")
         } catch {
           case _: java.nio.charset.CharacterCodingException =>
-            new String(body,
-              java.nio.charset.StandardCharsets.ISO_8859_1)
+            (new String(body,
+              java.nio.charset.StandardCharsets.ISO_8859_1),
+              "iso-8859-1")
         }
     }
   }
@@ -370,9 +386,13 @@ object WarcIngest {
   def warcShardsFromDocs(docs: DataFrame, nShards: Int = 32,
                          errEvery: Long = 31L,
                          contentType: String =
-                           "text/plain; charset=utf-8"): DataFrame = {
+                           "text/plain; charset=utf-8",
+                         contentTypeOf: Long => String = null)
+      : DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val ctf: Long => String =
+      if (contentTypeOf == null) _ => contentType else contentTypeOf
     docs.select((col("doc_id") % nShards).cast("long").as("shard_id"),
         col("doc_id").cast("long"), col("source"), col("text"))
       .as[(Long, Long, String, String)]
@@ -381,7 +401,7 @@ object WarcIngest {
         val recs = rows.toArray.sortBy(_._2)
         val sb = new StringBuilder(InfoPreamble)
         recs.foreach { case (_, id, src, text) =>
-          sb.append(docRecord(id, src, text, errEvery, contentType))
+          sb.append(docRecord(id, src, text, errEvery, ctf(id)))
         }
         (shard, sb.toString.getBytes(UTF_8))
       }

@@ -257,6 +257,9 @@ class WarcSpec extends SparkSpec {
     // the md5 is over RAW bytes, decode-independent
     val md = MessageDigest.getInstance("MD5").digest(bodyBytes)
     assert(recs.head.body_md5 == md.map(b => f"${b & 0xff}%02x").mkString)
+    // decode provenance surfaces on the record (q154's rollup keys)
+    assert(recs.head.content_type == "text/plain; charset=iso-8859-1")
+    assert(recs.head.charset == "iso-8859-1")
   }
 
   test("meta-tag charset wins when the header declares none") {
@@ -294,5 +297,7 @@ class WarcSpec extends SparkSpec {
       latinBytes ++ (CRLF + CRLF).getBytes(UTF_8)
     val b = WarcIngest.parseContainer(0L, bytes)
     assert(b.head.body_text == "é ü")
+    assert(b.head.charset == "iso-8859-1" && b.head.content_type == null)
+    assert(a.head.charset == "utf-8")
   }
 }
