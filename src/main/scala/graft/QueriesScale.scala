@@ -2506,6 +2506,50 @@ object QueriesScale {
           countDistinct(col("body_md5")).as("n_distinct_bodies"))
     },
 
+    // Sitemap frontier — the crawl-stack stage robots.txt's
+    // `Sitemap:` lines point at: each host's sitemap XML (synthesized
+    // per source over a doc subset, with lastmod present for most
+    // entries) parses ONCE per host into (loc, lastmod) entries, and
+    // the fetch FRONTIER is the diff against crawl history — a
+    // URL-keyed left join marking which sitemap entries are new.
+    // Scale shape: sitemap assembly is generator scaffolding (one
+    // host-bounded grouping exchange); the parse is one native
+    // expression row per HOST; the frontier diff exchanges loc
+    // strings only — page content appears nowhere.
+    "q155_sitemap_frontier" -> q { (spark, dir) =>
+      import graft.sources.SitemapIngest
+      val d = docs(spark, dir)
+      val entry = concat(lit("<url><loc>http://"), col("source"),
+        lit(".example/id/"), col("doc_id"), lit("</loc>"),
+        when(col("doc_id") % 5 === 2, lit(""))
+          .otherwise(concat(lit("<lastmod>"),
+            format_string("2026-%02d-%02d",
+              (col("doc_id") % 12 + 1).cast("int"),
+              (col("doc_id") % 28 + 1).cast("int")),
+            lit("</lastmod>"))),
+        lit("</url>"))
+      val xml = d.filter(col("doc_id") % 3 =!= 1)
+        .select(col("source"),
+          struct(col("doc_id"), entry.as("e")).as("se"))
+        .groupBy(col("source"))
+        .agg(array_join(transform(sort_array(collect_list(col("se"))),
+          x => x.getField("e")), "").as("body"))
+        .select(col("source"),
+          concat(lit("<?xml version=\"1.0\"?><urlset>"),
+            col("body"), lit("</urlset>")).as("xml"))
+      val entries = xml.select(col("source"),
+          explode(SitemapIngest.sitemapEntries(col("xml"))).as("en"))
+        .select(col("source"), col("en.loc").as("loc"),
+          col("en.lastmod").as("lastmod"))
+      val hist = d.filter(col("doc_id") % 2 === 0)
+        .select(concat(lit("http://"), col("source"),
+          lit(".example/id/"), col("doc_id")).as("loc"),
+          lit(true).as("__crawled"))
+      entries.join(hist, Seq("loc"), "left")
+        .select(col("source"), col("loc"), col("lastmod"),
+          col("__crawled").isNull.as("is_new"))
+    },
+
     // robots.txt crawl screening (RFC 9309) — the admission step
     // between URL canonicalization (q149) and fetch: each host's
     // robots.txt (synthesized deterministically per source, with an
@@ -6176,6 +6220,31 @@ object QueriesScale {
         |       CAST(count(DISTINCT md5(body)) AS BIGINT)
         |         AS n_distinct_bodies
         |FROM r GROUP BY 1, 2, 3""".stripMargin,
+
+    // q155: the oracle never touches XML — it rebuilds the entry
+    // list (subset rule, loc string, lastmod presence + date
+    // arithmetic) and the history set from documents directly, and
+    // replays the frontier diff as the same left join.
+    "q155_sitemap_frontier" ->
+      """WITH sm AS (
+        |  SELECT doc_id, source,
+        |         'http://' || source || '.example/id/'
+        |           || CAST(doc_id AS VARCHAR) AS loc,
+        |         CASE WHEN doc_id % 5 = 2 THEN NULL
+        |              ELSE '2026-'
+        |                || lpad(CAST(doc_id % 12 + 1 AS VARCHAR),
+        |                        2, '0')
+        |                || '-'
+        |                || lpad(CAST(doc_id % 28 + 1 AS VARCHAR),
+        |                        2, '0') END AS lastmod
+        |  FROM documents WHERE doc_id % 3 <> 1),
+        |h AS (
+        |  SELECT 'http://' || source || '.example/id/'
+        |           || CAST(doc_id AS VARCHAR) AS loc
+        |  FROM documents WHERE doc_id % 2 = 0)
+        |SELECT sm.source, sm.loc, sm.lastmod,
+        |       h.loc IS NULL AS is_new
+        |FROM sm LEFT JOIN h ON sm.loc = h.loc""".stripMargin,
 
     // q153: the oracle re-derives the per-source rule sets (the
     // graftbot group on even-length hosts, the * group elsewhere —
