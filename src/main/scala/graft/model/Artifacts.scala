@@ -159,13 +159,10 @@ object Artifacts {
 
   def loadNgram(spark: SparkSession, path: String): NgramLm.BigramLm = {
     val c12 = Checkpoints.materialize(spark.read.parquet(path))
-    val ctx = Checkpoints.materialize(c12.groupBy(col("w1"))
-      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("nr")))
-    val cont = Checkpoints.materialize(c12.groupBy(col("w2"))
-      .agg(count(lit(1)).as("nl")))
-    val tot = c12.agg(count(lit(1)).as("nall"),
-      countDistinct(col("w2")).as("v")).head()
-    NgramLm.BigramLm(c12, ctx, cont, tot.getLong(0), tot.getLong(1))
+    // SAME derivation as the fitter (NgramLm.deriveTables) — a loaded
+    // artifact can never drift from a fitted model
+    val (ctx, cont, nall, v) = NgramLm.deriveTables(c12)
+    NgramLm.BigramLm(c12, ctx, cont, nall, v)
   }
 
   /** Linear-model weight vectors — q140's trained quality classifier

@@ -38,13 +38,18 @@ object Checkpoints {
 
   val DirConf = "graft.checkpoint.dir"
 
-  /** The (context, raw conf value) last applied via setCheckpointDir —
-    * getCheckpointDir returns the RESOLVED URI (scheme-qualified), so
-    * comparing against the raw value needs this side record (r8
-    * ADVICE item 4: the old substring containment could silently skip
-    * setCheckpointDir when another path contained the conf value).
+  /** The (context, raw conf value, RESOLVED URI) last applied via
+    * setCheckpointDir — getCheckpointDir returns the resolved
+    * scheme-qualified URI, so matching the raw conf value needs this
+    * side record (r8 ADVICE item 4: substring containment could
+    * silently skip setCheckpointDir when another path contained the
+    * conf value). The resolved URI is re-checked against the LIVE
+    * context value on every call, so an external setCheckpointDir
+    * (e.g. Dedup's explicit checkpointDir parameter) is detected and
+    * the configured directory re-applied instead of silently sending
+    * reliable checkpoints to the interloper's path.
     */
-  @volatile private var appliedDir: (SparkContext, String) = null
+  @volatile private var appliedDir: (SparkContext, String, String) = null
 
   /** Eagerly materialize `df` and truncate its lineage — local block
     * storage by default, reliable checkpoint when [[DirConf]] is set.
@@ -55,10 +60,11 @@ object Checkpoints {
       case Some(dir) =>
         val sc = spark.sparkContext
         val cur = appliedDir
-        if (cur == null || !(cur._1 eq sc) || cur._2 != dir ||
-            sc.getCheckpointDir.isEmpty) {
+        val stillOurs = cur != null && (cur._1 eq sc) &&
+          cur._2 == dir && sc.getCheckpointDir.contains(cur._3)
+        if (!stillOurs) {
           sc.setCheckpointDir(dir)
-          appliedDir = (sc, dir)
+          appliedDir = (sc, dir, sc.getCheckpointDir.orNull)
         }
         df.checkpoint(eager = true)
       case None =>

@@ -108,15 +108,7 @@ object NgramLm {
           element_at(col("tk"), col("p") + 1).as("w2"))
       val c12 = Checkpoints.materialize(
         bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12")))
-      // context table in ONE pass over the pair counts: total count
-      // AND distinct-continuation count (every c12 row is a type)
-      val ctx = Checkpoints.materialize(c12.groupBy(col("w1"))
-        .agg(sum(col("c12")).as("c1"), count(lit(1)).as("nr")))
-      val cont = Checkpoints.materialize(c12.groupBy(col("w2"))
-        .agg(count(lit(1)).as("nl")))
-      val tot = c12.agg(count(lit(1)).as("nall"),
-        countDistinct(col("w2")).as("v")).head()
-      val (nall, v) = (tot.getLong(0), tot.getLong(1))
+      val (ctx, cont, nall, v) = deriveTables(c12)
       val mx = broadcastMaxPairs(base)
       val m = BigramLm(localized(c12, nall, mx),
         localized(ctx, nall, mx), localized(cont, nall, mx), nall, v)
@@ -188,6 +180,24 @@ object NgramLm {
           bg("w1") <=> col("__pw1") && bg("w2") <=> col("__pw2"))
         .select(col("doc_id"), col("lp"))
     }
+  }
+
+  /** Derive the context/continuation tables and scalar totals from a
+    * pair-count table — ONE implementation shared by the fitter and
+    * [[Artifacts.loadNgram]], so a loaded artifact can never drift
+    * from a fitted model. The context table comes from ONE pass over
+    * the pair counts: total count AND distinct-continuation count
+    * (every c12 row is a type).
+    */
+  private[model] def deriveTables(c12: DataFrame)
+      : (DataFrame, DataFrame, Long, Long) = {
+    val ctx = Checkpoints.materialize(c12.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("nr")))
+    val cont = Checkpoints.materialize(c12.groupBy(col("w2"))
+      .agg(count(lit(1)).as("nl")))
+    val tot = c12.agg(count(lit(1)).as("nall"),
+      countDistinct(col("w2")).as("v")).head()
+    (ctx, cont, tot.getLong(0), tot.getLong(1))
   }
 
   /** The query-facing trained DSIR importance model (q137): the

@@ -94,41 +94,46 @@ object RobotsIngest {
   /** Glob match of `pattern` against `path` — literal octets, `*`
     * wildcard, trailing `$` end anchor. Robots patterns are PREFIX
     * matches: an un-anchored pattern matches when it consumes any
-    * prefix of the path; `$` requires it to consume the path exactly.
-    * Returns the pattern's octet length (the RFC precedence measure,
-    * `$`/`*` counted as written) on match, -1 otherwise. Backtracking
-    * is bounded by the pattern's star count — robots rules are short,
-    * and no regex ever compiles.
+    * prefix of the path (equivalently, `pattern + "*"` full-matches
+    * the path — how it's evaluated here); `$` requires consuming the
+    * path exactly. Returns the pattern's octet length (the RFC
+    * precedence measure, `$`/`*` counted as written) on match, -1
+    * otherwise. The walk is the classic single-last-star iterative
+    * matcher — O(|path|·|pattern|) worst case, NO recursion: a
+    * hostile robots.txt full of multi-star rules cannot blow the
+    * screening pass up exponentially (robots.txt is untrusted
+    * third-party input), and no regex ever compiles.
     */
   def matchLen(path: String, pattern: String): Int = {
     val anchored =
       pattern.nonEmpty && pattern.charAt(pattern.length - 1) == '$'
-    val p = if (anchored) pattern.substring(0, pattern.length - 1)
+    val core = if (anchored) pattern.substring(0, pattern.length - 1)
       else pattern
-    if (globPrefix(path, 0, p, 0, anchored)) pattern.length else -1
+    val p = if (anchored) core else core + "*"
+    if (fullGlob(path, p)) pattern.length else -1
   }
 
-  private def globPrefix(path: String, pi0: Int, p: String, pj0: Int,
-                         anchored: Boolean): Boolean = {
-    var pi = pi0
-    var pj = pj0
-    while (pj < p.length) {
-      if (p.charAt(pj) == '*') {
-        while (pj < p.length && p.charAt(pj) == '*') pj += 1
-        if (pj == p.length) return true // trailing star eats the rest
-        var k = pi
-        while (k <= path.length) {
-          if (globPrefix(path, k, p, pj, anchored)) return true
-          k += 1
-        }
-        return false
+  /** Full-string `*`-glob match, iterative greedy with single
+    * last-star backtracking (provably complete for `*`-only globs).
+    */
+  private def fullGlob(s: String, p: String): Boolean = {
+    var si = 0
+    var pi = 0
+    var star = -1 // index of the last '*' seen in p
+    var mark = 0  // s-position that star is currently bound to
+    while (si < s.length) {
+      if (pi < p.length && p.charAt(pi) == '*') {
+        star = pi; mark = si; pi += 1
+      } else if (pi < p.length && p.charAt(pi) == s.charAt(si)) {
+        si += 1; pi += 1
+      } else if (star >= 0) {
+        mark += 1; si = mark; pi = star + 1
       } else {
-        if (pi >= path.length || path.charAt(pi) != p.charAt(pj))
-          return false
-        pi += 1; pj += 1
+        return false
       }
     }
-    !anchored || pi == path.length
+    while (pi < p.length && p.charAt(pi) == '*') pi += 1
+    pi == p.length
   }
 
   /** The decision over a parsed rule list: longest pattern wins,

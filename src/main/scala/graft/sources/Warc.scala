@@ -218,17 +218,20 @@ object WarcIngest {
     }
   }
 
-  /** Extract `charset=` from a Content-Type value (header or meta). */
+  /** Extract the `charset=` parameter from a Content-Type value.
+    * Compiled-once regex: case-insensitive, anchored at a parameter
+    * boundary (start / `;` / `,` / whitespace) so a token merely
+    * ENDING in "charset" never binds, and matched on the ORIGINAL
+    * string — a locale-insensitive-lowercase copy can change string
+    * LENGTH (e.g. U+0130) and misalign index math.
+    */
+  private val CharsetParamRe = java.util.regex.Pattern.compile(
+    "(?i)(?:^|[;,\\s])charset\\s*=\\s*([^;\\s>]+)")
+
   private def charsetParam(contentType: String)
       : Option[java.nio.charset.Charset] = {
-    val lower = contentType.toLowerCase
-    val i = lower.indexOf("charset=")
-    if (i < 0) None
-    else {
-      val rest = contentType.substring(i + 8)
-      val end = rest.indexWhere(c => c == ';' || c == ' ' || c == '>')
-      namedCharset(if (end < 0) rest else rest.substring(0, end))
-    }
+    val m = CharsetParamRe.matcher(contentType)
+    if (m.find()) namedCharset(m.group(1)) else None
   }
 
   /** HTML5-style charset prescan of the first 1024 body bytes
@@ -383,29 +386,46 @@ object WarcIngest {
     * cost, not parser cost; production reads real files via
     * [[readWarcFiles]].
     */
-  def warcShardsFromDocs(docs: DataFrame, nShards: Int = 32,
-                         errEvery: Long = 31L,
-                         contentType: String =
-                           "text/plain; charset=utf-8",
-                         contentTypeOf: Long => String = null)
+  /** ONE shard-assembly implementation for both container layouts:
+    * `encode` wraps each record's bytes (identity for plain WARC,
+    * [[gzipMember]] for the member-per-record `.warc.gz` layout), so
+    * the two public generators can never drift in shard keying, doc
+    * order, the 404 variant, or the content-type knob.
+    */
+  private def shardsFromDocs(docs: DataFrame, nShards: Int,
+                             errEvery: Long,
+                             contentTypeOf: Long => String,
+                             encode: Array[Byte] => Array[Byte])
       : DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val ctf: Long => String =
-      if (contentTypeOf == null) _ => contentType else contentTypeOf
     docs.select((col("doc_id") % nShards).cast("long").as("shard_id"),
         col("doc_id").cast("long"), col("source"), col("text"))
       .as[(Long, Long, String, String)]
       .groupByKey(_._1)
       .mapGroups { (shard, rows) =>
         val recs = rows.toArray.sortBy(_._2)
-        val sb = new StringBuilder(InfoPreamble)
+        val bos = new java.io.ByteArrayOutputStream()
+        bos.write(encode(InfoPreamble.getBytes(UTF_8)))
         recs.foreach { case (_, id, src, text) =>
-          sb.append(docRecord(id, src, text, errEvery, ctf(id)))
+          bos.write(encode(
+            docRecord(id, src, text, errEvery, contentTypeOf(id))
+              .getBytes(UTF_8)))
         }
-        (shard, sb.toString.getBytes(UTF_8))
+        (shard, bos.toByteArray)
       }
       .toDF("shard_id", "payload")
+  }
+
+  def warcShardsFromDocs(docs: DataFrame, nShards: Int = 32,
+                         errEvery: Long = 31L,
+                         contentType: String =
+                           "text/plain; charset=utf-8",
+                         contentTypeOf: Long => String = null)
+      : DataFrame = {
+    val ctf: Long => String =
+      if (contentTypeOf == null) _ => contentType else contentTypeOf
+    shardsFromDocs(docs, nShards, errEvery, ctf, identity)
   }
 
   /** Gzip one record's bytes as ONE gzip member (the `.warc.gz`
@@ -427,24 +447,11 @@ object WarcIngest {
   def warcGzShardsFromDocs(docs: DataFrame, nShards: Int = 32,
                            errEvery: Long = 31L,
                            contentType: String =
-                             "text/plain; charset=utf-8"): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs.select((col("doc_id") % nShards).cast("long").as("shard_id"),
-        col("doc_id").cast("long"), col("source"), col("text"))
-      .as[(Long, Long, String, String)]
-      .groupByKey(_._1)
-      .mapGroups { (shard, rows) =>
-        val recs = rows.toArray.sortBy(_._2)
-        val bos = new java.io.ByteArrayOutputStream()
-        bos.write(gzipMember(InfoPreamble.getBytes(UTF_8)))
-        recs.foreach { case (_, id, src, text) =>
-          bos.write(gzipMember(
-            docRecord(id, src, text, errEvery, contentType)
-              .getBytes(UTF_8)))
-        }
-        (shard, bos.toByteArray)
-      }
-      .toDF("shard_id", "payload")
+                             "text/plain; charset=utf-8",
+                           contentTypeOf: Long => String = null)
+      : DataFrame = {
+    val ctf: Long => String =
+      if (contentTypeOf == null) _ => contentType else contentTypeOf
+    shardsFromDocs(docs, nShards, errEvery, ctf, gzipMember)
   }
 }
