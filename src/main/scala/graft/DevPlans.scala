@@ -69,7 +69,8 @@ object DevPlans {
       "q152_warc_gz_segment" -> "gzip WARC segmentation (the Common Crawl delivery format): q147's plan with member-wise inflation added INSIDE the partition-local walk — same single assembly exchange, same mapPartitions seam, compressed bytes never shuffle; offsets index the inflated stream so the arithmetic oracle is q147's verbatim",
       "q153_robots_screen" -> "robots.txt crawl screening (RFC 9309): per-host rule parse is host-bounded (one RobotsRules expression row per source), the rule table BROADCASTS, and the longest-match decision is a native glob walk in the scan projection — no regex compilation, URLs never shuffle; frontier screening at 100 TB is one scan plus a host-table broadcast",
       "q154_ingest_datacard" -> "crawl-ingest datacard: q147's partition-local record walk (bodies never shuffle) + a counter-sized partial-aggregated rollup keyed on (status, Content-Type, resolved charset) — the exchange carries |status x type x charset| rows; the charset-resolution policy (declared param wins, strict-UTF-8 default, latin-1 fallback) is under the oracle here, not just specs",
-      "q155_sitemap_frontier" -> "sitemap frontier: per-host XML assembly is generator scaffolding (one host-bounded grouping exchange); the SitemapEntries parse is one native expression row per HOST, entries explode to URL-sized rows, and the frontier diff is a loc-keyed left join — page content appears nowhere in the plan")
+      "q155_sitemap_frontier" -> "sitemap frontier: per-host XML assembly is generator scaffolding (one host-bounded grouping exchange); the SitemapEntries parse is one native expression row per HOST, entries explode to URL-sized rows, and the frontier diff is a loc-keyed left join — page content appears nowhere in the plan",
+      "q156_curation_capstone" -> "LM-curation capstone: three corpus branches — bigram scoring + DSIR scoring against the SHARED fit-once models (the dumped plan is the zero-fit warm path: driver-local model relations broadcast into both scorers) and the fingerprint survivor window — joined on doc_id-sized slivers into a |buckets x 2|-row rollup; the keep decision is projection arithmetic and no branch moves text past its md5")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by graft.DevPlans)\n\n")
     sb.append("Representative `.explain(\"formatted\")` output at sf0.01, AQE off\n")

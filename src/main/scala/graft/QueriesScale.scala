@@ -2506,6 +2506,100 @@ object QueriesScale {
           countDistinct(col("body_md5")).as("n_distinct_bodies"))
     },
 
+    // LM-curation CAPSTONE — the CCNet-style keep/drop pipeline end
+    // to end in ONE plan: exact-dedup survivors × add-α perplexity
+    // terciles × DSIR top-quartile selection → keep decision →
+    // per-(bucket, selected) corpus accounting (docs, survivors,
+    // tokens, kept tokens). Both LM branches score against the
+    // SHARED fit-once models (the same cache entries q136/q137/q151
+    // read — one bigram fit and one DSIR fit serve four queries).
+    // Scale shape: three corpus branches (bigram scoring, bucket
+    // scoring, fingerprint window) joined on doc_id-sized slivers,
+    // then a |buckets × 2|-row rollup; the keep decision is pure
+    // projection arithmetic, and no branch moves text past its md5.
+    "q156_curation_capstone" -> q { (spark, dir) =>
+      import graft.model.NgramLm
+      val base = docs(spark, dir).select(col("doc_id"), col("lang"),
+        TextAnalysis.tokens(col("text")).as("tk"))
+      val m = NgramLm.cachedBigram(base, "en")
+      val lr = NgramLm.cachedDsir(base, 4096, "en")
+      // perplexity-tercile branch (q136's scoring, bucket only)
+      val bg1 = base.select(col("doc_id"),
+          explode(when(size(col("tk")) >= 2,
+            sequence(lit(1), size(col("tk")) - 1))
+            .otherwise(array(lit(null).cast("int")))).as("p"),
+          col("tk"))
+        .select(col("doc_id"),
+          element_at(col("tk"), col("p")).as("w1"),
+          element_at(col("tk"), col("p") + 1).as("w2"))
+      val sc = NgramLm.scoreBigrams(bg1, m,
+        log((coalesce(col("c12"), lit(0L)) + lit(0.5)) /
+          (coalesce(col("c1"), lit(0L)).cast("double") +
+            lit(0.5) * (lit(m.v) + 1))),
+        useCont = false)
+      val ppl = sc.groupBy(col("doc_id"))
+        .agg(pround(exp(-avg(col("lp"))), 4).as("ppl"))
+        .withColumn("__u", floor(col("ppl") * 1e4 + 0.5).cast("long"))
+      val buckets = globalRankByUnits(ppl, "__u", "ppl_rank")
+        .select(col("doc_id"),
+          when(col("ppl").isNull, lit(null).cast("string"))
+            .when(col("ppl_rank") * 3 <= col("__total"), lit("head"))
+            .when(col("ppl_rank") * 3 <= col("__total") * 2,
+              lit("middle"))
+            .otherwise(lit("tail")).as("bucket"))
+      // DSIR-selection branch (q137's scoring, selected only)
+      val B = 4096
+      val bg2 = base.select(col("doc_id"),
+          explode(when(size(col("tk")) >= 2,
+            sequence(lit(1), size(col("tk")) - 1))
+            .otherwise(array(lit(null).cast("int")))).as("p"),
+          col("tk"))
+        .select(col("doc_id"),
+          when(col("p").isNull, lit(null).cast("long"))
+            .otherwise(pmod(conv(substring(md5(concat_ws(" ",
+              element_at(col("tk"), col("p")),
+              element_at(col("tk"), col("p") + 1))), 1, 8), 16, 10)
+              .cast("long"), lit(B.toLong))).as("b"))
+      val w = bg2.join(broadcast(lr), Seq("b"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(col("lw")).as("n_feats"), sum(col("lw")).as("__s"))
+        .withColumn("__au",
+          when(col("__s") / col("n_feats") >= 0,
+            floor(col("__s") / col("n_feats") * 1e6 + 0.5))
+            .otherwise(ceil(col("__s") / col("n_feats") * 1e6 - 0.5))
+            .cast("long"))
+        .select(col("doc_id"), (-col("__au")).as("__u"))
+      val selected = globalRankByUnits(w, "__u", "sel_rank")
+        .select(col("doc_id"),
+          when(col("sel_rank").isNull, lit(null).cast("boolean"))
+            .otherwise(col("sel_rank") * 4 <= col("__total"))
+            .as("selected"))
+      // exact-dedup survivor branch (q14/q23 idiom) + token counts
+      val surv = docs(spark, dir)
+        .select(col("doc_id"), md5(col("text")).as("fp"),
+          size(TextAnalysis.tokens(col("text"))).cast("long")
+            .as("n_tokens"))
+        .withColumn("__m",
+          min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+        .select(col("doc_id"), col("n_tokens"),
+          (col("doc_id") === col("__m")).as("survivor"))
+      surv.join(buckets, Seq("doc_id")).join(selected, Seq("doc_id"))
+        .withColumn("kept",
+          when(col("bucket").isNull || col("selected").isNull,
+            lit(false))
+            .otherwise(col("survivor") && col("bucket") =!= "tail" &&
+              col("selected")))
+        .groupBy(col("bucket"), col("selected"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("survivor"), lit(1L)).otherwise(lit(0L)))
+            .as("n_survivors"),
+          sum(col("n_tokens")).as("total_tokens"),
+          sum(when(col("kept"), lit(1L)).otherwise(lit(0L)))
+            .as("kept_docs"),
+          sum(when(col("kept"), col("n_tokens")).otherwise(lit(0L)))
+            .as("kept_tokens"))
+    },
+
     // Sitemap frontier — the crawl-stack stage robots.txt's
     // `Sitemap:` lines point at: each host's sitemap XML (synthesized
     // per source over a doc subset, with lastmod present for most
@@ -6220,6 +6314,112 @@ object QueriesScale {
         |       CAST(count(DISTINCT md5(body)) AS BIGINT)
         |         AS n_distinct_bodies
         |FROM r GROUP BY 1, 2, 3""".stripMargin,
+
+    // q156: the oracle composes the PROVEN q136/q137/q23 fragments —
+    // the add-α bigram perplexity tercile, the DSIR quartile
+    // selection, and the min-doc_id fingerprint survivor — then
+    // replays the keep decision and rollup. All counts integer, the
+    // decision a CASE, so the capstone inherits its sub-oracles'
+    // engine-exactness.
+    "q156_curation_capstone" ->
+      s"""WITH $toksSql,
+         |bgp AS (
+         |  SELECT doc_id, lang, tk[u.p] AS w1, tk[u.p + 1] AS w2
+         |  FROM toks, LATERAL (SELECT unnest(generate_series(
+         |    1, len(tk) - 1)) AS p) u
+         |  WHERE len(tk) >= 2),
+         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bgp
+         |        WHERE lang = 'en' GROUP BY 1, 2),
+         |c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+         |v AS (SELECT count(DISTINCT w2) AS v FROM c12),
+         |scp AS (
+         |  SELECT bgp.doc_id,
+         |         ln((COALESCE(c12.c12, 0) + 0.5)
+         |            / (CAST(COALESCE(c1.c1, 0) AS DOUBLE)
+         |               + 0.5 * (v.v + 1))) AS lp
+         |  FROM bgp LEFT JOIN c12 USING (w1, w2)
+         |          LEFT JOIN c1 USING (w1) CROSS JOIN v),
+         |pp AS (
+         |  SELECT doc_id,
+         |         floor(exp(-avg(lp)) * 1e4 + 0.5) / 1e4 AS ppl
+         |  FROM scp GROUP BY 1),
+         |rp AS (
+         |  SELECT doc_id, ppl,
+         |         CAST(row_number() OVER (ORDER BY ppl ASC, doc_id ASC)
+         |           AS BIGINT) AS rnk
+         |  FROM pp),
+         |np AS (SELECT count(*) AS n FROM rp),
+         |bucketed AS (
+         |  SELECT toks.doc_id,
+         |         CASE WHEN rp.ppl IS NULL THEN NULL
+         |              WHEN rp.rnk * 3 <= np.n THEN 'head'
+         |              WHEN rp.rnk * 3 <= np.n * 2 THEN 'middle'
+         |              ELSE 'tail' END AS bucket
+         |  FROM toks LEFT JOIN rp ON toks.doc_id = rp.doc_id
+         |  CROSS JOIN np),
+         |bgd AS (
+         |  SELECT doc_id, lang,
+         |         CAST(('0x' || substr(md5(tk[u.p] || ' '
+         |           || tk[u.p + 1]), 1, 8)) AS BIGINT) % 4096 AS b
+         |  FROM toks, LATERAL (SELECT unnest(generate_series(
+         |    1, len(tk) - 1)) AS p) u
+         |  WHERE len(tk) >= 2),
+         |tc AS (SELECT b, count(*) AS ct FROM bgd
+         |       WHERE lang = 'en' GROUP BY 1),
+         |rc AS (SELECT b, count(*) AS cr FROM bgd GROUP BY 1),
+         |tot AS (SELECT (SELECT sum(cr) FROM rc) AS nr,
+         |               (SELECT sum(ct) FROM tc) AS nt),
+         |lrt AS (
+         |  SELECT rc.b,
+         |         ln((COALESCE(tc.ct, 0) + 1.0) / (tot.nt + 4096.0))
+         |         - ln((rc.cr + 1.0) / (tot.nr + 4096.0)) AS lw
+         |  FROM rc LEFT JOIN tc USING (b) CROSS JOIN tot),
+         |wd AS (
+         |  SELECT bgd.doc_id, count(*) AS n_feats, sum(lrt.lw) AS s
+         |  FROM bgd JOIN lrt USING (b) GROUP BY 1),
+         |w2 AS (
+         |  SELECT doc_id,
+         |         CAST(CASE WHEN s / n_feats >= 0
+         |              THEN floor(s / n_feats * 1e6 + 0.5)
+         |              ELSE ceil(s / n_feats * 1e6 - 0.5) END
+         |           AS BIGINT) AS au
+         |  FROM wd),
+         |rd AS (
+         |  SELECT doc_id,
+         |         CAST(row_number() OVER (ORDER BY au DESC, doc_id ASC)
+         |           AS BIGINT) AS srnk
+         |  FROM w2),
+         |nd AS (SELECT count(*) AS n FROM rd),
+         |sel AS (
+         |  SELECT toks.doc_id,
+         |         CASE WHEN rd.srnk IS NULL THEN NULL
+         |              ELSE rd.srnk * 4 <= nd.n END AS selected
+         |  FROM toks LEFT JOIN rd ON toks.doc_id = rd.doc_id
+         |  CROSS JOIN nd),
+         |fp AS (
+         |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+         |         doc_id = min(doc_id)
+         |           OVER (PARTITION BY md5(text)) AS survivor
+         |  FROM toks),
+         |j AS (
+         |  SELECT fp.doc_id, fp.n_tokens, fp.survivor,
+         |         b.bucket, s.selected,
+         |         CASE WHEN b.bucket IS NULL OR s.selected IS NULL
+         |              THEN FALSE
+         |              ELSE fp.survivor AND b.bucket <> 'tail'
+         |                   AND s.selected END AS kept
+         |  FROM fp JOIN bucketed b USING (doc_id)
+         |          JOIN sel s USING (doc_id))
+         |SELECT bucket, selected,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(CASE WHEN survivor THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_survivors,
+         |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS kept_docs,
+         |       CAST(sum(CASE WHEN kept THEN n_tokens ELSE 0 END)
+         |         AS BIGINT) AS kept_tokens
+         |FROM j GROUP BY 1, 2""".stripMargin,
 
     // q155: the oracle never touches XML — it rebuilds the entry
     // list (subset rule, loc string, lastmod presence + date

@@ -41,6 +41,18 @@ class NgramLmSpec extends SparkSpec {
       "q137 must reuse its fitted DSIR log-ratio table")
   }
 
+  test("the curation capstone reuses BOTH fitted models") {
+    // q156 composes q136's bigram model and q137's DSIR table — once
+    // either query (or q156 itself) has fitted them, a capstone run
+    // must launch zero model-build jobs
+    run("q136_ngram_perplexity")
+    run("q137_dsir_weights")
+    val afterFits = NgramLm.fitRunCount.get()
+    run("q156_curation_capstone")
+    assert(NgramLm.fitRunCount.get() == afterFits,
+      "q156 must score against the shared cached models (zero fits)")
+  }
+
   test("broadcast and shuffle scoring shapes are bit-equal") {
     // the sized decision (NgramLm.scoreBigrams) only changes WHERE
     // the model joins run, never the arithmetic — force the 100 TB
