@@ -153,4 +153,32 @@ class StreamBatchEquivSpec extends SparkSpec {
     assert(want.nonEmpty)
     assert(got == want)
   }
+
+  test("crawl ingest: streaming WARC segmentation == batch parse") {
+    // the crawl layer as a STREAM: containers arrive as files, the
+    // partition-local record walk (mapPartitions — stateless, so it
+    // runs unchanged under micro-batch) emits identical records to
+    // the batch path, charset resolution included
+    import graft.sources.WarcIngest
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val shards = WarcIngest.warcShardsFromDocs(docs, 8)
+    val stagedW = Files.createTempDirectory("graft_stream_warc").toString
+    shards.write.mode("overwrite").parquet(stagedW)
+    val streamedW = spark.readStream
+      .schema("shard_id bigint, payload binary")
+      .parquet(stagedW)
+    val cols = Seq("shard_id", "rec_index", "rec_offset", "target_uri",
+      "http_status", "body_md5", "charset")
+    val q = WarcIngest.warcRecords(streamedW).toDF()
+      .select(cols.map(col): _*)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("warc_equiv").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("warc_equiv").collect().map(_.toSeq).toSet
+    val want = WarcIngest.warcRecords(shards).toDF()
+      .select(cols.map(col): _*)
+      .collect().map(_.toSeq).toSet
+    assert(want.nonEmpty)
+    assert(got == want)
+  }
 }
