@@ -34,7 +34,7 @@ import org.apache.spark.sql.execution.LogicalRDD
   * LogicalRDD is a no-op, so a mistaken call can never reach a
   * shared leaf.
   */
-object Checkpoints {
+object Checkpoints extends org.apache.spark.internal.Logging {
 
   val DirConf = "graft.checkpoint.dir"
 
@@ -93,7 +93,16 @@ object Checkpoints {
               val fs = path.getFileSystem(
                 df.sparkSession.sparkContext.hadoopConfiguration)
               fs.delete(path, true)
-            } catch { case _: java.io.IOException => () }
+            } catch {
+              // deletion failure must stay non-fatal (the superseded
+              // data is garbage either way) but NOT silent: on a real
+              // cluster a permissions/network fault here re-opens the
+              // exact per-round checkpoint-dir leak release() exists
+              // to close, and an invisible leak fills the FS quota
+              case e: java.io.IOException =>
+                logWarning(s"failed to delete superseded checkpoint $p" +
+                  s" — reliable-mode checkpoint files may accumulate", e)
+            }
           }
       case _ => () // derived frame: never touch shared leaves
     }

@@ -25,7 +25,9 @@ import org.apache.spark.sql.DataFrame
   * deliberate (checking file mtimes would reintroduce a filesystem
   * round-trip per construction, and every other fit-once cache in the
   * engine makes the same assumption); a harness that rewrites inputs
-  * in-place must call [[clear]] between corpora.
+  * in-place must call [[clear]] between corpora — and
+  * [[NgramLm.clear]], which covers the LM model/score-frame caches
+  * that make the same plan-keyed assumption.
   */
 object CorpusStats {
   private val cache = new ConcurrentHashMap[String, java.lang.Long]()

@@ -82,8 +82,13 @@ object RobotsIngest {
                 if (groupHasAgent) agentRules += r
                 else if (groupHasStar) starRules += r
               }
-            case _ => // crawl-delay, sitemap, unknown: not a rule
-              inGroupHeader = false
+            case _ => () // crawl-delay, sitemap, unknown: not a rule.
+            // Deliberately does NOT touch inGroupHeader: the de-facto
+            // REP parsers ignore unrecognized lines without ending the
+            // user-agent header block, so "User-agent: a\n
+            // Crawl-delay: 1\nUser-agent: b\nDisallow: /x" keeps a
+            // and b in ONE shared group (a would otherwise end up
+            // with no rules at all).
           }
         }
       }

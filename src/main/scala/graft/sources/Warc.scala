@@ -72,23 +72,39 @@ object WarcIngest {
   private[sources] def isGzip(bytes: Array[Byte]): Boolean =
     bytes.length >= 2 && bytes(0) == 0x1f.toByte && bytes(1) == 0x8b.toByte
 
+  /** Hard ceiling on inflated container size. Crawl data is UNTRUSTED
+    * third-party bytes: gzip's format allows ~1032:1 expansion, so a
+    * hostile ~1 MB member could otherwise balloon into a ~1 GB
+    * executor allocation (a classic decompression bomb) while the
+    * plain-WARC path's memory stays bounded by its input. 256 MB is
+    * ~4× the largest container a sane sharder emits and far above any
+    * legitimate WARC member; a container that blows past it aborts
+    * with its intact prefix, like every other malformed-framing path.
+    */
+  private[graft] val MaxInflatedBytes: Int = 256 << 20
+
   /** Inflate a (possibly multi-member — the `.warc.gz` layout is one
     * member per record) gzip stream, partition-locally. Truncation
     * recovery mirrors the plain walk's: a corrupt or truncated member
     * stops inflation there and returns the bytes already produced, so
     * the record walk parses the intact prefix. `GZIPInputStream`
     * consumes concatenated members natively and verifies each
-    * member's CRC32.
+    * member's CRC32. Output is capped at `maxOut` (gzip-bomb guard):
+    * hitting the cap stops inflation and returns the capped prefix.
     */
-  private[sources] def gunzipMembers(bytes: Array[Byte]): Array[Byte] = {
+  private[graft] def gunzipMembers(bytes: Array[Byte],
+      maxOut: Int = MaxInflatedBytes): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(
-      math.max(64, bytes.length * 4))
+      math.max(64, math.min(bytes.length * 4L, maxOut.toLong).toInt))
     try {
       val in = new java.util.zip.GZIPInputStream(
         new java.io.ByteArrayInputStream(bytes), 64 * 1024)
       val buf = new Array[Byte](64 * 1024)
       var n = in.read(buf)
-      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      while (n >= 0 && out.size < maxOut) {
+        out.write(buf, 0, math.min(n, maxOut - out.size))
+        n = in.read(buf)
+      }
     } catch { case _: java.io.IOException => () }
     out.toByteArray
   }
@@ -330,7 +346,10 @@ object WarcIngest {
   def readWarcFiles(spark: org.apache.spark.sql.SparkSession,
                     path: String): Dataset[WarcRecord] = {
     val files = spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.warc*").load(path)
+      // exact suffix alternation, NOT "*.warc*": a mixed directory's
+      // partially-written *.warc.tmp / editor *.warc.bak files must
+      // never ingest (Hadoop glob syntax supports {a,b} alternation)
+      .option("pathGlobFilter", "*.{warc,warc.gz}").load(path)
       .select(xxhash64(col("path")).as("shard_id"),
         col("content").as("payload"))
     warcRecords(files)

@@ -97,6 +97,25 @@ class RobotsSpec extends SparkSpec {
       Seq(Rule(false, "/x")))
   }
 
+  test("parser: non-rule lines do not split a user-agent header block") {
+    // de-facto REP parsers ignore unrecognized/non-rule lines without
+    // terminating the header block: a and * here share ONE group (the
+    // old behavior left a-bot with no rules at all)
+    val interleaved = "User-agent: a-bot\nCrawl-delay: 1\n" +
+      "User-agent: *\nDisallow: /x\n"
+    assert(RobotsIngest.parseRules(interleaved) == Seq(Rule(false, "/x")))
+    assert(RobotsIngest.parseRules(interleaved, "a-bot") ==
+      Seq(Rule(false, "/x")))
+    // but once rules have started, a later User-agent line still
+    // begins a NEW group even with non-rule lines in between
+    val twoGroups = "User-agent: a\nDisallow: /y\nCrawl-delay: 1\n" +
+      "User-agent: b\nDisallow: /z\n"
+    assert(RobotsIngest.parseRules(twoGroups, "a") ==
+      Seq(Rule(false, "/y")))
+    assert(RobotsIngest.parseRules(twoGroups, "b") ==
+      Seq(Rule(false, "/z")))
+  }
+
   test("parser: case-insensitive keys and CRLF lines") {
     val crlf = "USER-AGENT: *\r\nDISALLOW: /a\r\nALLOW: /a/b\r\n"
     assert(RobotsIngest.parseRules(crlf) ==

@@ -211,6 +211,49 @@ class WarcSpec extends SparkSpec {
     assert(recs.map(_.body_text) == Seq("all deflate data present"))
   }
 
+  test("gzip-bomb guard: inflation caps at maxOut and the capped " +
+      "prefix still parses (untrusted crawl bytes)") {
+    val r1 = record("response", Some("http://g/1"),
+      httpBlock("200 OK", "bounded"))
+    // a hostile member: 1 MiB of one repeated byte gzips to ~1 KB —
+    // the expansion shape a decompression bomb exploits
+    val bomb = record("response", Some("http://g/2"),
+      httpBlock("200 OK", "A" * (1 << 20)))
+    val container = gz(r1) ++ gz(bomb)
+    val cap = r1.getBytes(UTF_8).length + 1024
+    val inflated = WarcIngest.gunzipMembers(container, cap)
+    assert(inflated.length <= cap,
+      s"inflation must stop at the cap: ${inflated.length} > $cap")
+    // the capped prefix is just another truncated container: the
+    // intact record parses, the capped one is dropped cleanly
+    val recs = WarcIngest.parseContainer(1L, inflated)
+    assert(recs.map(_.body_text) == Seq("bounded"))
+    // the default cap never touches a legitimate container
+    assert(WarcIngest.gunzipMembers(container).length ==
+      r1.getBytes(UTF_8).length + bomb.getBytes(UTF_8).length)
+  }
+
+  test("file-based ingest ignores *.warc.tmp / *.warc.bak strays") {
+    // mixed directories hold partially-written and editor-backup
+    // files; the glob must admit exactly *.warc and *.warc.gz
+    val dir = java.nio.file.Files.createTempDirectory("warcglob")
+    val recA = record("response", Some("http://a"),
+      httpBlock("200 OK", "plain file"))
+    val recB = record("response", Some("http://b"),
+      httpBlock("200 OK", "gz file"))
+    java.nio.file.Files.write(dir.resolve("a.warc"),
+      recA.getBytes(UTF_8))
+    java.nio.file.Files.write(dir.resolve("b.warc.gz"), gz(recB))
+    java.nio.file.Files.write(dir.resolve("c.warc.tmp"),
+      recA.getBytes(UTF_8))
+    java.nio.file.Files.write(dir.resolve("d.warc.bak"),
+      recA.getBytes(UTF_8))
+    val texts = WarcIngest.readWarcFiles(spark, dir.toString)
+      .collect().map(_.body_text).sorted.toSeq
+    assert(texts == Seq("gz file", "plain file"),
+      s"stray suffixes must not ingest: $texts")
+  }
+
   test("file-based ingest: *.warc.gz parses identically to *.warc") {
     val dir = java.nio.file.Files.createTempDirectory("warcgz")
     val rec = record("response", Some("http://gz/7"),
