@@ -122,6 +122,103 @@ object QueriesScale {
       .drop("__bk", "__sp", "__off", units)
   }
 
+  /** Shared bigram-occurrence frame over a (doc_id, lang, tk) base:
+    * (doc_id, w1, w2) with ONE null-sentinel row per <2-token doc —
+    * null w1/w2 → null score → the doc reaches the per-doc aggregate
+    * as (0, null) with no corpus-table tail join. One construction
+    * serving q136/q151/q156's scoring branches.
+    */
+  private def bigramPairs(base: DataFrame): DataFrame =
+    base.select(col("doc_id"),
+        explode(when(size(col("tk")) >= 2,
+          sequence(lit(1), size(col("tk")) - 1))
+          .otherwise(array(lit(null).cast("int")))).as("p"),
+        col("tk"))
+      .select(col("doc_id"),
+        element_at(col("tk"), col("p")).as("w1"),
+        element_at(col("tk"), col("p") + 1).as("w2"))
+
+  /** The per-doc add-α perplexity frame (doc_id, n_bigrams, ppl) —
+    * DERIVED TRAINED STATE (r9 verdict item 1): built once per corpus
+    * plan via [[graft.model.NgramLm.cachedScoreFrame]] and served
+    * materialized afterwards, so q136's warm path is frame + rank and
+    * q156's capstone (which previously recomputed this whole branch)
+    * inherits the same entry. ppl is 4dp-rounded INSIDE the frame, so
+    * serve vs rebuild is bit-equal by construction.
+    */
+  private def addAlphaScores(base: DataFrame): DataFrame =
+    graft.model.NgramLm.cachedScoreFrame(base, "addalpha:en") {
+      val m = graft.model.NgramLm.cachedBigram(base, "en")
+      graft.model.NgramLm.scoreBigrams(bigramPairs(base), m,
+        log((coalesce(col("c12"), lit(0L)) + lit(0.5)) /
+          (coalesce(col("c1"), lit(0L)).cast("double") +
+            lit(0.5) * (lit(m.v) + 1))),
+        useCont = false)
+        .groupBy(col("doc_id"))
+        .agg(count(col("lp")).as("n_bigrams"),
+          pround(exp(-avg(col("lp"))), 4).as("ppl"))
+    }
+
+  /** The per-doc Kneser–Ney frame (doc_id, n_bigrams, kn_ppl) —
+    * same served-score-frame discipline for q151 (its model tables
+    * were already shared with q136; now the score is too).
+    */
+  private def knScores(base: DataFrame): DataFrame =
+    graft.model.NgramLm.cachedScoreFrame(base, "kn:en") {
+      val m = graft.model.NgramLm.cachedBigram(base, "en")
+      val d = lit(0.75)
+      val pcont = coalesce(col("nl"), lit(0L)).cast("double") /
+        lit(m.nall).cast("double")
+      val p = when(col("c1").isNull, pcont)
+        .otherwise(
+          greatest(coalesce(col("c12"), lit(0L)).cast("double") - d,
+            lit(0.0)) / col("c1").cast("double") +
+            (d * col("nr").cast("double") / col("c1").cast("double"))
+              * pcont)
+      graft.model.NgramLm.scoreBigrams(bigramPairs(base), m,
+        log(greatest(p, lit(1e-10))))
+        .groupBy(col("doc_id"))
+        .agg(count(col("lp")).as("n_bigrams"),
+          pround(exp(-avg(col("lp"))), 4).as("kn_ppl"))
+    }
+
+  /** The per-doc DSIR frame (doc_id, n_feats, __s) — served score
+    * frame shared by q137 and q156. __s is the raw log-weight sum
+    * (doubles stored exactly by the materialization), so both
+    * callers derive their integer units from identical bits.
+    */
+  private def dsirScores(base: DataFrame, bBuckets: Int): DataFrame =
+    graft.model.NgramLm.cachedScoreFrame(base, s"dsir$bBuckets:en") {
+      val lr = graft.model.NgramLm.cachedDsir(base, bBuckets, "en")
+      // sentinel shape (see bigramPairs): short docs emit one
+      // null-bucket row — concat_ws would silently fold the null
+      // positions to md5("") so the bucket must null out explicitly
+      val bg = base.select(col("doc_id"),
+          explode(when(size(col("tk")) >= 2,
+            sequence(lit(1), size(col("tk")) - 1))
+            .otherwise(array(lit(null).cast("int")))).as("p"),
+          col("tk"))
+        .select(col("doc_id"),
+          when(col("p").isNull, lit(null).cast("long"))
+            .otherwise(pmod(conv(substring(md5(concat_ws(" ",
+              element_at(col("tk"), col("p")),
+              element_at(col("tk"), col("p") + 1))), 1, 8), 16, 10)
+              .cast("long"), lit(bBuckets.toLong))).as("b"))
+      bg.join(broadcast(lr), Seq("b"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(col("lw")).as("n_feats"), sum(col("lw")).as("__s"))
+    }
+
+  /** DSIR's signed integer units: pround(__s/n_feats, 6)'s two
+    * branches × 1e6 — the single source of truth both for the
+    * displayed avg and the rank order, shared by q137/q156.
+    */
+  private def dsirUnits: Column =
+    when(col("__s") / col("n_feats") >= 0,
+      floor(col("__s") / col("n_feats") * 1e6 + 0.5))
+      .otherwise(ceil(col("__s") / col("n_feats") * 1e6 - 0.5))
+      .cast("long")
+
   /** Banded-LSH pair join + exact nibble-xor hamming rescore over an
     * (asset_id, dhash) frame — the shared back half of q117 (PPM) and
     * q133 (PNG); only 24-byte hash rows ever shuffle.
@@ -2510,35 +2607,24 @@ object QueriesScale {
     // to end in ONE plan: exact-dedup survivors × add-α perplexity
     // terciles × DSIR top-quartile selection → keep decision →
     // per-(bucket, selected) corpus accounting (docs, survivors,
-    // tokens, kept tokens). Both LM branches score against the
-    // SHARED fit-once models (the same cache entries q136/q137/q151
-    // read — one bigram fit and one DSIR fit serve four queries).
-    // Scale shape: three corpus branches (bigram scoring, bucket
-    // scoring, fingerprint window) joined on doc_id-sized slivers,
-    // then a |buckets × 2|-row rollup; the keep decision is pure
-    // projection arithmetic, and no branch moves text past its md5.
+    // tokens, kept tokens). Both LM branches read the SHARED served
+    // per-doc SCORE FRAMES (addAlphaScores/dsirScores — the same
+    // cache entries q136/q137 serve, r9 verdict item 1), so once any
+    // family member has run, neither branch launches a single
+    // scoring or model job — the plan is two bucketed ranks plus the
+    // fingerprint window. Scale shape: three corpus branches joined
+    // on doc_id-sized slivers, then a |buckets × 2|-row rollup; the
+    // keep decision is pure projection arithmetic, and no branch
+    // moves text past its md5.
     "q156_curation_capstone" -> q { (spark, dir) =>
-      import graft.model.NgramLm
       val base = docs(spark, dir).select(col("doc_id"), col("lang"),
         TextAnalysis.tokens(col("text")).as("tk"))
-      val m = NgramLm.cachedBigram(base, "en")
-      val lr = NgramLm.cachedDsir(base, 4096, "en")
-      // perplexity-tercile branch (q136's scoring, bucket only)
-      val bg1 = base.select(col("doc_id"),
-          explode(when(size(col("tk")) >= 2,
-            sequence(lit(1), size(col("tk")) - 1))
-            .otherwise(array(lit(null).cast("int")))).as("p"),
-          col("tk"))
-        .select(col("doc_id"),
-          element_at(col("tk"), col("p")).as("w1"),
-          element_at(col("tk"), col("p") + 1).as("w2"))
-      val sc = NgramLm.scoreBigrams(bg1, m,
-        log((coalesce(col("c12"), lit(0L)) + lit(0.5)) /
-          (coalesce(col("c1"), lit(0L)).cast("double") +
-            lit(0.5) * (lit(m.v) + 1))),
-        useCont = false)
-      val ppl = sc.groupBy(col("doc_id"))
-        .agg(pround(exp(-avg(col("lp"))), 4).as("ppl"))
+      // perplexity-tercile branch — reads the SAME served score
+      // frame as q136 (addAlphaScores, r9 verdict item 1): once any
+      // family member has run, this branch launches zero scoring
+      // work — just the bucketed rank over materialized partitions
+      val ppl = addAlphaScores(base)
+        .select(col("doc_id"), col("ppl"))
         .withColumn("__u", floor(col("ppl") * 1e4 + 0.5).cast("long"))
       val buckets = globalRankByUnits(ppl, "__u", "ppl_rank")
         .select(col("doc_id"),
@@ -2547,27 +2633,9 @@ object QueriesScale {
             .when(col("ppl_rank") * 3 <= col("__total") * 2,
               lit("middle"))
             .otherwise(lit("tail")).as("bucket"))
-      // DSIR-selection branch (q137's scoring, selected only)
-      val B = 4096
-      val bg2 = base.select(col("doc_id"),
-          explode(when(size(col("tk")) >= 2,
-            sequence(lit(1), size(col("tk")) - 1))
-            .otherwise(array(lit(null).cast("int")))).as("p"),
-          col("tk"))
-        .select(col("doc_id"),
-          when(col("p").isNull, lit(null).cast("long"))
-            .otherwise(pmod(conv(substring(md5(concat_ws(" ",
-              element_at(col("tk"), col("p")),
-              element_at(col("tk"), col("p") + 1))), 1, 8), 16, 10)
-              .cast("long"), lit(B.toLong))).as("b"))
-      val w = bg2.join(broadcast(lr), Seq("b"), "left")
-        .groupBy(col("doc_id"))
-        .agg(count(col("lw")).as("n_feats"), sum(col("lw")).as("__s"))
-        .withColumn("__au",
-          when(col("__s") / col("n_feats") >= 0,
-            floor(col("__s") / col("n_feats") * 1e6 + 0.5))
-            .otherwise(ceil(col("__s") / col("n_feats") * 1e6 - 0.5))
-            .cast("long"))
+      // DSIR-selection branch — reads q137's served frame
+      val w = dsirScores(base, 4096)
+        .withColumn("__au", dsirUnits)
         .select(col("doc_id"), (-col("__au")).as("__u"))
       val selected = globalRankByUnits(w, "__u", "sel_rank")
         .select(col("doc_id"),
@@ -2642,6 +2710,89 @@ object QueriesScale {
       entries.join(hist, Seq("loc"), "left")
         .select(col("source"), col("loc"), col("lastmod"),
           col("__crawled").isNull.as("is_new"))
+    },
+
+    // Recrawl planner / fetch scheduling (r9 verdict item 2) — the
+    // stage between q155's frontier and the fetch: per-URL change-
+    // rate estimation from crawl-history deltas (smoothed
+    // (changes+0.5)/(crawls+1)), the conditional-fetch decision
+    // (sitemap lastmod vs last-crawl day; estimator fallback when
+    // the hint is absent; never-crawled URLs always fetch), and
+    // per-host politeness packing into fetch cycles of 4 slots
+    // (graft.sources.Recrawl — see its scale-shape doc: one URL-
+    // keyed history aggregate, one URL-keyed join, one HOST-bounded
+    // window, priorities in integer micro-units so rank order is
+    // engine-exact). History here is synthesized per doc (1–4
+    // weekly crawls, deterministic changed flags, ~9% of URLs never
+    // crawled) so the oracle can rebuild it arithmetically.
+    "q157_recrawl_plan" -> q { (spark, dir) =>
+      import graft.sources.Recrawl
+      val d = docs(spark, dir)
+      val loc = concat(lit("http://"), col("source"),
+        lit(".example/id/"), col("doc_id"))
+      val frontier = d.select(loc.as("loc"), col("source").as("host"),
+        when(col("doc_id") % 5 === 2, lit(null).cast("long"))
+          .otherwise(col("doc_id") % 80 + 30).as("lastmod_day"))
+      val history = d.filter(col("doc_id") % 11 =!= 3)
+        .select(loc.as("loc"), col("doc_id"),
+          explode(sequence(lit(0L), col("doc_id") % 4)).as("j"))
+        .select(col("loc"),
+          (lit(40L) + col("doc_id") % 7 + col("j") * 7)
+            .as("crawl_day"),
+          ((col("doc_id") + col("j")) % 3 === 0).as("changed"))
+      Recrawl.plan(frontier, history, nowDay = 100L, slotsPerHost = 4)
+    },
+
+    // Takedown / right-to-be-forgotten propagation (r9 verdict
+    // item 3): a removal list — URL-level ids (doc_id % 17 = 3) plus
+    // two whole domains — propagates through the canonical table AND
+    // every derived artifact in ONE plan: the q51/q91 chunk table,
+    // the q59/q65 packed training sequences (GROUP-level removal: a
+    // sequence containing one tombstoned chunk is invalid as a
+    // whole, so docs_affected counts the innocent co-packed
+    // collateral a compliance report must disclose), the q101 shard
+    // layout, and the q60 fingerprint history. Scale shape
+    // (operators/Takedown): domain resolution broadcasts, artifact
+    // flags are doc_id-keyed joins against the takedown-sized
+    // removal set, the group flag is one sequence-bounded window,
+    // and the rollup is five 1-row aggregates — counts move, corpus
+    // data never does.
+    "q158_takedown_propagation" -> q { (spark, dir) =>
+      import spark.implicits._
+      import graft.operators.Takedown
+      import graft.sampling.{Packing, Sampling}
+      val d = docs(spark, dir)
+      val urlIds = d.filter(col("doc_id") % 17 === 3)
+        .select(col("doc_id"))
+      val domains = Seq("src7", "src13").toDF("source")
+      val tomb = Takedown.resolveDocs(
+        d.select(col("doc_id"), col("source")), urlIds, domains)
+      val ch = chunks(spark, dir)
+      val packed = Packing.packSequences(ch, capacity = 256,
+        buckets = 32)
+      def h(salt: String): Column =
+        conv(substring(md5(concat(lit(salt),
+          col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+      val shards = {
+        val s = d.select(col("doc_id"),
+          pmod(h("shard1"), lit(16L)).cast("long").as("shard_id"),
+          h("order1").as("okey"))
+        val w = Window.partitionBy(col("shard_id"))
+          .orderBy(col("okey").asc, col("doc_id").asc)
+        s.withColumn("order_idx", row_number().over(w).cast("long"))
+          .drop("okey")
+      }
+      val fph = d
+        .filter(Sampling.hashFraction(col("doc_id"), "incr") < 0.8)
+        .select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+      Takedown.audit(Seq(
+        "canonical" -> Takedown.flag(d.select(col("doc_id")), tomb),
+        "chunks" -> Takedown.flag(ch, tomb),
+        "packed_sequences" -> Takedown.flagGroup(
+          Takedown.flag(packed, tomb), Seq("bucket", "seq_id")),
+        "shard_layout" -> Takedown.flag(shards, tomb),
+        "fingerprint_history" -> Takedown.flag(fph, tomb)))
     },
 
     // robots.txt crawl screening (RFC 9309) — the admission step
@@ -3240,29 +3391,15 @@ object QueriesScale {
     "q136_ngram_perplexity" -> q { (spark, dir) =>
       val base = docs(spark, dir).select(col("doc_id"), col("lang"),
         TextAnalysis.tokens(col("text")).as("tk"))
-      // plan-identical to q151's frame → ONE shared cached model
-      val m = graft.model.NgramLm.cachedBigram(base, "en")
-      // a doc with <2 tokens emits ONE null-position sentinel row →
-      // null lp → (0 bigrams, null ppl, null rank) flows through the
-      // aggregate AND the null-aware rank with no corpus tail join
-      val bg = base.select(col("doc_id"),
-          explode(when(size(col("tk")) >= 2,
-            sequence(lit(1), size(col("tk")) - 1))
-            .otherwise(array(lit(null).cast("int")))).as("p"),
-          col("tk"))
-        .select(col("doc_id"),
-          element_at(col("tk"), col("p")).as("w1"),
-          element_at(col("tk"), col("p") + 1).as("w2"))
-      val sc = graft.model.NgramLm.scoreBigrams(bg, m,
-        log((coalesce(col("c12"), lit(0L)) + lit(0.5)) /
-          (coalesce(col("c1"), lit(0L)).cast("double") +
-            lit(0.5) * (lit(m.v) + 1))),
-        useCont = false)
-      val ppl = sc.groupBy(col("doc_id"))
-        .agg(count(col("lp")).as("n_bigrams"),
-          pround(exp(-avg(col("lp"))), 4).as("ppl"))
-        // integer ppl units: the SAME floor(x*1e4+0.5) pround computes,
-        // so rank order == displayed-value order by construction
+      // the per-doc score frame is SERVED state (addAlphaScores —
+      // r9 verdict item 1): first execution fits the shared bigram
+      // model (plan-identical to q151's → one cache entry) and
+      // materializes (doc_id, n_bigrams, ppl); every later execution
+      // — and q156's capstone — reads the frame, so the warm path is
+      // exactly one bucketed rank over materialized partitions.
+      // Integer ppl units: the SAME floor(x*1e4+0.5) pround computes,
+      // so rank order == displayed-value order by construction.
+      val ppl = addAlphaScores(base)
         .withColumn("__u", floor(col("ppl") * 1e4 + 0.5).cast("long"))
       // __total rides out of the rank's own bucket table — no
       // separate corpus-sized count job / broadcast
@@ -3298,33 +3435,16 @@ object QueriesScale {
       val B = 4096
       val base = docs(spark, dir).select(col("doc_id"), col("lang"),
         TextAnalysis.tokens(col("text")).as("tk"))
-      val lr = graft.model.NgramLm.cachedDsir(base, B, "en")
-      // sentinel shape (see q136/q151): short docs emit one
-      // null-bucket row — concat_ws would silently fold the null
-      // positions to md5("") so the bucket must null out explicitly
-      val bg = base.select(col("doc_id"),
-          explode(when(size(col("tk")) >= 2,
-            sequence(lit(1), size(col("tk")) - 1))
-            .otherwise(array(lit(null).cast("int")))).as("p"),
-          col("tk"))
-        .select(col("doc_id"),
-          when(col("p").isNull, lit(null).cast("long"))
-            .otherwise(pmod(conv(substring(md5(concat_ws(" ",
-              element_at(col("tk"), col("p")),
-              element_at(col("tk"), col("p") + 1))), 1, 8), 16, 10)
-              .cast("long"), lit(B.toLong))).as("b"))
-      val w = bg.join(broadcast(lr), Seq("b"), "left")
-        .groupBy(col("doc_id"))
-        .agg(count(col("lw")).as("n_feats"), sum(col("lw")).as("__s"))
-        // signed integer units = pround(s/n, 6)'s two branches × 1e6:
-        // the units are the single source of truth — avg_lw is
-        // units/1e6 and the rank orders by units, so displayed value
-        // and rank order agree by construction on both engines
-        .withColumn("__au",
-          when(col("__s") / col("n_feats") >= 0,
-            floor(col("__s") / col("n_feats") * 1e6 + 0.5))
-            .otherwise(ceil(col("__s") / col("n_feats") * 1e6 - 0.5))
-            .cast("long"))
+      // the per-doc weight frame is SERVED state (dsirScores — r9
+      // verdict item 1): first execution fits the 4096-row log-ratio
+      // table and materializes (doc_id, n_feats, __s); later
+      // executions and q156 read the frame. Signed integer units =
+      // pround(s/n, 6)'s two branches × 1e6: the units are the
+      // single source of truth — avg_lw is units/1e6 and the rank
+      // orders by units, so displayed value and rank order agree by
+      // construction on both engines.
+      val w = dsirScores(base, B)
+        .withColumn("__au", dsirUnits)
         .select(col("doc_id"), col("n_feats"),
           pround(col("__s"), 4).as("log_w"),
           (col("__au") / 1e6).as("avg_lw"),
@@ -3362,33 +3482,11 @@ object QueriesScale {
     "q151_kneser_ney" -> q { (spark, dir) =>
       val base = docs(spark, dir).select(col("doc_id"), col("lang"),
         TextAnalysis.tokens(col("text")).as("tk"))
-      // plan-identical to q136's frame → ONE shared cached model
-      val m = graft.model.NgramLm.cachedBigram(base, "en")
-      // a doc with <2 tokens emits ONE null-position sentinel row →
-      // null w1/w2 → null lp, so count(lp)=0 and avg(lp)=null give
-      // the (0, null) output row WITHOUT a corpus-table tail join
-      val bg = base.select(col("doc_id"),
-          explode(when(size(col("tk")) >= 2,
-            sequence(lit(1), size(col("tk")) - 1))
-            .otherwise(array(lit(null).cast("int")))).as("p"),
-          col("tk"))
-        .select(col("doc_id"),
-          element_at(col("tk"), col("p")).as("w1"),
-          element_at(col("tk"), col("p") + 1).as("w2"))
-      val d = lit(0.75)
-      val pcont = coalesce(col("nl"), lit(0L)).cast("double") /
-        lit(m.nall).cast("double")
-      val p = when(col("c1").isNull, pcont)
-        .otherwise(
-          greatest(coalesce(col("c12"), lit(0L)).cast("double") - d,
-            lit(0.0)) / col("c1").cast("double") +
-            (d * col("nr").cast("double") / col("c1").cast("double"))
-              * pcont)
-      val sc = graft.model.NgramLm.scoreBigrams(bg, m,
-        log(greatest(p, lit(1e-10))))
-      sc.groupBy(col("doc_id"))
-        .agg(count(col("lp")).as("n_bigrams"),
-          pround(exp(-avg(col("lp"))), 4).as("kn_ppl"))
+      // the per-doc KN frame is SERVED state (knScores — r9 verdict
+      // item 1): the bigram model was already shared with q136 (one
+      // cache entry); now the score frame is fit-once too, so the
+      // warm path is a projection over materialized partitions.
+      knScores(base)
         .select(col("doc_id"), col("n_bigrams"), col("kn_ppl"))
     },
 
@@ -6445,6 +6543,158 @@ object QueriesScale {
         |SELECT sm.source, sm.loc, sm.lastmod,
         |       h.loc IS NULL AS is_new
         |FROM sm LEFT JOIN h ON sm.loc = h.loc""".stripMargin,
+
+    // q157: the oracle rebuilds the synthesized frontier/history
+    // arithmetically (q155's pattern), re-derives the smoothed
+    // change-rate estimate and the conditional-fetch decision in the
+    // IDENTICAL expression order (integer counts → the double math
+    // is bit-equal), and replays the politeness packing as the same
+    // host-partitioned row_number with need_fetch leading the sort
+    // (so candidate ranks are 1..k on both engines).
+    "q157_recrawl_plan" ->
+      """WITH f AS (
+        |  SELECT 'http://' || source || '.example/id/'
+        |           || CAST(doc_id AS VARCHAR) AS loc,
+        |         source AS host,
+        |         CASE WHEN doc_id % 5 = 2 THEN NULL
+        |              ELSE doc_id % 80 + 30 END AS lastmod_day
+        |  FROM documents),
+        |hh AS (
+        |  SELECT 'http://' || source || '.example/id/'
+        |           || CAST(doc_id AS VARCHAR) AS loc,
+        |         40 + doc_id % 7 + j * 7 AS crawl_day,
+        |         (doc_id + j) % 3 = 0 AS changed
+        |  FROM documents,
+        |       unnest(generate_series(0, doc_id % 4)) AS t(j)
+        |  WHERE doc_id % 11 <> 3),
+        |ha AS (
+        |  SELECT loc, CAST(count(*) AS BIGINT) AS n_crawls,
+        |         CAST(sum(CASE WHEN changed THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n_changes,
+        |         CAST(max(crawl_day) AS BIGINT) AS last_crawl_day
+        |  FROM hh GROUP BY 1),
+        |j AS (
+        |  SELECT f.loc, f.host, f.lastmod_day, ha.n_crawls,
+        |         ha.n_changes, ha.last_crawl_day,
+        |         CASE WHEN ha.n_crawls IS NULL THEN NULL
+        |              ELSE CAST(floor((ha.n_changes + 0.5)
+        |                / (ha.n_crawls + 1.0)
+        |                * (100 - ha.last_crawl_day) * 1e6 + 0.5)
+        |                AS BIGINT) END AS priority_units,
+        |         CASE WHEN ha.n_crawls IS NULL THEN TRUE
+        |              WHEN f.lastmod_day IS NOT NULL
+        |                THEN f.lastmod_day > ha.last_crawl_day
+        |              ELSE CAST(floor((ha.n_changes + 0.5)
+        |                / (ha.n_crawls + 1.0)
+        |                * (100 - ha.last_crawl_day) * 1e6 + 0.5)
+        |                AS BIGINT) >= 500000 END AS need_fetch
+        |  FROM f LEFT JOIN ha USING (loc)),
+        |r AS (
+        |  SELECT *,
+        |         CASE WHEN need_fetch THEN
+        |           CAST(row_number() OVER (PARTITION BY host
+        |             ORDER BY need_fetch DESC,
+        |                      priority_units DESC NULLS FIRST,
+        |                      loc ASC) AS BIGINT)
+        |         END AS host_rank
+        |  FROM j)
+        |SELECT host, loc,
+        |       COALESCE(n_crawls, 0) AS n_crawls,
+        |       COALESCE(n_changes, 0) AS n_changes,
+        |       last_crawl_day, lastmod_day,
+        |       CASE WHEN n_crawls IS NOT NULL THEN
+        |         floor((n_changes + 0.5) / (n_crawls + 1.0)
+        |           * 1e6 + 0.5) / 1e6 END AS change_rate,
+        |       priority_units, need_fetch, host_rank,
+        |       CAST(floor((host_rank - 1) / 4.0) AS BIGINT) + 1
+        |         AS cycle,
+        |       CASE WHEN need_fetch
+        |            THEN CAST(floor((host_rank - 1) / 4.0) AS BIGINT)
+        |                 + 1 = 1
+        |            ELSE FALSE END AS scheduled
+        |FROM r""".stripMargin,
+
+    // q158: the oracle resolves the same tombstone set, rebuilds
+    // each derived artifact with its already-proven CTE chain (q59's
+    // chunk/pack arithmetic, q60's hash-fraction history slice,
+    // q101's layout is 1:1 with docs so its counts equal the
+    // canonical's), escalates the packed flag to sequence granularity
+    // with the same max-over-group window, and rolls the five audits
+    // up with UNION ALL.
+    "q158_takedown_propagation" ->
+      s"""WITH $toksSql,
+         |tomb AS (
+         |  SELECT doc_id FROM documents
+         |  WHERE doc_id % 17 = 3 OR source IN ('src7', 'src13')),
+         |dflag AS (
+         |  SELECT d.doc_id,
+         |         CASE WHEN t.doc_id IS NOT NULL THEN 1 ELSE 0 END
+         |           AS tb
+         |  FROM documents d LEFT JOIN tomb t USING (doc_id)),
+         |ch AS (
+         |  SELECT doc_id, tk,
+         |         unnest(generate_series(1, greatest(len(tk), 1), 48))
+         |           AS s
+         |  FROM toks),
+         |ck AS (
+         |  SELECT doc_id, CAST((s - 1) // 48 AS INT) AS chunk_idx,
+         |         CAST(doc_id % 32 AS INT) AS bucket,
+         |         CAST(len(tk[s : s + 63]) AS BIGINT) AS n
+         |  FROM ch),
+         |ckf AS (
+         |  SELECT ck.doc_id, ck.chunk_idx, ck.bucket, ck.n, dflag.tb
+         |  FROM ck JOIN dflag USING (doc_id)),
+         |pk AS (
+         |  SELECT doc_id, bucket, tb,
+         |         COALESCE(SUM(n) OVER (PARTITION BY bucket
+         |           ORDER BY doc_id, chunk_idx
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |           0) // 256 AS seq_id
+         |  FROM ckf),
+         |pkg AS (
+         |  SELECT doc_id,
+         |         max(tb) OVER (PARTITION BY bucket, seq_id) AS gt
+         |  FROM pk),
+         |fh AS (
+         |  SELECT doc_id, tb FROM dflag
+         |  WHERE CAST(('0x' || substr(md5('incr'
+         |      || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |      / 4294967296.0 < 0.8)
+         |SELECT 'canonical' AS artifact,
+         |       CAST(count(*) AS BIGINT) AS rows_before,
+         |       CAST(sum(tb) AS BIGINT) AS rows_removed,
+         |       CAST(count(*) - sum(tb) AS BIGINT) AS rows_after,
+         |       CAST(count(DISTINCT CASE WHEN tb = 1 THEN doc_id END)
+         |         AS BIGINT) AS docs_affected
+         |FROM dflag
+         |UNION ALL
+         |SELECT 'chunks', CAST(count(*) AS BIGINT),
+         |       CAST(sum(tb) AS BIGINT),
+         |       CAST(count(*) - sum(tb) AS BIGINT),
+         |       CAST(count(DISTINCT CASE WHEN tb = 1 THEN doc_id END)
+         |         AS BIGINT)
+         |FROM ckf
+         |UNION ALL
+         |SELECT 'packed_sequences', CAST(count(*) AS BIGINT),
+         |       CAST(sum(gt) AS BIGINT),
+         |       CAST(count(*) - sum(gt) AS BIGINT),
+         |       CAST(count(DISTINCT CASE WHEN gt = 1 THEN doc_id END)
+         |         AS BIGINT)
+         |FROM pkg
+         |UNION ALL
+         |SELECT 'shard_layout', CAST(count(*) AS BIGINT),
+         |       CAST(sum(tb) AS BIGINT),
+         |       CAST(count(*) - sum(tb) AS BIGINT),
+         |       CAST(count(DISTINCT CASE WHEN tb = 1 THEN doc_id END)
+         |         AS BIGINT)
+         |FROM dflag
+         |UNION ALL
+         |SELECT 'fingerprint_history', CAST(count(*) AS BIGINT),
+         |       CAST(sum(tb) AS BIGINT),
+         |       CAST(count(*) - sum(tb) AS BIGINT),
+         |       CAST(count(DISTINCT CASE WHEN tb = 1 THEN doc_id END)
+         |         AS BIGINT)
+         |FROM fh""".stripMargin,
 
     // q153: the oracle re-derives the per-source rule sets (the
     // graftbot group on even-length hosts, the * group elsewhere —

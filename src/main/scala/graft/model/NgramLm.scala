@@ -49,11 +49,57 @@ object NgramLm {
 
   private val bigramCache = new ConcurrentHashMap[String, BigramLm]()
   private val dsirCache = new ConcurrentHashMap[String, DataFrame]()
+  private val scoreCache = new ConcurrentHashMap[String, DataFrame]()
 
   /** Count of ACTUAL model fits (cache hits leave it untouched) —
     * FitCacheSpec's zero-model-jobs-on-re-execution counter.
     */
   private[graft] val fitRunCount = new AtomicLong(0L)
+
+  /** Count of ACTUAL score-frame builds ([[cachedScoreFrame]] misses)
+    * — the same counter discipline one level up (r9 verdict item 1).
+    */
+  private[graft] val scoreRunCount = new AtomicLong(0L)
+
+  /** Drop every fit-once LM cache (models AND score frames). The
+    * [[CorpusStats.clear]] escape hatch extended to the LM family:
+    * the caches key on the canonicalized PLAN, not file contents, so
+    * a harness that rewrites an input file in place within one JVM
+    * must call this between corpora or q136/q137/q151/q156 would
+    * silently serve models fitted on the old bytes.
+    */
+  def clear(): Unit = {
+    bigramCache.clear(); dsirCache.clear(); scoreCache.clear()
+  }
+
+  /** Fit-once discipline ONE LEVEL UP (r9 verdict item 1): the
+    * per-doc score frame — (doc_id, n_bigrams, ppl) for add-α,
+    * (doc_id, n_feats, __s) for DSIR, (doc_id, n_bigrams, kn_ppl)
+    * for Kneser–Ney — is itself DERIVED TRAINED STATE: a pure
+    * function of (corpus plan, scorer), exactly like the model
+    * tables, and q156's capstone recomputed q136's whole scoring
+    * branch (explode → model joins → per-doc aggregate) although the
+    * identical frame had just been built. Here the frame is built
+    * once per (scorer tag, corpus plan), eagerly materialized via
+    * [[Checkpoints.materialize]] (executor storage, truncated
+    * lineage — corpus-sized, so NEVER driver-localized), and served
+    * to every later caller: q136's warm path is the materialized
+    * frame + the bucketed rank, and q156 inherits the same entry.
+    * Integer/4dp-rounded columns make re-build vs serve bit-equal.
+    */
+  def cachedScoreFrame(base: DataFrame, tag: String)
+                      (build: => DataFrame): DataFrame = {
+    val key = s"score:$tag:${PlanKey.of(base)}"
+    val hit = scoreCache.get(key)
+    if (hit != null && live(hit)) hit
+    else {
+      evictDead[DataFrame](scoreCache, identity)
+      scoreRunCount.incrementAndGet()
+      val f = Checkpoints.materialize(build)
+      scoreCache.put(key, f)
+      f
+    }
+  }
 
   private def live(df: DataFrame): Boolean =
     !df.sparkSession.sparkContext.isStopped

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Takedown / right-to-be-forgotten propagation (r9 verdict item 3):
+  * a removal list (URL-level doc ids + whole domains) must vanish
+  * from the CANONICAL table and from EVERY derived artifact — chunk
+  * tables, packed training sequences, shard layouts, fingerprint
+  * history — with an audit trail, because production corpora are
+  * legally required to prove the removal happened everywhere, not
+  * just in the source of truth. (The reference pipeline keeps no
+  * derived artifacts — reference `src/storage.py:18-42` appends flat
+  * CSV snapshots — so this is brief-driven scale work.)
+  *
+  * Granularity matters: most artifacts remove at ROW level (a chunk
+  * / shard entry / fingerprint row of a tombstoned doc), but a
+  * PACKED SEQUENCE containing even one tombstoned chunk is invalid
+  * as a whole (the sequence is the training unit; its surviving
+  * members must repack), so packed artifacts remove at GROUP level
+  * ([[flagGroup]]) and the audit's `docs_affected` deliberately
+  * counts the innocent co-packed docs swept out with it — the
+  * collateral a compliance report has to disclose.
+  *
+  * Scale shape: tombstone resolution is one broadcast semi-join
+  * (domain lists are tiny) plus a union with the URL-level ids; the
+  * per-artifact flag is a doc_id-keyed join against the resolved
+  * removal set (takedown-list-sized — broadcastable in practice,
+  * left to the optimizer's sized decision here since a domain
+  * takedown can resolve to a corpus fraction); group flags are one
+  * window over the artifact's own grouping key (sequence-bounded);
+  * the audit is a per-artifact 1-row aggregate — no corpus data ever
+  * moves, only flags and counts.
+  */
+object Takedown {
+
+  /** Resolve a tombstone spec into the doc-id removal set:
+    * `urlDocIds` (doc_id) — URL-level takedowns already mapped to
+    * ids — plus every doc whose `source` appears in `domains`
+    * (source). The result is the set the per-artifact flags key on.
+    */
+  def resolveDocs(canonical: DataFrame, urlDocIds: DataFrame,
+                  domains: DataFrame): DataFrame =
+    canonical.join(broadcast(domains), Seq("source"), "left_semi")
+      .select(col("doc_id"))
+      .unionByName(urlDocIds.select(col("doc_id")))
+      .distinct()
+
+  /** Mark an artifact's rows: `__tomb` = this row belongs to a
+    * tombstoned doc. The artifact must carry `doc_id`.
+    */
+  def flag(artifact: DataFrame, tombstoned: DataFrame): DataFrame =
+    artifact.join(
+        tombstoned.select(col("doc_id"), lit(true).as("__tomb")),
+        Seq("doc_id"), "left")
+      .withColumn("__tomb", coalesce(col("__tomb"), lit(false)))
+
+  /** Escalate a row flag to GROUP granularity: the whole group is
+    * removed when ANY member row is flagged (packed sequences,
+    * merged shards — any artifact whose unit of validity spans
+    * docs).
+    */
+  def flagGroup(flagged: DataFrame, groupCols: Seq[String]): DataFrame =
+    flagged.withColumn("__tomb",
+      max(col("__tomb")).over(
+        Window.partitionBy(groupCols.map(col): _*)))
+
+  /** The surviving artifact — what actually replaces the old data. */
+  def purge(flagged: DataFrame): DataFrame =
+    flagged.filter(!col("__tomb")).drop("__tomb")
+
+  /** The compliance rollup over flagged artifacts, ONE plan: per
+    * artifact (rows_before, rows_removed, rows_after,
+    * docs_affected) — docs_affected counts DISTINCT doc ids whose
+    * rows leave, which for group-level artifacts includes the
+    * co-packed collateral.
+    */
+  def audit(parts: Seq[(String, DataFrame)]): DataFrame =
+    parts.map { case (name, df) =>
+      df.agg(count(lit(1)).as("rows_before"),
+          sum(when(col("__tomb"), lit(1L)).otherwise(lit(0L)))
+            .as("rows_removed"),
+          countDistinct(when(col("__tomb"), col("doc_id")))
+            .as("docs_affected"))
+        .select(lit(name).as("artifact"),
+          col("rows_before"), col("rows_removed"),
+          (col("rows_before") - col("rows_removed")).as("rows_after"),
+          col("docs_affected"))
+    }.reduce(_ unionByName _)
+}

@@ -1,0 +1,118 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.PortableRound.pround
+
+/** Recrawl planning / fetch scheduling — the stage between the
+  * sitemap frontier (q155) and the fetch that every production
+  * crawler runs continuously: given the frontier (what COULD be
+  * fetched, with any `lastmod` hints the sitemap carried) and the
+  * crawl history (when each URL was last fetched and whether it had
+  * changed), decide WHAT to fetch this cycle and in what order.
+  * (The reference pipeline fetches a fixed API host — reference
+  * `src/ingestion.py:32-54` — and has no crawl layer; this is
+  * brief-driven crawl-scale work, r9 verdict item 2.)
+  *
+  * Three classic components in one plan:
+  *
+  *  1. **Per-URL change-rate estimation** from crawl-history deltas:
+  *     the smoothed frequency-of-change estimator
+  *     `(n_changes + 0.5) / (n_crawls + 1)` (the add-half Laplace
+  *     form of Cho & Garcia-Molina's change-frequency work — the
+  *     prior keeps a single unchanged observation from freezing a
+  *     URL forever).
+  *  2. **Conditional-fetch decision** (the If-Modified-Since
+  *     discipline applied at planning time): a URL with a sitemap
+  *     `lastmod` newer than its last crawl needs a fetch — and one
+  *     with an OLDER `lastmod` provably does not, whatever its
+  *     estimated rate. URLs without a `lastmod` hint fall back to
+  *     the estimator: fetch when the expected number of changes
+  *     since the last crawl, `rate × days_since`, reaches 1/2.
+  *     Never-crawled URLs (no history) always fetch — discovery
+  *     outranks refresh.
+  *  3. **Per-host politeness packing** (the q103 batch-packing
+  *     idiom keyed on host): each host grants `slotsPerHost` fetch
+  *     slots per cycle; candidates rank within their host by
+  *     (priority desc, loc asc) — new URLs first (null priority
+  *     ranks ahead), then by expected staleness — and the rank packs
+  *     into cycles of `slotsPerHost`. `scheduled` marks cycle 1,
+  *     this round's fetch list.
+  *
+  * Scale shape: the history aggregate is ONE exchange keyed by URL
+  * (counts and a max — partial-aggregated map-side); the frontier
+  * join is URL-keyed; the packing window partitions by HOST, so its
+  * state is per-host-frontier-sized, never corpus-sized (a real
+  * planner's per-cycle frontier per host is bounded by construction
+  * — politeness caps how much one host can ever absorb; a pipeline
+  * that only needs cycle-1 output would swap the window for the
+  * bounded-heap `graft_topk` aggregate and skip the sort entirely).
+  * Priority is computed in integer micro-units (floor(x·1e6 + 0.5))
+  * from integer counts and day arithmetic, so rank order is
+  * engine-exact.
+  */
+object Recrawl {
+
+  /** Build the fetch plan.
+    *
+    * @param frontier (loc, host, lastmod_day: nullable long) — the
+    *                 crawl frontier, e.g. q155's sitemap diff with
+    *                 lastmod reduced to a day number
+    * @param history  (loc, crawl_day: long, changed: boolean) — one
+    *                 row per past fetch of a URL
+    * @param nowDay   the planning day (same day scale as the inputs)
+    * @param slotsPerHost fetch slots each host grants per cycle
+    * @return one row per frontier URL:
+    *         (host, loc, n_crawls, n_changes, last_crawl_day,
+    *          lastmod_day, change_rate, priority_units, need_fetch,
+    *          host_rank, cycle, scheduled) — rank/cycle/scheduled
+    *          are null for URLs that don't need a fetch
+    */
+  def plan(frontier: DataFrame, history: DataFrame, nowDay: Long,
+           slotsPerHost: Int): DataFrame = {
+    // 1. change-rate estimate: one URL-keyed aggregate over history
+    val hist = history.groupBy(col("loc"))
+      .agg(count(lit(1)).as("n_crawls"),
+        sum(when(col("changed"), lit(1L)).otherwise(lit(0L)))
+          .as("n_changes"),
+        max(col("crawl_day")).as("last_crawl_day"))
+    val rate = (col("n_changes") + lit(0.5)) /
+      (col("n_crawls") + lit(1.0))
+    val days = lit(nowDay) - col("last_crawl_day")
+    val joined = frontier.join(hist, Seq("loc"), "left")
+      .withColumn("priority_units",
+        when(col("n_crawls").isNull, lit(null).cast("long"))
+          .otherwise(floor(rate * days * 1e6 + 0.5).cast("long")))
+      .withColumn("need_fetch",
+        when(col("n_crawls").isNull, lit(true)) // never crawled
+          .when(col("lastmod_day").isNotNull,   // conditional fetch
+            col("lastmod_day") > col("last_crawl_day"))
+          .otherwise(col("priority_units") >= lit(500000L)))
+    // 2. politeness packing: ONE host-bounded window, no self-join —
+    // non-candidates sort after every candidate (need_fetch desc
+    // leads the ordering), so candidate ranks are exactly 1..k and
+    // the non-candidates' row numbers are simply nulled out
+    val w = Window.partitionBy(col("host"))
+      .orderBy(col("need_fetch").desc,
+        col("priority_units").desc_nulls_first,
+        col("loc").asc)
+    joined
+      .withColumn("host_rank",
+        when(col("need_fetch"), row_number().over(w).cast("long")))
+      .withColumn("cycle",
+        floor((col("host_rank") - 1L) / lit(slotsPerHost.toDouble))
+          .cast("long") + 1L)
+      .select(col("host"), col("loc"),
+        coalesce(col("n_crawls"), lit(0L)).as("n_crawls"),
+        coalesce(col("n_changes"), lit(0L)).as("n_changes"),
+        col("last_crawl_day"), col("lastmod_day"),
+        when(col("n_crawls").isNotNull, pround(rate, 6))
+          .as("change_rate"),
+        col("priority_units"), col("need_fetch"),
+        col("host_rank"), col("cycle"),
+        when(col("need_fetch"), col("cycle") === 1L).otherwise(lit(false))
+          .as("scheduled"))
+  }
+}

@@ -82,20 +82,22 @@ class LmPipelineSpec extends SparkSpec {
     assert(pplOf("middle").max <= pplOf("tail").min)
   }
 
-  test("q136/q137 share ONE explode via a ReusedExchange barrier") {
-    // static reuse is an AQE-off property (under AQE the reuse
-    // happens at runtime stage materialization) — same dance as
-    // PlanAuditSpec's shape tests
-    val conf = spark.conf
-    val saved = conf.getOption("spark.sql.adaptive.enabled")
-    try {
-      conf.set("spark.sql.adaptive.enabled", "false")
-      for (q <- Seq("q136_ngram_perplexity", "q137_dsir_weights")) {
-        val p = run(q).queryExecution.executedPlan.toString
-        assert(p.contains("ReusedExchange"), s"$q: ${p.take(2000)}")
-      }
-    } finally saved.fold(conf.unset("spark.sql.adaptive.enabled"))(
-      conf.set("spark.sql.adaptive.enabled", _))
+  test("q136/q137 rank over the SERVED score frame — no in-plan " +
+      "scoring recompute") {
+    // pre-r10 this asserted a ReusedExchange barrier (the scoring
+    // branch appeared twice in the rank and had to execute once);
+    // the served score frame (NgramLm.cachedScoreFrame, r9 verdict
+    // item 1) enforces the same property strictly harder: the whole
+    // scoring branch — explode, model joins, per-doc aggregate — is
+    // now a single materialized Scan ExistingRDD, so the plan must
+    // contain NO Generate (explode) at all
+    for (q <- Seq("q136_ngram_perplexity", "q137_dsir_weights")) {
+      val p = run(q).queryExecution.executedPlan.toString
+      assert(p.contains("Scan ExistingRDD"),
+        s"$q must rank over the served frame: ${p.take(600)}")
+      assert(!p.contains("Generate"),
+        s"$q must not re-explode the corpus: ${p.take(2000)}")
+    }
   }
 
   test("q137 selects exactly the top quartile by per-feature weight") {

@@ -56,16 +56,47 @@ class NgramLmSpec extends SparkSpec {
   test("broadcast and shuffle scoring shapes are bit-equal") {
     // the sized decision (NgramLm.scoreBigrams) only changes WHERE
     // the model joins run, never the arithmetic — force the 100 TB
-    // shuffle path and compare against the default broadcast path
+    // shuffle path and compare against the default broadcast path.
+    // clear() first: the served score frame would otherwise answer
+    // from cache and the shuffle path would never actually build.
     val bcast = Seq("q136_ngram_perplexity", "q151_kneser_ney")
       .map(n => n -> rows(n)).toMap
+    NgramLm.clear()
     spark.conf.set(NgramLm.BroadcastMaxPairsConf, "0")
     try {
       bcast.foreach { case (n, expected) =>
         assert(rows(n) == expected,
           s"$n: shuffle-path result diverged from broadcast path")
       }
-    } finally spark.conf.unset(NgramLm.BroadcastMaxPairsConf)
+    } finally {
+      spark.conf.unset(NgramLm.BroadcastMaxPairsConf)
+      NgramLm.clear() // don't leave shuffle-built frames for later tests
+    }
+  }
+
+  test("per-doc score frames are served state (r9 verdict item 1)") {
+    // the score frame — not just the model — is fit-once: after any
+    // family member has run, re-executions and the q156 capstone
+    // (which used to recompute q136's whole scoring branch) must
+    // launch ZERO score-frame builds; clear() is the documented
+    // staleness escape hatch and must force a rebuild
+    run("q136_ngram_perplexity")
+    run("q137_dsir_weights")
+    run("q151_kneser_ney")
+    val builds = NgramLm.scoreRunCount.get()
+    val fits = NgramLm.fitRunCount.get()
+    run("q136_ngram_perplexity")
+    run("q151_kneser_ney")
+    run("q156_curation_capstone")
+    assert(NgramLm.scoreRunCount.get() == builds,
+      "re-executions and q156 must serve the cached score frames " +
+        "(zero score-frame builds)")
+    assert(NgramLm.fitRunCount.get() == fits,
+      "serving a score frame must not refit any model either")
+    NgramLm.clear()
+    run("q136_ngram_perplexity")
+    assert(NgramLm.scoreRunCount.get() > builds,
+      "clear() must force a score-frame rebuild (staleness hatch)")
   }
 
   test("docs with <2 tokens surface as (0 bigrams, null ppl) rows") {
@@ -90,10 +121,14 @@ class NgramLmSpec extends SparkSpec {
     assert(b(1L) == ((0L, None)) && b(2L) == ((0L, None)),
       s"short docs must be (0, null): $b")
     assert(b(0L)._1 == 5L && b(0L)._2.isDefined)
+    NgramLm.clear() // force the shuffle path to actually build
     spark.conf.set(NgramLm.BroadcastMaxPairsConf, "0")
     try assert(out() == b, "sentinel rows must survive the shuffle " +
       "path's null-safe score join")
-    finally spark.conf.unset(NgramLm.BroadcastMaxPairsConf)
+    finally {
+      spark.conf.unset(NgramLm.BroadcastMaxPairsConf)
+      NgramLm.clear()
+    }
 
     // q136/q137: sentinel rows must also ride the null-aware rank —
     // short docs get (0 feats/bigrams, null value, null rank, null

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.Takedown
+import graft.sampling.Packing
+
+/** Takedown propagation (r9 verdict item 3): a tombstoned doc must
+  * vanish from the canonical table and EVERY derived artifact —
+  * including whole packed sequences it participated in — and the
+  * audit must reconcile exactly with what the purge removed (the
+  * CanonicalSinkSpec thoroughness standard: assert the property on
+  * the actual surviving data, not just on counts).
+  */
+class TakedownSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // six docs on two domains; tombstones: doc 2 by URL, domain "bad"
+  // (docs 4 and 5) wholesale
+  private def docs6 = Seq(
+    (0L, "ok", "alpha beta gamma delta"),
+    (1L, "ok", "epsilon zeta"),
+    (2L, "ok", "eta theta iota"),      // URL tombstone
+    (3L, "ok", "kappa lambda"),
+    (4L, "bad", "mu nu xi"),           // domain tombstone
+    (5L, "bad", "omicron pi")          // domain tombstone
+  ).toDF("doc_id", "source", "text")
+
+  private def tomb = Takedown.resolveDocs(
+    docs6.select(col("doc_id"), col("source")),
+    docs6.filter(col("doc_id") === 2L).select(col("doc_id")),
+    Seq("bad").toDF("source"))
+
+  test("resolveDocs unions URL ids with domain members, deduped") {
+    assert(tomb.collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(2L, 4L, 5L))
+  }
+
+  test("a tombstoned doc vanishes from every derived view; packed " +
+      "sequences remove as whole groups") {
+    // chunks: 2-token chunks, stride 2 → doc0 has 2 chunks, others 1
+    val chunks = docs6.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("i", "w")))
+      .withColumn("chunk_idx", floor(col("i") / 2).cast("int"))
+      .groupBy(col("doc_id"), col("chunk_idx"))
+      .agg(count(lit(1)).as("n_chunk_tokens"),
+        md5(concat_ws(" ", collect_list(col("w")))).as("chunk_hash"))
+    // capacity 4, ONE bucket → docs pack together end-to-end: the
+    // tombstoned docs share sequences with innocent neighbours
+    val packed = Packing.packSequences(chunks, capacity = 4,
+      buckets = 1)
+    val fph = docs6.select(col("doc_id"), md5(col("text")).as("fp"))
+
+    def ids(df: DataFrame): Set[Long] =
+      df.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+
+    // row-level artifacts: exactly docs {2,4,5} vanish
+    for ((name, art) <- Seq("canonical" -> docs6, "chunks" -> chunks,
+        "fph" -> fph)) {
+      val purged = Takedown.purge(Takedown.flag(art, tomb))
+      assert(ids(purged) == Set(0L, 1L, 3L),
+        s"$name must lose exactly the tombstoned docs")
+    }
+
+    // group-level: any sequence containing a tombstoned chunk is
+    // removed WHOLE — innocent co-packed rows go with it
+    val flagged = Takedown.flagGroup(Takedown.flag(packed, tomb),
+      Seq("bucket", "seq_id"))
+    val purgedSeqs = Takedown.purge(flagged)
+    assert(ids(purgedSeqs).intersect(Set(2L, 4L, 5L)).isEmpty,
+      "no tombstoned doc may survive in packed sequences")
+    val removedSeqIds = flagged.filter(col("__tomb"))
+      .select(col("seq_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val survivingSeqIds = purgedSeqs.select(col("seq_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(removedSeqIds.intersect(survivingSeqIds).isEmpty,
+      "a sequence is either fully removed or fully kept")
+
+    // the audit reconciles with the purges it describes
+    val audit = Takedown.audit(Seq(
+        "canonical" -> Takedown.flag(docs6, tomb),
+        "packed" -> flagged))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(audit("canonical") == ((6L, 3L, 3L, 3L)))
+    val packedRows = packed.count()
+    val packedAfter = purgedSeqs.count()
+    assert(audit("packed")._1 == packedRows)
+    assert(audit("packed")._3 == packedAfter,
+      "rows_after must equal what purge actually keeps")
+    // collateral disclosure: docs_affected counts every doc whose
+    // rows left, innocent co-packed members included
+    val affected = flagged.filter(col("__tomb"))
+      .select(col("doc_id")).distinct().count()
+    assert(audit("packed")._4 == affected)
+    assert(affected >= 3L, "group removal sweeps co-packed docs")
+  }
+}
