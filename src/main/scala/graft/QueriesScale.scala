@@ -138,6 +138,20 @@ object QueriesScale {
         element_at(col("tk"), col("p")).as("w1"),
         element_at(col("tk"), col("p") + 1).as("w2"))
 
+  /** Trigram twin of [[bigramPairs]]: (doc_id, w1, w2, w3) with one
+    * null-sentinel row per <3-token doc.
+    */
+  private def trigramPairs(base: DataFrame): DataFrame =
+    base.select(col("doc_id"),
+        explode(when(size(col("tk")) >= 3,
+          sequence(lit(1), size(col("tk")) - 2))
+          .otherwise(array(lit(null).cast("int")))).as("p"),
+        col("tk"))
+      .select(col("doc_id"),
+        element_at(col("tk"), col("p")).as("w1"),
+        element_at(col("tk"), col("p") + 1).as("w2"),
+        element_at(col("tk"), col("p") + 2).as("w3"))
+
   /** The per-doc add-α perplexity frame (doc_id, n_bigrams, ppl) —
     * DERIVED TRAINED STATE (r9 verdict item 1): built once per corpus
     * plan via [[graft.model.NgramLm.cachedScoreFrame]] and served
@@ -2795,6 +2809,91 @@ object QueriesScale {
         "fingerprint_history" -> Takedown.flag(fph, tomb)))
     },
 
+    // RSS/Atom feed discovery (r9 verdict item 4) — the second
+    // URL-discovery channel merged into the q155 frontier keyed by
+    // CANONICAL URL: even-numbered hosts publish RSS (<item> with
+    // text-form <link>), odd hosts publish Atom (<entry> with the
+    // ATTRIBUTE-form <link href/>); feed URLs arrive wire-noisy
+    // (uppercase scheme/host, default :80, fragment) and entity-
+    // escaped titles, so the parse must decode and the q149
+    // canonicalizer must collapse them onto the sitemap channel's
+    // already-canonical locs. Scale shape: one FeedEntries expression
+    // row per HOST (like the sitemap/robots parses), a canonical-
+    // URL-keyed full-outer merge of the two channels, and the same
+    // loc-keyed history diff as q155 — feed XML never moves past its
+    // host row.
+    "q159_feed_discovery" -> q { (spark, dir) =>
+      import graft.sources.{FeedIngest, SitemapIngest, UrlCanonicalize}
+      val d = docs(spark, dir)
+      val hostNum = substring(col("source"), 4, 10).cast("int")
+      val canonical = concat(lit("http://"), col("source"),
+        lit(".example/id/"), col("doc_id"))
+      // ---- feed channel (subset doc_id % 4 != 2, wire-noisy) ----
+      val noisy = concat(lit("HTTP://"), upper(col("source")),
+        lit(".EXAMPLE:80/id/"), col("doc_id"), lit("#f"))
+      val updated = format_string("2026-%02d-%02d",
+        (col("doc_id") % 12 + 1).cast("int"),
+        (col("doc_id") % 28 + 1).cast("int"))
+      val title = concat(lit("Doc &amp; "), col("doc_id"))
+      val entryXml = when(hostNum % 2 === 0,
+        concat(lit("<item><link>"), noisy, lit("</link><pubDate>"),
+          updated, lit("</pubDate><title>"), title,
+          lit("</title></item>")))
+        .otherwise(concat(lit("<entry><link href=\""), noisy,
+          lit("\"/><updated>"), updated, lit("</updated><title>"),
+          title, lit("</title></entry>")))
+      val feedXml = d.filter(col("doc_id") % 4 =!= 2)
+        .select(col("source"),
+          struct(col("doc_id"), entryXml.as("e")).as("se"))
+        .groupBy(col("source"))
+        .agg(array_join(transform(sort_array(collect_list(col("se"))),
+          x => x.getField("e")), "").as("body"))
+        .select(col("source"),
+          when(substring(col("source"), 4, 10).cast("int") % 2 === 0,
+            concat(lit("<rss version=\"2.0\"><channel>"), col("body"),
+              lit("</channel></rss>")))
+            .otherwise(concat(lit("<feed>"), col("body"),
+              lit("</feed>"))).as("xml"))
+      val feed = feedXml
+        .select(explode(FeedIngest.feedEntries(col("xml"))).as("en"))
+        .select(UrlCanonicalize.urlCanonical(col("en.loc"))
+          .getField("canonical").as("loc"),
+          col("en.updated").as("feed_updated"),
+          col("en.title").as("feed_title"))
+      // ---- sitemap channel (q155's subset/entries, canonical) ----
+      val smEntry = concat(lit("<url><loc>"), canonical,
+        lit("</loc>"),
+        when(col("doc_id") % 5 === 2, lit(""))
+          .otherwise(concat(lit("<lastmod>"), updated,
+            lit("</lastmod>"))),
+        lit("</url>"))
+      val smXml = d.filter(col("doc_id") % 3 =!= 1)
+        .select(col("source"),
+          struct(col("doc_id"), smEntry.as("e")).as("se"))
+        .groupBy(col("source"))
+        .agg(array_join(transform(sort_array(collect_list(col("se"))),
+          x => x.getField("e")), "").as("body"))
+        .select(concat(lit("<?xml version=\"1.0\"?><urlset>"),
+          col("body"), lit("</urlset>")).as("xml"))
+      val sm = smXml
+        .select(explode(SitemapIngest.sitemapEntries(col("xml")))
+          .as("en"))
+        .select(col("en.loc").as("loc"),
+          col("en.lastmod").as("sitemap_lastmod"))
+      // ---- canonical-URL-keyed merge + history diff ----
+      val hist = d.filter(col("doc_id") % 2 === 0)
+        .select(canonical.as("loc"), lit(true).as("__crawled"))
+      sm.withColumn("__s", lit(true))
+        .join(feed.withColumn("__f", lit(true)), Seq("loc"), "full")
+        .join(hist, Seq("loc"), "left")
+        .select(col("loc"),
+          coalesce(col("__s"), lit(false)).as("from_sitemap"),
+          coalesce(col("__f"), lit(false)).as("from_feed"),
+          col("sitemap_lastmod"), col("feed_updated"),
+          col("feed_title"),
+          col("__crawled").isNull.as("is_new"))
+    },
+
     // robots.txt crawl screening (RFC 9309) — the admission step
     // between URL canonicalization (q149) and fetch: each host's
     // robots.txt (synthesized deterministically per source, with an
@@ -3488,6 +3587,45 @@ object QueriesScale {
       // warm path is a projection over materialized partitions.
       knScores(base)
         .select(col("doc_id"), col("n_bigrams"), col("kn_ppl"))
+    },
+
+    // Trigram interpolated Kneser–Ney (r9 verdict item 5) — one
+    // order up from q151 over the SHARED fit-once state: the
+    // order-3 chain p3(w3|w1,w2) = max(c123−d,0)/c12t +
+    // d·N1+(w1w2,·)/c12t · p2(w3|w2), backing off to q151's bigram
+    // KN (whose model tables come from the SAME cachedBigram entry —
+    // fitting the trigram never refits the lower order) and to pure
+    // continuation for unseen contexts, 1e-10 floor. Scale shape:
+    // NgramLm.cachedTrigram adds ONE vocab-bounded aggregate; the
+    // score joins are size-adaptive like q151's (broadcast small /
+    // per-distinct-triple shuffle-hash at the billion-type scale);
+    // the per-doc frame is served via the same score-frame cache.
+    "q160_kn_trigram" -> q { (spark, dir) =>
+      val base = docs(spark, dir).select(col("doc_id"), col("lang"),
+        TextAnalysis.tokens(col("text")).as("tk"))
+      graft.model.NgramLm.cachedScoreFrame(base, "kn3:en") {
+        val m = graft.model.NgramLm.cachedTrigram(base, "en")
+        val d = lit(0.75)
+        val pcont = coalesce(col("nl"), lit(0L)).cast("double") /
+          lit(m.bigram.nall).cast("double")
+        val p2 = when(col("c1").isNull, pcont)
+          .otherwise(
+            greatest(coalesce(col("c12"), lit(0L)).cast("double") - d,
+              lit(0.0)) / col("c1").cast("double") +
+              (d * col("nr").cast("double") / col("c1").cast("double"))
+                * pcont)
+        val p3 = when(col("c12t").isNull, p2)
+          .otherwise(
+            greatest(coalesce(col("c123"), lit(0L)).cast("double") - d,
+              lit(0.0)) / col("c12t").cast("double") +
+              (d * col("nr12").cast("double") /
+                col("c12t").cast("double")) * p2)
+        graft.model.NgramLm.scoreTrigrams(trigramPairs(base), m,
+          log(greatest(p3, lit(1e-10))))
+          .groupBy(col("doc_id"))
+          .agg(count(col("lp")).as("n_trigrams"),
+            pround(exp(-avg(col("lp"))), 4).as("kn3_ppl"))
+      }.select(col("doc_id"), col("n_trigrams"), col("kn3_ppl"))
     },
 
     // Unigram-LM tokenizer, trained AND applied in-engine (the
@@ -6696,6 +6834,45 @@ object QueriesScale {
          |         AS BIGINT)
          |FROM fh""".stripMargin,
 
+    // q159: the oracle never touches XML or raw URLs — it rebuilds
+    // both channels' entry lists arithmetically in CANONICAL form
+    // (what parsing + entity decode + q149 canonicalization must
+    // produce from the noisy wire spellings) and replays the merge
+    // as the same full-outer join plus history diff.
+    "q159_feed_discovery" ->
+      """WITH sm AS (
+        |  SELECT 'http://' || source || '.example/id/'
+        |           || CAST(doc_id AS VARCHAR) AS loc,
+        |         CASE WHEN doc_id % 5 = 2 THEN NULL
+        |              ELSE '2026-'
+        |                || lpad(CAST(doc_id % 12 + 1 AS VARCHAR),
+        |                        2, '0')
+        |                || '-'
+        |                || lpad(CAST(doc_id % 28 + 1 AS VARCHAR),
+        |                        2, '0') END AS sitemap_lastmod
+        |  FROM documents WHERE doc_id % 3 <> 1),
+        |fd AS (
+        |  SELECT 'http://' || source || '.example/id/'
+        |           || CAST(doc_id AS VARCHAR) AS loc,
+        |         '2026-'
+        |           || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0')
+        |           || '-'
+        |           || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+        |           AS feed_updated,
+        |         'Doc & ' || CAST(doc_id AS VARCHAR) AS feed_title
+        |  FROM documents WHERE doc_id % 4 <> 2),
+        |h AS (
+        |  SELECT 'http://' || source || '.example/id/'
+        |           || CAST(doc_id AS VARCHAR) AS loc
+        |  FROM documents WHERE doc_id % 2 = 0)
+        |SELECT COALESCE(sm.loc, fd.loc) AS loc,
+        |       sm.loc IS NOT NULL AS from_sitemap,
+        |       fd.loc IS NOT NULL AS from_feed,
+        |       sm.sitemap_lastmod, fd.feed_updated, fd.feed_title,
+        |       h.loc IS NULL AS is_new
+        |FROM sm FULL OUTER JOIN fd ON sm.loc = fd.loc
+        |LEFT JOIN h ON COALESCE(sm.loc, fd.loc) = h.loc""".stripMargin,
+
     // q153: the oracle re-derives the per-source rule sets (the
     // graftbot group on even-length hosts, the * group elsewhere —
     // exactly what RFC group selection must produce) and replays
@@ -7467,6 +7644,77 @@ object QueriesScale {
          |SELECT toks.doc_id,
          |       COALESCE(p.n_bigrams, 0) AS n_bigrams,
          |       p.kn_ppl
+         |FROM toks LEFT JOIN p USING (doc_id)""".stripMargin,
+
+    // q160: q151's oracle pattern one order up — identical integer
+    // count tables (bigram + trigram over the trusted slice), the
+    // interpolated order-3 chain written in the IDENTICAL expression
+    // order (p2 materialized per occurrence first, then p3 over it),
+    // 4dp-rounded perplexity.
+    "q160_kn_trigram" ->
+      s"""WITH $toksSql,
+         |bg AS (
+         |  SELECT doc_id, lang, tk[u.p] AS w1, tk[u.p + 1] AS w2
+         |  FROM toks, LATERAL (SELECT unnest(generate_series(
+         |    1, len(tk) - 1)) AS p) u
+         |  WHERE len(tk) >= 2),
+         |tg AS (
+         |  SELECT doc_id, lang, tk[u.p] AS w1, tk[u.p + 1] AS w2,
+         |         tk[u.p + 2] AS w3
+         |  FROM toks, LATERAL (SELECT unnest(generate_series(
+         |    1, len(tk) - 2)) AS p) u
+         |  WHERE len(tk) >= 3),
+         |c12 AS MATERIALIZED (
+         |  SELECT w1, w2, count(*) AS c12 FROM bg
+         |  WHERE lang = 'en' GROUP BY 1, 2),
+         |ctx AS (SELECT w1, sum(c12) AS c1, count(*) AS nr
+         |        FROM c12 GROUP BY 1),
+         |cont AS (SELECT w2, count(*) AS nl FROM c12 GROUP BY 1),
+         |nall AS (SELECT count(*) AS nall FROM c12),
+         |c123 AS MATERIALIZED (
+         |  SELECT w1, w2, w3, count(*) AS c123 FROM tg
+         |  WHERE lang = 'en' GROUP BY 1, 2, 3),
+         |ctx12 AS (SELECT w1, w2, sum(c123) AS c12t,
+         |                 count(*) AS nr12
+         |          FROM c123 GROUP BY 1, 2),
+         |sc0 AS (
+         |  SELECT tg.doc_id, c123.c123, ctx12.c12t, ctx12.nr12,
+         |         CASE WHEN bc.c1 IS NULL
+         |              THEN CAST(COALESCE(bn.nl, 0) AS DOUBLE)
+         |                   / CAST(nall.nall AS DOUBLE)
+         |              ELSE GREATEST(CAST(COALESCE(b.c12, 0)
+         |                     AS DOUBLE) - 0.75, 0.0)
+         |                   / CAST(bc.c1 AS DOUBLE)
+         |                 + (0.75 * CAST(bc.nr AS DOUBLE)
+         |                    / CAST(bc.c1 AS DOUBLE))
+         |                   * (CAST(COALESCE(bn.nl, 0) AS DOUBLE)
+         |                      / CAST(nall.nall AS DOUBLE))
+         |              END AS p2
+         |  FROM tg LEFT JOIN c123 USING (w1, w2, w3)
+         |          LEFT JOIN ctx12 ON ctx12.w1 = tg.w1
+         |                         AND ctx12.w2 = tg.w2
+         |          LEFT JOIN c12 b ON b.w1 = tg.w2 AND b.w2 = tg.w3
+         |          LEFT JOIN ctx bc ON bc.w1 = tg.w2
+         |          LEFT JOIN cont bn ON bn.w2 = tg.w3
+         |          CROSS JOIN nall),
+         |sc AS (
+         |  SELECT doc_id,
+         |         ln(GREATEST(
+         |           CASE WHEN c12t IS NULL THEN p2
+         |                ELSE GREATEST(CAST(COALESCE(c123, 0)
+         |                       AS DOUBLE) - 0.75, 0.0)
+         |                     / CAST(c12t AS DOUBLE)
+         |                   + (0.75 * CAST(nr12 AS DOUBLE)
+         |                      / CAST(c12t AS DOUBLE)) * p2
+         |                END, 1e-10)) AS lp
+         |  FROM sc0),
+         |p AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+         |         floor(exp(-avg(lp)) * 1e4 + 0.5) / 1e4 AS kn3_ppl
+         |  FROM sc GROUP BY 1)
+         |SELECT toks.doc_id,
+         |       COALESCE(p.n_trigrams, 0) AS n_trigrams,
+         |       p.kn3_ppl
          |FROM toks LEFT JOIN p USING (doc_id)""".stripMargin,
 
     "q136_ngram_perplexity" ->

@@ -70,6 +70,7 @@ object NgramLm {
     */
   def clear(): Unit = {
     bigramCache.clear(); dsirCache.clear(); scoreCache.clear()
+    trigramCache.clear()
   }
 
   /** Fit-once discipline ONE LEVEL UP (r9 verdict item 1): the
@@ -226,6 +227,156 @@ object NgramLm {
           bg("w1") <=> col("__pw1") && bg("w2") <=> col("__pw2"))
         .select(col("doc_id"), col("lp"))
     }
+  }
+
+  /** Trained trigram extension (r9 verdict item 5) stacked on the
+    * SHARED bigram model — `bigram` is the same cache entry
+    * q136/q151 serve, so fitting the trigram order never refits the
+    * lower order:
+    *  - `c123`:  (w1, w2, w3, c123) — trigram counts
+    *  - `ctx12`: (w1, w2, c12t, nr12) — trigram-context total +
+    *             distinct continuations N1+(w1w2,·). The denominator
+    *             is the TRIGRAM-context total (Σ_w3 c123), derived
+    *             purely from c123 so a loaded artifact can never
+    *             drift from a fitted model; it differs from the raw
+    *             bigram count only by end-of-document positions.
+    *  - `n3`:    distinct trigram types (the broadcast-size measure)
+    */
+  final case class TrigramLm(c123: DataFrame, ctx12: DataFrame,
+                             n3: Long, bigram: BigramLm)
+
+  private val trigramCache = new ConcurrentHashMap[String, TrigramLm]()
+
+  /** The query-facing trained trigram LM: one pass over the trusted
+    * slice for the order-3 counts; the bigram order comes from
+    * [[cachedBigram]]'s shared entry (zero extra jobs when any
+    * family member has run).
+    */
+  def cachedTrigram(base: DataFrame,
+                    trustedLang: String = "en"): TrigramLm = {
+    val key = s"trigram:${PlanKey.of(base)}:$trustedLang"
+    val hit = trigramCache.get(key)
+    if (hit != null && live(hit.c123)) hit
+    else {
+      evictDead[TrigramLm](trigramCache, _.c123)
+      val bg = cachedBigram(base, trustedLang)
+      fitRunCount.incrementAndGet()
+      val tg = base.filter(col("lang") === trustedLang)
+        .select(explode(when(size(col("tk")) >= 3,
+          sequence(lit(1), size(col("tk")) - 2))
+          .otherwise(array().cast("array<int>"))).as("p"),
+          col("tk"))
+        .select(element_at(col("tk"), col("p")).as("w1"),
+          element_at(col("tk"), col("p") + 1).as("w2"),
+          element_at(col("tk"), col("p") + 2).as("w3"))
+      val c123 = Checkpoints.materialize(
+        tg.groupBy(col("w1"), col("w2"), col("w3"))
+          .agg(count(lit(1)).as("c123")))
+      val (ctx12, n3) = deriveTrigramTables(c123)
+      val mx = broadcastMaxPairs(base)
+      val m = TrigramLm(localized(c123, n3, mx),
+        localized(ctx12, n3, mx), n3, bg)
+      if (n3 <= mx)
+        Seq(c123, ctx12).foreach(Checkpoints.release)
+      trigramCache.put(key, m)
+      m
+    }
+  }
+
+  /** Score a corpus trigram stream (doc_id, w1, w2, w3) against a
+    * trained [[TrigramLm]]: joins the order-3 tables on
+    * (w1,w2,w3)/(w1,w2) and the BACKOFF bigram tables keyed on the
+    * trailing bigram (w2,w3) — the order-3 interpolated-KN chain
+    * p3 = max(c123−d,0)/c12t + d·nr12/c12t · p2(w3|w2). Same
+    * size-adaptive shapes as [[scoreBigrams]]: broadcast when both
+    * orders' fitted sizes are small, per-distinct-triple SHUFFLE_HASH
+    * at scale (occurrence rows traverse exactly one exchange); both
+    * evaluate the identical expression over identical integer
+    * inputs, so results are bit-equal.
+    */
+  def scoreTrigrams(tg: DataFrame, m: TrigramLm,
+                    lp: org.apache.spark.sql.Column): DataFrame = {
+    val lpn = when(col("w1").isNull, lit(null).cast("double"))
+      .otherwise(lp)
+    val b12 = m.bigram.c12.select(col("w1").as("w2"),
+      col("w2").as("w3"), col("c12"))
+    val bctx = m.bigram.ctx.select(col("w1").as("w2"), col("c1"),
+      col("nr"))
+    val bcont = m.bigram.cont.select(col("w2").as("w3"), col("nl"))
+    val maxPairs = tg.sparkSession.conf
+      .getOption(BroadcastMaxPairsConf)
+      .map(_.toLong).getOrElse(DefaultBroadcastMaxPairs)
+    if (math.max(m.n3, m.bigram.nall) <= maxPairs) {
+      tg.join(broadcast(m.c123), Seq("w1", "w2", "w3"), "left")
+        .join(broadcast(m.ctx12), Seq("w1", "w2"), "left")
+        .join(broadcast(b12), Seq("w2", "w3"), "left")
+        .join(broadcast(bctx), Seq("w2"), "left")
+        .join(broadcast(bcont), Seq("w3"), "left")
+        .select(col("doc_id"), lpn.as("lp"))
+    } else {
+      val triples = tg.select(col("w1"), col("w2"), col("w3"))
+        .distinct()
+      val plp = triples
+        .join(m.c123.hint("shuffle_hash"), Seq("w1", "w2", "w3"),
+          "left")
+        .join(m.ctx12.hint("shuffle_hash"), Seq("w1", "w2"), "left")
+        .join(b12.hint("shuffle_hash"), Seq("w2", "w3"), "left")
+        .join(bctx.hint("shuffle_hash"), Seq("w2"), "left")
+        .join(bcont.hint("shuffle_hash"), Seq("w3"), "left")
+        .select(col("w1").as("__p1"), col("w2").as("__p2"),
+          col("w3").as("__p3"), lpn.as("lp"))
+      tg.join(plp.hint("shuffle_hash"),
+          tg("w1") <=> col("__p1") && tg("w2") <=> col("__p2") &&
+            tg("w3") <=> col("__p3"))
+        .select(col("doc_id"), col("lp"))
+    }
+  }
+
+  private[model] def deriveTrigramTables(c123: DataFrame)
+      : (DataFrame, Long) = {
+    val ctx12 = Checkpoints.materialize(
+      c123.groupBy(col("w1"), col("w2"))
+        .agg(sum(col("c123")).as("c12t"), count(lit(1)).as("nr12")))
+    val n3 = c123.agg(count(lit(1)).as("n3")).head().getLong(0)
+    (ctx12, n3)
+  }
+
+  /** Incremental model refresh (r9 verdict item 6): merge a NEW
+    * batch's counts into a served model WITHOUT re-scanning the
+    * history corpus — the count tables are associative integers, so
+    * summing the batch delta into the served c12 and re-deriving
+    * ctx/cont/totals via the shared [[deriveTables]] is bit-identical
+    * to a full refit over history+batch (MergeCountsSpec asserts it).
+    * The signature is the no-rescan guarantee: the method receives
+    * the fitted model and the new batch ONLY — the history corpus is
+    * unreachable, and the merge's corpus-sized work is exactly one
+    * aggregate over the new batch (the old table is vocab-bounded
+    * served state). This completes the q60/q126 incremental-ingest
+    * story on the model side: corpus growth updates the model at
+    * batch cost, not corpus cost.
+    */
+  def mergeCounts(m: BigramLm, newBatch: DataFrame,
+                  trustedLang: String = "en"): BigramLm = {
+    val bg = newBatch.filter(col("lang") === trustedLang)
+      .select(explode(when(size(col("tk")) >= 2,
+        sequence(lit(1), size(col("tk")) - 1))
+        .otherwise(array().cast("array<int>"))).as("p"),
+        col("tk"))
+      .select(element_at(col("tk"), col("p")).as("w1"),
+        element_at(col("tk"), col("p") + 1).as("w2"))
+    val delta = bg.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val c12 = Checkpoints.materialize(
+      m.c12.unionByName(delta)
+        .groupBy(col("w1"), col("w2"))
+        .agg(sum(col("c12")).as("c12")))
+    val (ctx, cont, nall, v) = deriveTables(c12)
+    val mx = broadcastMaxPairs(newBatch)
+    val merged = BigramLm(localized(c12, nall, mx),
+      localized(ctx, nall, mx), localized(cont, nall, mx), nall, v)
+    if (nall <= mx)
+      Seq(c12, ctx, cont).foreach(Checkpoints.release)
+    merged
   }
 
   /** Derive the context/continuation tables and scalar totals from a
