@@ -165,6 +165,25 @@ object Artifacts {
     NgramLm.BigramLm(c12, ctx, cont, nall, v)
   }
 
+  /** Trigram model persistence (r9 verdict item 5's artifact side):
+    * both orders' BASE count tables only — c123 under `/c123`, the
+    * shared bigram c12 under `/c12` — with every derived table
+    * rebuilt on load via the fitter's own derivations, the same
+    * no-drift rule as [[loadNgram]].
+    */
+  def saveTrigram(model: NgramLm.TrigramLm, path: String): Unit = {
+    model.c123.write.mode("overwrite").parquet(s"$path/c123")
+    saveNgram(model.bigram, s"$path/c12")
+  }
+
+  def loadTrigram(spark: SparkSession,
+                  path: String): NgramLm.TrigramLm = {
+    val c123 = Checkpoints.materialize(
+      spark.read.parquet(s"$path/c123"))
+    val (ctx12, n3) = NgramLm.deriveTrigramTables(c123)
+    NgramLm.TrigramLm(c123, ctx12, n3, loadNgram(spark, s"$path/c12"))
+  }
+
   /** Linear-model weight vectors — q140's trained quality classifier
     * (and any (feature, weight) model). The ordinal pins position so
     * the margin expression rebuilds in training order; the name makes

@@ -173,4 +173,27 @@ class NgramLmSpec extends SparkSpec {
     assert(tbl(loaded.ctx) == tbl(fitted.ctx))
     assert(tbl(loaded.cont) == tbl(fitted.cont))
   }
+
+  test("saveTrigram/loadTrigram round-trips both orders exactly") {
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.tokens(col("text")).as("tk"))
+    val fitted = NgramLm.cachedTrigram(base, "en")
+    val tmp = java.nio.file.Files.createTempDirectory("ngram3_art")
+      .toString
+    Artifacts.saveTrigram(fitted, s"$tmp/trigram")
+    val before = NgramLm.fitRunCount.get()
+    val loaded = Artifacts.loadTrigram(spark, s"$tmp/trigram")
+    assert(NgramLm.fitRunCount.get() == before,
+      "loading an artifact must not trigger a fit")
+    assert(loaded.n3 == fitted.n3)
+    assert(loaded.bigram.nall == fitted.bigram.nall &&
+      loaded.bigram.v == fitted.bigram.v)
+    def tbl(df: org.apache.spark.sql.DataFrame): Set[Row] =
+      df.collect().toSet
+    assert(tbl(loaded.c123) == tbl(fitted.c123))
+    assert(tbl(loaded.ctx12) == tbl(fitted.ctx12))
+    assert(tbl(loaded.bigram.c12) == tbl(fitted.bigram.c12))
+  }
 }
