@@ -421,12 +421,38 @@ class PlanAuditSpec extends SparkSpec {
       conf.set("spark.sql.adaptive.enabled", _))
   }
 
+  // ---- LM scoring shapes: since r10 the queries serve a fit-once
+  // per-doc score frame (their final plan is a Scan ExistingRDD —
+  // LmPipelineSpec pins that), so the sized-join properties under
+  // test live in the score-frame BUILD plan. Reproduce it through
+  // the same scoreBigrams path the build closures call.
+  private def knScoringPlan(): String = {
+    import org.apache.spark.sql.functions._
+    import graft.model.NgramLm
+    import graft.text.TextAnalysis
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.tokens(col("text")).as("tk"))
+    val m = NgramLm.cachedBigram(base, "en")
+    val bg = base.select(col("doc_id"),
+        explode(when(size(col("tk")) >= 2,
+          sequence(lit(1), size(col("tk")) - 1))
+          .otherwise(array(lit(null).cast("int")))).as("p"),
+        col("tk"))
+      .select(col("doc_id"),
+        element_at(col("tk"), col("p")).as("w1"),
+        element_at(col("tk"), col("p") + 1).as("w2"))
+    NgramLm.scoreBigrams(bg, m,
+        coalesce(col("c12"), lit(0L)).cast("double"))
+      .queryExecution.executedPlan.toString
+  }
+
   test("kneser-ney scoring: small model broadcasts, zero corpus joins") {
     // NgramLm.scoreBigrams' sized decision, small side: at sf0.001
     // the fitted model is far under the pair threshold, so every
     // model join must be a BROADCAST (occurrence rows never exchange
     // for scoring) and nothing may sort the bigram stream
-    val p = plan("q151_kneser_ney")
+    val p = knScoringPlan()
     assert(p.contains("BroadcastHashJoin"),
       s"q151's small-model joins must broadcast:\n${p.take(3000)}")
     assert(!p.contains("SortMergeJoin"),
@@ -442,12 +468,23 @@ class PlanAuditSpec extends SparkSpec {
     // bigram stream is the failure mode)
     spark.conf.set(graft.model.NgramLm.BroadcastMaxPairsConf, "0")
     try {
-      val p = plan("q151_kneser_ney")
+      val p = knScoringPlan()
       assert(p.contains("ShuffledHashJoin"),
         s"q151's large-model joins must be SHUFFLE_HASH:\n${p.take(3000)}")
       assert(!p.contains("SortMergeJoin"),
         s"q151 must not sort the bigram stream:\n${p.take(3000)}")
     } finally spark.conf.unset(graft.model.NgramLm.BroadcastMaxPairsConf)
+  }
+
+  test("the served LM queries rank over a materialized frame: no " +
+      "joins, no explode, no sort-merge anywhere in the online plan") {
+    for (q <- Seq("q151_kneser_ney", "q160_kn_trigram")) {
+      val p = plan(q)
+      assert(p.contains("Scan ExistingRDD"),
+        s"$q must serve the materialized score frame:\n${p.take(1000)}")
+      assert(!p.contains("Join") && !p.contains("Generate"),
+        s"$q's online plan must be projection-only:\n${p.take(2000)}")
+    }
   }
 
   test("robots screening: host rules broadcast, URLs never shuffle") {
