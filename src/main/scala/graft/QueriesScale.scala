@@ -2757,6 +2757,60 @@ object QueriesScale {
       Recrawl.plan(frontier, history, nowDay = 100L, slotsPerHost = 4)
     },
 
+    // Per-host politeness budgets from robots.txt (r10) — the link
+    // between q153's REP parser and q157's scheduler: each host's
+    // robots.txt carries a Crawl-delay (most hosts; ~14% omit it)
+    // and a Sitemap pointer; RobotsIngest.robotsMeta parses both
+    // (agent group wins, delay is group-scoped, sitemaps global),
+    // the fetch-slot budget is cycle_seconds/delay (20 s cycles),
+    // and Recrawl.plan packs each host's candidates under ITS OWN
+    // budget (delay-less hosts fall back to 4 slots). Scale shape:
+    // the meta parse is one expression row per host, the slot table
+    // broadcasts, everything else is q157's shape.
+    "q161_politeness_budget" -> q { (spark, dir) =>
+      import graft.sources.{Recrawl, RobotsIngest}
+      val d = docs(spark, dir)
+      val loc = concat(lit("http://"), col("source"),
+        lit(".example/id/"), col("doc_id"))
+      val frontier = d.select(loc.as("loc"), col("source").as("host"),
+        when(col("doc_id") % 5 === 2, lit(null).cast("long"))
+          .otherwise(col("doc_id") % 80 + 30).as("lastmod_day"))
+      val history = d.filter(col("doc_id") % 11 =!= 3)
+        .select(loc.as("loc"), col("doc_id"),
+          explode(sequence(lit(0L), col("doc_id") % 4)).as("j"))
+        .select(col("loc"),
+          (lit(40L) + col("doc_id") % 7 + col("j") * 7)
+            .as("crawl_day"),
+          ((col("doc_id") + col("j")) % 3 === 0).as("changed"))
+      val hostNum = substring(col("source"), 4, 10).cast("int")
+      val robots = d.select(col("source")).distinct()
+        .withColumn("robots_txt", concat(
+          lit("User-agent: *\nDisallow: /private\n"),
+          when(hostNum % 7 === 3, lit(""))
+            .otherwise(concat(lit("Crawl-delay: "),
+              (hostNum % 4 + 1).cast("string"), lit("\n"))),
+          lit("Sitemap: http://"), col("source"),
+          lit(".example/sitemap.xml\n")))
+        .select(col("source").as("host"),
+          RobotsIngest.robotsMeta(col("robots_txt")).as("m"))
+        .select(col("host"),
+          col("m.crawl_delay").as("crawl_delay"),
+          size(col("m.sitemaps")).cast("long").as("n_sitemaps"))
+      val slots = robots.select(col("host"), col("crawl_delay"),
+        col("n_sitemaps"),
+        when(col("crawl_delay").isNotNull,
+          floor(lit(20.0) / col("crawl_delay")).cast("long"))
+          .otherwise(lit(4L)).as("slots"))
+      val planned = Recrawl.plan(frontier, history, nowDay = 100L,
+        hostSlots = slots.filter(col("crawl_delay").isNotNull)
+          .select(col("host"), col("slots")),
+        defaultSlots = 4)
+      planned.join(broadcast(slots), Seq("host"))
+        .select(col("host"), col("loc"), col("need_fetch"),
+          col("host_rank"), col("cycle"), col("scheduled"),
+          col("crawl_delay"), col("slots"), col("n_sitemaps"))
+    },
+
     // Takedown / right-to-be-forgotten propagation (r9 verdict
     // item 3): a removal list — URL-level ids (doc_id % 17 = 3) plus
     // two whole domains — propagates through the canonical table AND
@@ -6751,6 +6805,82 @@ object QueriesScale {
         |                 + 1 = 1
         |            ELSE FALSE END AS scheduled
         |FROM r""".stripMargin,
+
+    // q161: q157's oracle chain with PER-HOST slot budgets — the
+    // oracle re-derives each host's crawl-delay (hosts with
+    // hostnum % 7 = 3 omit it → 4-slot fallback), the 20 s-cycle
+    // slot count, and replays the packing with the host's own
+    // divisor.
+    "q161_politeness_budget" ->
+      """WITH f AS (
+        |  SELECT 'http://' || source || '.example/id/'
+        |           || CAST(doc_id AS VARCHAR) AS loc,
+        |         source AS host,
+        |         CASE WHEN doc_id % 5 = 2 THEN NULL
+        |              ELSE doc_id % 80 + 30 END AS lastmod_day
+        |  FROM documents),
+        |hh AS (
+        |  SELECT 'http://' || source || '.example/id/'
+        |           || CAST(doc_id AS VARCHAR) AS loc,
+        |         40 + doc_id % 7 + j * 7 AS crawl_day,
+        |         (doc_id + j) % 3 = 0 AS changed
+        |  FROM documents,
+        |       unnest(generate_series(0, doc_id % 4)) AS t(j)
+        |  WHERE doc_id % 11 <> 3),
+        |ha AS (
+        |  SELECT loc, CAST(count(*) AS BIGINT) AS n_crawls,
+        |         CAST(sum(CASE WHEN changed THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n_changes,
+        |         CAST(max(crawl_day) AS BIGINT) AS last_crawl_day
+        |  FROM hh GROUP BY 1),
+        |j AS (
+        |  SELECT f.loc, f.host, f.lastmod_day, ha.n_crawls,
+        |         ha.n_changes, ha.last_crawl_day,
+        |         CASE WHEN ha.n_crawls IS NULL THEN NULL
+        |              ELSE CAST(floor((ha.n_changes + 0.5)
+        |                / (ha.n_crawls + 1.0)
+        |                * (100 - ha.last_crawl_day) * 1e6 + 0.5)
+        |                AS BIGINT) END AS priority_units,
+        |         CASE WHEN ha.n_crawls IS NULL THEN TRUE
+        |              WHEN f.lastmod_day IS NOT NULL
+        |                THEN f.lastmod_day > ha.last_crawl_day
+        |              ELSE CAST(floor((ha.n_changes + 0.5)
+        |                / (ha.n_crawls + 1.0)
+        |                * (100 - ha.last_crawl_day) * 1e6 + 0.5)
+        |                AS BIGINT) >= 500000 END AS need_fetch
+        |  FROM f LEFT JOIN ha USING (loc)),
+        |meta AS (
+        |  SELECT source AS host,
+        |         CASE WHEN CAST(substr(source, 4) AS INT) % 7 = 3
+        |              THEN NULL
+        |              ELSE CAST(CAST(substr(source, 4) AS INT) % 4 + 1
+        |                     AS DOUBLE) END AS crawl_delay
+        |  FROM (SELECT DISTINCT source FROM documents)),
+        |sl AS (
+        |  SELECT host, crawl_delay,
+        |         CASE WHEN crawl_delay IS NULL THEN 4
+        |              ELSE CAST(floor(20.0 / crawl_delay) AS BIGINT)
+        |              END AS slots,
+        |         CAST(1 AS BIGINT) AS n_sitemaps
+        |  FROM meta),
+        |r AS (
+        |  SELECT *,
+        |         CASE WHEN need_fetch THEN
+        |           CAST(row_number() OVER (PARTITION BY host
+        |             ORDER BY need_fetch DESC,
+        |                      priority_units DESC NULLS FIRST,
+        |                      loc ASC) AS BIGINT)
+        |         END AS host_rank
+        |  FROM j)
+        |SELECT r.host, r.loc, r.need_fetch, r.host_rank,
+        |       CAST(floor((r.host_rank - 1)
+        |         / CAST(sl.slots AS DOUBLE)) AS BIGINT) + 1 AS cycle,
+        |       CASE WHEN r.need_fetch
+        |            THEN CAST(floor((r.host_rank - 1)
+        |              / CAST(sl.slots AS DOUBLE)) AS BIGINT) + 1 = 1
+        |            ELSE FALSE END AS scheduled,
+        |       sl.crawl_delay, sl.slots, sl.n_sitemaps
+        |FROM r JOIN sl USING (host)""".stripMargin,
 
     // q158: the oracle resolves the same tombstone set, rebuilds
     // each derived artifact with its already-proven CTE chain (q59's

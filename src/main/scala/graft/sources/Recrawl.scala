@@ -71,7 +71,30 @@ object Recrawl {
     *          are null for URLs that don't need a fetch
     */
   def plan(frontier: DataFrame, history: DataFrame, nowDay: Long,
-           slotsPerHost: Int): DataFrame = {
+           slotsPerHost: Int): DataFrame =
+    planWithSlots(
+      frontier.withColumn("__slots", lit(slotsPerHost.toLong)),
+      history, nowDay)
+
+  /** Per-host politeness budgets (r10): each host's slot count comes
+    * from a (host, slots) table — e.g. derived from its robots.txt
+    * `Crawl-delay` via [[RobotsIngest.robotsMeta]] (slots per cycle =
+    * cycle seconds / delay). Hosts absent from the table fall back to
+    * `defaultSlots`. The slot table is host-bounded, so it
+    * broadcasts at any corpus size.
+    */
+  def plan(frontier: DataFrame, history: DataFrame, nowDay: Long,
+           hostSlots: DataFrame, defaultSlots: Int): DataFrame =
+    planWithSlots(
+      frontier.join(broadcast(hostSlots.select(col("host"),
+          col("slots").cast("long").as("__slots"))),
+          Seq("host"), "left")
+        .withColumn("__slots",
+          coalesce(col("__slots"), lit(defaultSlots.toLong))),
+      history, nowDay)
+
+  private def planWithSlots(frontier: DataFrame, history: DataFrame,
+                            nowDay: Long): DataFrame = {
     // 1. change-rate estimate: one URL-keyed aggregate over history
     val hist = history.groupBy(col("loc"))
       .agg(count(lit(1)).as("n_crawls"),
@@ -102,8 +125,8 @@ object Recrawl {
       .withColumn("host_rank",
         when(col("need_fetch"), row_number().over(w).cast("long")))
       .withColumn("cycle",
-        floor((col("host_rank") - 1L) / lit(slotsPerHost.toDouble))
-          .cast("long") + 1L)
+        floor((col("host_rank") - 1L).cast("double") /
+          col("__slots").cast("double")).cast("long") + 1L)
       .select(col("host"), col("loc"),
         coalesce(col("n_crawls"), lit(0L)).as("n_crawls"),
         coalesce(col("n_changes"), lit(0L)).as("n_changes"),

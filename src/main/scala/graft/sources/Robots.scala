@@ -96,6 +96,67 @@ object RobotsIngest {
     (if (agentSeen) agentRules else starRules).toSeq
   }
 
+  /** Non-rule robots.txt metadata (r10: the lines [[parseRules]]
+    * deliberately skips): the applicable group's `Crawl-delay` (the
+    * de-facto politeness knob most crawlers honor even though RFC
+    * 9309 omits it — agent group wins over `*`, like rule groups)
+    * and every `Sitemap:` URL (per the sitemaps.org protocol these
+    * are GLOBAL, not group-scoped). Feeds the recrawl planner's
+    * per-host fetch-slot budget ([[Recrawl]]).
+    */
+  def parseMeta(body: String, agent: String = "*")
+      : (Option[Double], Seq[String]) = {
+    val wantAgent = agent.toLowerCase
+    var starDelay: Option[Double] = None
+    var agentDelay: Option[Double] = None
+    var agentSeen = false
+    val sitemaps = scala.collection.mutable.ArrayBuffer.empty[String]
+    var groupHasStar = false
+    var groupHasAgent = false
+    var inGroupHeader = false
+    body.split("\r?\n", -1).foreach { raw =>
+      val noComment = {
+        val h = raw.indexOf('#')
+        if (h < 0) raw else raw.substring(0, h)
+      }
+      val line = noComment.trim
+      if (line.nonEmpty) {
+        val ci = line.indexOf(':')
+        if (ci > 0) {
+          val key = line.substring(0, ci).trim.toLowerCase
+          val value = line.substring(ci + 1).trim
+          key match {
+            case "user-agent" =>
+              if (!inGroupHeader) {
+                groupHasStar = false; groupHasAgent = false
+                inGroupHeader = true
+              }
+              val tok = value.toLowerCase
+              if (tok == "*") groupHasStar = true
+              if (tok == wantAgent) { groupHasAgent = true; agentSeen = true }
+            case "allow" | "disallow" =>
+              inGroupHeader = false
+            case "crawl-delay" =>
+              // a group-scoped directive, but NOT a rule: it must not
+              // terminate a header block (same de-facto-REP reasoning
+              // as parseRules' non-rule handling)
+              val d = try Some(value.toDouble).filter(_ > 0)
+                catch { case _: NumberFormatException => None }
+              if (d.isDefined) {
+                if (groupHasAgent) agentDelay = d
+                else if (groupHasStar) starDelay = d
+              }
+            case "sitemap" =>
+              if (value.nonEmpty) sitemaps += value
+            case _ => ()
+          }
+        }
+      }
+    }
+    (if (agentSeen && agentDelay.isDefined) agentDelay else
+      if (agentSeen) None else starDelay, sitemaps.toSeq)
+  }
+
   /** Glob match of `pattern` against `path` — literal octets, `*`
     * wildcard, trailing `$` end anchor. Robots patterns are PREFIX
     * matches: an un-anchored pattern matches when it consumes any
@@ -245,8 +306,48 @@ object RobotsIngest {
         l: Expression, r: Expression): Expression = copy(left = l, right = r)
   }
 
+  private val metaType = StructType(Seq(
+    StructField("crawl_delay", DoubleType, nullable = true),
+    StructField("sitemaps", ArrayType(StringType, containsNull = false),
+      nullable = false)))
+
+  /** Native expression: robots.txt text →
+    * struct<crawl_delay, sitemaps> for `agent`. One row per HOST.
+    */
+  case class RobotsMeta(child: Expression, agent: String)
+      extends UnaryExpression {
+    override def dataType: DataType = metaType
+    override def nullable: Boolean = child.nullable
+
+    def metaOf(u: UTF8String): InternalRow = {
+      val (delay, sitemaps) = parseMeta(u.toString, agent)
+      InternalRow(
+        delay.map(Double.box).orNull,
+        new GenericArrayData(
+          sitemaps.map(UTF8String.fromString).toArray[Any]))
+    }
+
+    override def eval(input: InternalRow): Any = {
+      val v = child.eval(input)
+      if (v == null) null else metaOf(v.asInstanceOf[UTF8String])
+    }
+
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("robotsMeta", this)
+      defineCodeGen(ctx, ev, c =>
+        s"(org.apache.spark.sql.catalyst.InternalRow) $ref.metaOf($c)")
+    }
+
+    override protected def withNewChildInternal(n: Expression)
+        : Expression = copy(child = n)
+  }
+
   def robotsRules(robotsTxt: Column, agent: String = "*"): Column =
     toColumn(RobotsRules(toExpression(robotsTxt), agent))
+
+  def robotsMeta(robotsTxt: Column, agent: String = "*"): Column =
+    toColumn(RobotsMeta(toExpression(robotsTxt), agent))
 
   def robotsDecide(path: Column, rules: Column): Column =
     toColumn(RobotsDecision(toExpression(path), toExpression(rules)))

@@ -86,4 +86,21 @@ class RecrawlSpec extends SparkSpec {
       "u/cold" -> false, "u/other" -> true), s"scheduled: $sched")
     assert(f(out("u/old"), 9) == null && f(out("u/cold"), 10) == null)
   }
+
+  test("per-host slot budgets: each host packs under its own " +
+      "divisor; absent hosts use the default") {
+    // h1 gets 1 slot per cycle (ranked candidates split 1 per
+    // cycle); h2 is absent from the table -> default 3
+    val slots = Seq(("h1", 1L)).toDF("host", "slots")
+    val out = Recrawl.plan(frontier, history, nowDay = 100L,
+        hostSlots = slots, defaultSlots = 3)
+      .collect().map(r => r.getString(1) ->
+        (if (r.isNullAt(10)) null else r.getLong(10))).toMap
+    // h1 candidates rank new(1) hot(2) mod(3) hot2(4) -> cycles
+    // 1,2,3,4 under slots=1
+    assert(out("u/new") == 1L && out("u/hot") == 2L &&
+      out("u/mod") == 3L && out("u/hot2") == 4L, s"cycles: $out")
+    assert(out("u/other") == 1L, "default-slot host packs normally")
+    assert(out("u/old") == null && out("u/cold") == null)
+  }
 }

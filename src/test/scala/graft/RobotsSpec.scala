@@ -122,6 +122,41 @@ class RobotsSpec extends SparkSpec {
       Seq(Rule(false, "/a"), Rule(true, "/a/b")))
   }
 
+  // ---- non-rule metadata: crawl-delay + sitemaps (r10) ----
+
+  test("parseMeta: group-scoped crawl-delay, global sitemaps") {
+    // the shared fixture: * group carries Crawl-delay: 2 and one
+    // Sitemap line; other-bot's group has neither
+    assert(RobotsIngest.parseMeta(body) ==
+      ((Some(2.0), Seq("http://x/s.xml"))))
+    // agent group present WITHOUT its own delay: group replacement
+    // means NO delay (same semantics as rule groups), sitemaps stay
+    // global
+    val withAgent = "User-agent: GraftBot\nDisallow: /secret\n\n" + body
+    assert(RobotsIngest.parseMeta(withAgent, "graftbot") ==
+      ((None, Seq("http://x/s.xml"))))
+    // agent group WITH its own delay wins over *
+    val agentDelay = "User-agent: graftbot\nCrawl-delay: 0.5\n\n" + body
+    assert(RobotsIngest.parseMeta(agentDelay, "graftbot")._1 ==
+      Some(0.5))
+    // malformed / non-positive delays are ignored
+    assert(RobotsIngest.parseMeta(
+      "User-agent: *\nCrawl-delay: soon\n")._1.isEmpty)
+    assert(RobotsIngest.parseMeta(
+      "User-agent: *\nCrawl-delay: -1\n")._1.isEmpty)
+  }
+
+  test("robotsMeta expression: struct round-trip over a DataFrame") {
+    import spark.implicits._
+    val out = Seq(("h1", body)).toDF("host", "robots_txt")
+      .select(RobotsIngest.robotsMeta(
+        org.apache.spark.sql.functions.col("robots_txt")).as("m"))
+      .select("m.crawl_delay", "m.sitemaps")
+      .head()
+    assert(out.getDouble(0) == 2.0)
+    assert(out.getSeq[String](1) == Seq("http://x/s.xml"))
+  }
+
   // ---- native expressions over a DataFrame ----
 
   test("expression round-trip: rules array + decision struct") {
