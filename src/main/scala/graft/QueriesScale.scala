@@ -2811,6 +2811,140 @@ object QueriesScale {
           col("crawl_delay"), col("slots"), col("n_sitemaps"))
     },
 
+    // Crawl-SCHEDULER capstone (r10) — the full planning cycle in
+    // ONE plan, every stage through its real operator: discovery
+    // from BOTH channels (sitemap XML parse + RSS/Atom feed parse
+    // with wire-noisy links through the q149 canonicalizer), merged
+    // by canonical URL; robots screening (real rule parse + the
+    // native longest-match decision: Allow /id/ vs Disallow /id/*0$
+    // blocks ids ending in 0); change-rate + conditional-fetch
+    // planning over crawl history (q157); per-host politeness
+    // budgets from the robots Crawl-delay metadata (q161); rolled up
+    // per host (discovered / both-channels / blocked / candidates /
+    // scheduled). Scale shape: three host-bounded parses, one
+    // canonical-URL-keyed merge, one URL-keyed history join, one
+    // host-bounded window, one |hosts|-row rollup — page content
+    // appears nowhere.
+    "q162_crawl_scheduler" -> q { (spark, dir) =>
+      import graft.sources.{FeedIngest, Recrawl, RobotsIngest,
+        SitemapIngest, UrlCanonicalize}
+      val d = docs(spark, dir)
+      val hostNum = substring(col("source"), 4, 10).cast("int")
+      val canonical = concat(lit("http://"), col("source"),
+        lit(".example/id/"), col("doc_id"))
+      val updated = format_string("2026-%02d-%02d",
+        (col("doc_id") % 12 + 1).cast("int"),
+        (col("doc_id") % 28 + 1).cast("int"))
+      // ---- discovery channel 1: sitemap XML (real parse) ----
+      val smEntry = concat(lit("<url><loc>"), canonical,
+        lit("</loc>"),
+        when(col("doc_id") % 5 === 2, lit(""))
+          .otherwise(concat(lit("<lastmod>"), updated,
+            lit("</lastmod>"))),
+        lit("</url>"))
+      val sm = d.filter(col("doc_id") % 3 =!= 1)
+        .select(col("source"),
+          struct(col("doc_id"), smEntry.as("e")).as("se"))
+        .groupBy(col("source"))
+        .agg(array_join(transform(sort_array(collect_list(col("se"))),
+          x => x.getField("e")), "").as("body"))
+        .select(col("source").as("host"),
+          explode(SitemapIngest.sitemapEntries(
+            concat(lit("<?xml version=\"1.0\"?><urlset>"),
+              col("body"), lit("</urlset>")))).as("en"))
+        .select(col("host"), col("en.loc").as("loc"),
+          col("en.lastmod").as("lastmod"))
+      // ---- discovery channel 2: feeds (real parse + canonical) ----
+      val noisy = concat(lit("HTTP://"), upper(col("source")),
+        lit(".EXAMPLE:80/id/"), col("doc_id"), lit("#f"))
+      val entryXml = when(hostNum % 2 === 0,
+        concat(lit("<item><link>"), noisy, lit("</link></item>")))
+        .otherwise(concat(lit("<entry><link href=\""), noisy,
+          lit("\"/></entry>")))
+      val feed = d.filter(col("doc_id") % 4 =!= 2)
+        .select(col("source"),
+          struct(col("doc_id"), entryXml.as("e")).as("se"))
+        .groupBy(col("source"))
+        .agg(array_join(transform(sort_array(collect_list(col("se"))),
+          x => x.getField("e")), "").as("body"))
+        .select(col("source").as("host"),
+          explode(FeedIngest.feedEntries(
+            when(substring(col("source"), 4, 10).cast("int") % 2 === 0,
+              concat(lit("<rss version=\"2.0\"><channel>"),
+                col("body"), lit("</channel></rss>")))
+              .otherwise(concat(lit("<feed>"), col("body"),
+                lit("</feed>"))))).as("en"))
+        .select(col("host"),
+          UrlCanonicalize.urlCanonical(col("en.loc"))
+            .getField("canonical").as("loc"))
+      // ---- canonical-URL merge ----
+      val merged = sm.withColumn("__s", lit(true))
+        .join(feed.withColumn("__f", lit(true)), Seq("host", "loc"),
+          "full")
+      // ---- robots screening + politeness metadata (real parses) ----
+      val robotsTxt = concat(
+        lit("User-agent: *\nAllow: /id/\nDisallow: /id/*0$\n"),
+        when(hostNum % 7 === 3, lit(""))
+          .otherwise(concat(lit("Crawl-delay: "),
+            (hostNum % 4 + 1).cast("string"), lit("\n"))),
+        lit("Sitemap: http://"), col("source"),
+        lit(".example/sitemap.xml\n"))
+      val robots = d.select(col("source")).distinct()
+        .withColumn("rt", robotsTxt)
+        .select(col("source").as("host"),
+          RobotsIngest.robotsRules(col("rt")).as("rules"),
+          RobotsIngest.robotsMeta(col("rt")).as("m"))
+      val screened = merged.join(broadcast(robots), Seq("host"))
+        .withColumn("path", concat(lit("/id/"),
+          substring_index(col("loc"), "/id/", -1)))
+        .withColumn("allowed",
+          RobotsIngest.robotsDecide(col("path"), col("rules"))
+            .getField("allowed"))
+      // ---- change-rate planning over allowed URLs (q157) ----
+      val loc = concat(lit("http://"), col("source"),
+        lit(".example/id/"), col("doc_id"))
+      val history = d.filter(col("doc_id") % 11 =!= 3)
+        .select(loc.as("loc"), col("doc_id"),
+          explode(sequence(lit(0L), col("doc_id") % 4)).as("j"))
+        .select(col("loc"),
+          (lit(40L) + col("doc_id") % 7 + col("j") * 7)
+            .as("crawl_day"),
+          ((col("doc_id") + col("j")) % 3 === 0).as("changed"))
+      val frontier = screened.filter(col("allowed"))
+        .select(col("loc"), col("host"),
+          ((substring(col("lastmod"), 6, 2).cast("int") - 1) * 28 +
+            substring(col("lastmod"), 9, 2).cast("int"))
+            .cast("long").as("lastmod_day"))
+      val slots = robots.select(col("host"),
+        col("m.crawl_delay").as("crawl_delay"),
+        when(col("m.crawl_delay").isNotNull,
+          floor(lit(20.0) / col("m.crawl_delay")).cast("long"))
+          .otherwise(lit(4L)).as("slots"))
+      val planned = Recrawl.plan(frontier, history, nowDay = 100L,
+        hostSlots = slots.filter(col("crawl_delay").isNotNull)
+          .select(col("host"), col("slots")),
+        defaultSlots = 4)
+      // ---- per-host rollup ----
+      val disc = screened.groupBy(col("host"))
+        .agg(count(lit(1)).as("n_discovered"),
+          sum(when(col("__s") && col("__f"), 1L).otherwise(0L))
+            .as("n_both_channels"),
+          sum(when(!col("allowed"), 1L).otherwise(0L))
+            .as("n_blocked"))
+      val sched = planned.groupBy(col("host"))
+        .agg(sum(when(col("need_fetch"), 1L).otherwise(0L))
+          .as("n_candidates"),
+          sum(when(col("scheduled"), 1L).otherwise(0L))
+            .as("n_scheduled"))
+      disc.join(sched, Seq("host"), "left")
+        .join(broadcast(slots), Seq("host"))
+        .select(col("host"), col("n_discovered"),
+          col("n_both_channels"), col("n_blocked"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          coalesce(col("n_scheduled"), lit(0L)).as("n_scheduled"),
+          col("crawl_delay"), col("slots"))
+    },
+
     // Takedown / right-to-be-forgotten propagation (r9 verdict
     // item 3): a removal list — URL-level ids (doc_id % 17 = 3) plus
     // two whole domains — propagates through the canonical table AND
@@ -6881,6 +7015,97 @@ object QueriesScale {
         |            ELSE FALSE END AS scheduled,
         |       sl.crawl_delay, sl.slots, sl.n_sitemaps
         |FROM r JOIN sl USING (host)""".stripMargin,
+
+    // q162: the oracle rebuilds both discovery channels in canonical
+    // form (q159's pattern), replays the robots decision as its
+    // arithmetic consequence (the Allow /id/ vs Disallow /id/*0$
+    // longest-match blocks exactly ids ending in 0 — q153 pins the
+    // real matcher), re-derives need_fetch with q157's chain, and
+    // counts scheduled as LEAST(slots, candidates) — exactly what
+    // rank-under-budget packing admits in cycle 1.
+    "q162_crawl_scheduler" ->
+      """WITH sm AS (
+        |  SELECT source AS host,
+        |         'http://' || source || '.example/id/'
+        |           || CAST(doc_id AS VARCHAR) AS loc,
+        |         doc_id,
+        |         CASE WHEN doc_id % 5 = 2 THEN NULL
+        |              ELSE (doc_id % 12) * 28 + doc_id % 28 + 1
+        |              END AS lastmod_day
+        |  FROM documents WHERE doc_id % 3 <> 1),
+        |fd AS (
+        |  SELECT source AS host,
+        |         'http://' || source || '.example/id/'
+        |           || CAST(doc_id AS VARCHAR) AS loc,
+        |         doc_id
+        |  FROM documents WHERE doc_id % 4 <> 2),
+        |m AS (
+        |  SELECT COALESCE(sm.host, fd.host) AS host,
+        |         COALESCE(sm.loc, fd.loc) AS loc,
+        |         COALESCE(sm.doc_id, fd.doc_id) AS doc_id,
+        |         sm.lastmod_day,
+        |         sm.loc IS NOT NULL AS in_sm,
+        |         fd.loc IS NOT NULL AS in_fd
+        |  FROM sm FULL OUTER JOIN fd
+        |    ON sm.host = fd.host AND sm.loc = fd.loc),
+        |scr AS (SELECT *, doc_id % 10 <> 0 AS allowed FROM m),
+        |hh AS (
+        |  SELECT 'http://' || source || '.example/id/'
+        |           || CAST(doc_id AS VARCHAR) AS loc,
+        |         40 + doc_id % 7 + j * 7 AS crawl_day,
+        |         (doc_id + j) % 3 = 0 AS changed
+        |  FROM documents,
+        |       unnest(generate_series(0, doc_id % 4)) AS t(j)
+        |  WHERE doc_id % 11 <> 3),
+        |ha AS (
+        |  SELECT loc, CAST(count(*) AS BIGINT) AS n_crawls,
+        |         CAST(sum(CASE WHEN changed THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n_changes,
+        |         CAST(max(crawl_day) AS BIGINT) AS last_crawl_day
+        |  FROM hh GROUP BY 1),
+        |cand AS (
+        |  SELECT scr.host,
+        |         CASE WHEN ha.n_crawls IS NULL THEN TRUE
+        |              WHEN scr.lastmod_day IS NOT NULL
+        |                THEN scr.lastmod_day > ha.last_crawl_day
+        |              ELSE CAST(floor((ha.n_changes + 0.5)
+        |                / (ha.n_crawls + 1.0)
+        |                * (100 - ha.last_crawl_day) * 1e6 + 0.5)
+        |                AS BIGINT) >= 500000 END AS need_fetch
+        |  FROM scr LEFT JOIN ha USING (loc)
+        |  WHERE scr.allowed),
+        |cagg AS (
+        |  SELECT host, CAST(sum(CASE WHEN need_fetch THEN 1 ELSE 0
+        |           END) AS BIGINT) AS n_candidates
+        |  FROM cand GROUP BY 1),
+        |meta AS (
+        |  SELECT source AS host,
+        |         CASE WHEN CAST(substr(source, 4) AS INT) % 7 = 3
+        |              THEN NULL
+        |              ELSE CAST(CAST(substr(source, 4) AS INT) % 4 + 1
+        |                     AS DOUBLE) END AS crawl_delay
+        |  FROM (SELECT DISTINCT source FROM documents)),
+        |sl AS (
+        |  SELECT host, crawl_delay,
+        |         CASE WHEN crawl_delay IS NULL THEN 4
+        |              ELSE CAST(floor(20.0 / crawl_delay) AS BIGINT)
+        |              END AS slots
+        |  FROM meta),
+        |dagg AS (
+        |  SELECT host, CAST(count(*) AS BIGINT) AS n_discovered,
+        |         CAST(sum(CASE WHEN in_sm AND in_fd THEN 1 ELSE 0
+        |           END) AS BIGINT) AS n_both_channels,
+        |         CAST(sum(CASE WHEN NOT allowed THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n_blocked
+        |  FROM scr GROUP BY 1)
+        |SELECT d.host, d.n_discovered, d.n_both_channels,
+        |       d.n_blocked,
+        |       COALESCE(c.n_candidates, 0) AS n_candidates,
+        |       LEAST(sl.slots, COALESCE(c.n_candidates, 0))
+        |         AS n_scheduled,
+        |       sl.crawl_delay, sl.slots
+        |FROM dagg d LEFT JOIN cagg c USING (host)
+        |JOIN sl USING (host)""".stripMargin,
 
     // q158: the oracle resolves the same tombstone set, rebuilds
     // each derived artifact with its already-proven CTE chain (q59's

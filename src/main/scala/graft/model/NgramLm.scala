@@ -379,6 +379,37 @@ object NgramLm {
     merged
   }
 
+  /** Order-3 twin of [[mergeCounts]]: merges the batch's trigram
+    * counts into the served c123 AND delegates the bigram order to
+    * the bigram merge — one call refreshes the whole backoff chain
+    * at batch cost, bit-identical to a refit.
+    */
+  def mergeCounts(m: TrigramLm, newBatch: DataFrame,
+                  trustedLang: String): TrigramLm = {
+    val tg = newBatch.filter(col("lang") === trustedLang)
+      .select(explode(when(size(col("tk")) >= 3,
+        sequence(lit(1), size(col("tk")) - 2))
+        .otherwise(array().cast("array<int>"))).as("p"),
+        col("tk"))
+      .select(element_at(col("tk"), col("p")).as("w1"),
+        element_at(col("tk"), col("p") + 1).as("w2"),
+        element_at(col("tk"), col("p") + 2).as("w3"))
+    val delta = tg.groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c123"))
+    val c123 = Checkpoints.materialize(
+      m.c123.unionByName(delta)
+        .groupBy(col("w1"), col("w2"), col("w3"))
+        .agg(sum(col("c123")).as("c123")))
+    val (ctx12, n3) = deriveTrigramTables(c123)
+    val mx = broadcastMaxPairs(newBatch)
+    val merged = TrigramLm(localized(c123, n3, mx),
+      localized(ctx12, n3, mx), n3,
+      mergeCounts(m.bigram, newBatch, trustedLang))
+    if (n3 <= mx)
+      Seq(c123, ctx12).foreach(Checkpoints.release)
+    merged
+  }
+
   /** Derive the context/continuation tables and scalar totals from a
     * pair-count table — ONE implementation shared by the fitter and
     * [[Artifacts.loadNgram]], so a loaded artifact can never drift

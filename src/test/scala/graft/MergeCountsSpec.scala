@@ -60,4 +60,22 @@ class MergeCountsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(c12(("a", "b")) == 3L && c12(("d", "d")) == 1L)
   }
+
+  test("trigram merge == trigram refit, both orders, zero history " +
+      "re-reads") {
+    val acc = spark.sparkContext.longAccumulator("histRowReads3")
+    val hist = histRows.toDS().map { r => acc.add(1); r }.toDF()
+    val m = NgramLm.cachedTrigram(hist)
+    val readsAfterFit = acc.value.longValue
+    val merged = NgramLm.mergeCounts(m, newRows.toDS().toDF(), "en")
+    val m3 = (merged.c123.collect().toSet,
+      merged.ctx12.collect().toSet, merged.n3, tables(merged.bigram))
+    assert(acc.value.longValue == readsAfterFit,
+      "trigram merge must not rescan history")
+    val full = NgramLm.cachedTrigram(
+      (histRows ++ newRows).toDS().toDF())
+    assert(m3 == ((full.c123.collect().toSet,
+      full.ctx12.collect().toSet, full.n3, tables(full.bigram))),
+      "merged trigram model must be bit-identical to the refit")
+  }
 }
