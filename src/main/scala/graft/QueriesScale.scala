@@ -2997,6 +2997,86 @@ object QueriesScale {
         "fingerprint_history" -> Takedown.flag(fph, tomb)))
     },
 
+    // Near-dup-EXTENDED takedown (r10) — the legal reality q158's
+    // exact propagation misses: removed content usually exists as
+    // light edits and re-crawls too, so the tombstone set must close
+    // over NEAR-duplicates of the seeds (one hop of the q70 LSH +
+    // exact-Jaccard pairs, threshold 0.35). Output is per-doc
+    // provenance: seed / swept-via (min seed neighbour, the audit
+    // trail a takedown report cites) / final tombstoned flag. Scale
+    // shape: the pair table is the banded-LSH sliver (never
+    // all-pairs), the seed join keys on ids, and the provenance
+    // aggregate is pair-sliver-sized.
+    "q163_takedown_neardup" -> q { (spark, dir) =>
+      val d = docs(spark, dir)
+      val seeds = d.filter(col("doc_id") % 17 === 3 ||
+          col("source").isin("src7", "src13"))
+        .select(col("doc_id"))
+      val pairs = Dedup.nearDuplicates(d, estThreshold = 0.0,
+          exactThreshold = 0.35)
+        .select(col("id_a"), col("id_b"))
+      val sym = pairs.unionByName(
+        pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      val via = sym
+        .join(seeds.withColumnRenamed("doc_id", "id_a"), Seq("id_a"))
+        .groupBy(col("id_b"))
+        .agg(min(col("id_a")).as("__via"))
+        .withColumnRenamed("id_b", "doc_id")
+      d.select(col("doc_id"))
+        .join(seeds.withColumn("__seed", lit(true)), Seq("doc_id"),
+          "left")
+        .join(via, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("__seed"), lit(false)).as("is_seed"),
+          when(col("__seed").isNull, col("__via")).as("via_seed"),
+          (coalesce(col("__seed"), lit(false)) ||
+            col("__via").isNotNull).as("tombstoned"))
+    },
+
+    // Distribution-drift monitor (r10) — the data-quality gate a
+    // production ingest runs between corpus versions: Population
+    // Stability Index between the q60 history slice and the new
+    // batch over 16 token-length buckets, Laplace-smoothed (α=0.5)
+    // so empty buckets stay finite. Engine-exactness: per-bucket
+    // contributions round to integer 1e-8 units BEFORE the PSI sum,
+    // so the total is an order-free integer sum (a float sum over an
+    // unordered window would be engine-dependent). Scale shape: one
+    // scan + one 16-bucket aggregate; totals and the PSI ride
+    // 16-row windows — nothing corpus-sized moves.
+    "q164_psi_drift" -> q { (spark, dir) =>
+      import graft.sampling.Sampling
+      import graft.text.TextStatsExpression.textStats
+      val w = Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      val agg = docs(spark, dir)
+        .select(
+          least(floor(textStats(col("text")).getField("n_tokens")
+            .cast("long") / 32L), lit(15L)).as("bucket"),
+          Sampling.hashFraction(col("doc_id"), "incr").as("fr"))
+        .groupBy(col("bucket"))
+        .agg(sum(when(col("fr") < 0.8, 1L).otherwise(0L))
+          .as("n_hist"),
+          sum(when(col("fr") >= 0.8, 1L).otherwise(0L)).as("n_new"))
+      val c = (col("p_new") - col("p_hist")) *
+        log(col("p_new") / col("p_hist"))
+      agg
+        .withColumn("__th", sum(col("n_hist")).over(w))
+        .withColumn("__tn", sum(col("n_new")).over(w))
+        .withColumn("p_hist",
+          (col("n_hist") + lit(0.5)) / (col("__th") + lit(8.0)))
+        .withColumn("p_new",
+          (col("n_new") + lit(0.5)) / (col("__tn") + lit(8.0)))
+        .withColumn("__cu",
+          when(c >= 0, floor(c * 1e8 + 0.5))
+            .otherwise(ceil(c * 1e8 - 0.5)).cast("long"))
+        .withColumn("__scu", sum(col("__cu")).over(w))
+        .select(col("bucket"), col("n_hist"), col("n_new"),
+          pround(col("p_hist"), 6).as("p_hist"),
+          pround(col("p_new"), 6).as("p_new"),
+          (col("__cu") / 1e8).as("contrib"),
+          (col("__scu") / 1e8).as("psi"))
+    },
+
     // RSS/Atom feed discovery (r9 verdict item 4) — the second
     // URL-discovery channel merged into the q155 frontier keyed by
     // CANONICAL URL: even-numbered hosts publish RSS (<item> with
@@ -7188,6 +7268,98 @@ object QueriesScale {
          |       CAST(count(DISTINCT CASE WHEN tb = 1 THEN doc_id END)
          |         AS BIGINT)
          |FROM fh""".stripMargin,
+
+    // q163: the oracle re-derives the seed set, replays q70's whole
+    // banded-LSH + exact-Jaccard pair chain (threshold 0.35),
+    // symmetrizes, and takes the min seed neighbour per swept doc.
+    "q163_takedown_neardup" ->
+      s"""WITH $sigsSql,
+         |bands AS (
+         |  SELECT doc_id, sig, b.b AS band_idx,
+         |         md5(array_to_string(sig[b.b*4+1:b.b*4+4], '|'))
+         |           AS band_hash
+         |  FROM sigs CROSS JOIN (SELECT unnest([0,1,2,3]) AS b) b),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b
+         |  FROM bands a
+         |  JOIN bands bb ON a.band_idx = bb.band_idx
+         |               AND a.band_hash = bb.band_hash
+         |               AND a.doc_id < bb.doc_id),
+         |jj AS (
+         |  SELECT c.id_a, c.id_b,
+         |         CASE WHEN len(list_distinct(
+         |                      list_concat(sa.shl, sb.shl))) > 0
+         |              THEN CAST(len(list_intersect(sa.shl, sb.shl))
+         |                     AS DOUBLE)
+         |                   / len(list_distinct(
+         |                       list_concat(sa.shl, sb.shl)))
+         |              ELSE 0.0 END AS jac
+         |  FROM cand c
+         |  JOIN shd sa ON sa.doc_id = c.id_a
+         |  JOIN shd sb ON sb.doc_id = c.id_b),
+         |p AS (SELECT id_a, id_b FROM jj WHERE jac >= 0.35),
+         |sym AS (SELECT id_a, id_b FROM p
+         |        UNION ALL SELECT id_b, id_a FROM p),
+         |seeds AS (
+         |  SELECT doc_id FROM documents
+         |  WHERE doc_id % 17 = 3 OR source IN ('src7', 'src13')),
+         |via AS (
+         |  SELECT sym.id_b AS doc_id,
+         |         CAST(min(sym.id_a) AS BIGINT) AS via_seed
+         |  FROM sym JOIN seeds ON sym.id_a = seeds.doc_id
+         |  GROUP BY 1)
+         |SELECT d.doc_id,
+         |       s.doc_id IS NOT NULL AS is_seed,
+         |       CASE WHEN s.doc_id IS NULL THEN v.via_seed END
+         |         AS via_seed,
+         |       (s.doc_id IS NOT NULL OR v.via_seed IS NOT NULL)
+         |         AS tombstoned
+         |FROM documents d
+         |LEFT JOIN seeds s ON d.doc_id = s.doc_id
+         |LEFT JOIN via v ON d.doc_id = v.doc_id""".stripMargin,
+
+    // q164: identical token-length bucketing, hash-fraction split,
+    // Laplace-smoothed proportions, and the SAME integer-unit
+    // contribution rounding before the PSI sum, so the float-order
+    // hazard of summing doubles never arises on either engine.
+    "q164_psi_drift" ->
+      s"""WITH $toksSql,
+         |b AS (
+         |  SELECT LEAST(len(tk) // 32, 15) AS bucket,
+         |         CAST(('0x' || substr(md5('incr'
+         |             || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |           / 4294967296.0 AS fr
+         |  FROM toks),
+         |agg AS (
+         |  SELECT bucket,
+         |         CAST(sum(CASE WHEN fr < 0.8 THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS n_hist,
+         |         CAST(sum(CASE WHEN fr >= 0.8 THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS n_new
+         |  FROM b GROUP BY 1),
+         |t AS (SELECT sum(n_hist) AS th, sum(n_new) AS tn FROM agg),
+         |c AS (
+         |  SELECT bucket, n_hist, n_new,
+         |         (n_hist + 0.5) / (th + 8.0) AS p_hist,
+         |         (n_new + 0.5) / (tn + 8.0) AS p_new
+         |  FROM agg CROSS JOIN t),
+         |u AS (
+         |  SELECT bucket, n_hist, n_new, p_hist, p_new,
+         |         CAST(CASE WHEN (p_new - p_hist)
+         |                        * ln(p_new / p_hist) >= 0
+         |              THEN floor((p_new - p_hist)
+         |                     * ln(p_new / p_hist) * 1e8 + 0.5)
+         |              ELSE ceil((p_new - p_hist)
+         |                     * ln(p_new / p_hist) * 1e8 - 0.5)
+         |              END AS BIGINT) AS cu
+         |  FROM c),
+         |s AS (SELECT sum(cu) AS scu FROM u)
+         |SELECT bucket, n_hist, n_new,
+         |       floor(p_hist * 1e6 + 0.5) / 1e6 AS p_hist,
+         |       floor(p_new * 1e6 + 0.5) / 1e6 AS p_new,
+         |       cu / 1e8 AS contrib,
+         |       scu / 1e8 AS psi
+         |FROM u CROSS JOIN s""".stripMargin,
 
     // q159: the oracle never touches XML or raw URLs — it rebuilds
     // both channels' entry lists arithmetically in CANONICAL form

@@ -97,4 +97,30 @@ class TakedownSpec extends SparkSpec {
     assert(audit("packed")._4 == affected)
     assert(affected >= 3L, "group removal sweeps co-packed docs")
   }
+
+  test("near-dup-extended takedown (q163): a light edit of a seed " +
+      "is swept with provenance; unrelated docs survive") {
+    val dir = java.nio.file.Files.createTempDirectory("tdnd").toString
+    Seq(
+      // doc 3 is a URL-level seed (3 % 17 == 3); doc 4 is the same
+      // text plus one word (10/11 shared shingles -> jaccard 0.909)
+      (3L, "sx", "en", "the quick brown fox jumps over the lazy dog" +
+        " again and again"),
+      (4L, "sx", "en", "the quick brown fox jumps over the lazy dog" +
+        " again and again today"),
+      (5L, "sx", "en", "completely different words nothing shared" +
+        " here at all today friend")
+    ).toDF("doc_id", "source", "lang", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q163_takedown_neardup")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1),
+          if (r.isNullAt(2)) null else r.getLong(2),
+          r.getBoolean(3)))).toMap
+    assert(out(3L) == ((true, null, true)), s"seed row: $out")
+    assert(out(4L) == ((false, 3L, true)),
+      s"the light edit must be swept via seed 3: $out")
+    assert(out(5L) == ((false, null, false)),
+      s"unrelated docs must survive: $out")
+  }
 }
