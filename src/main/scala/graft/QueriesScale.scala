@@ -3012,8 +3012,19 @@ object QueriesScale {
       val seeds = d.filter(col("doc_id") % 17 === 3 ||
           col("source").isin("src7", "src13"))
         .select(col("doc_id"))
+      // prune candidate pairs to the takedown NEIGHBORHOOD before the
+      // exact rescore: only pairs touching a seed can extend the set,
+      // so the shingle build + Jaccard joins pay for the seed
+      // neighborhood, not the corpus's whole candidate sliver
+      val seedTouch: DataFrame => DataFrame = c => c
+        .join(seeds.select(col("doc_id").as("id_a"),
+          lit(true).as("__sa")), Seq("id_a"), "left")
+        .join(seeds.select(col("doc_id").as("id_b"),
+          lit(true).as("__sb")), Seq("id_b"), "left")
+        .filter(col("__sa").isNotNull || col("__sb").isNotNull)
+        .drop("__sa", "__sb")
       val pairs = Dedup.nearDuplicates(d, estThreshold = 0.0,
-          exactThreshold = 0.35)
+          exactThreshold = 0.35, pairFilter = seedTouch)
         .select(col("id_a"), col("id_b"))
       val sym = pairs.unionByName(
         pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))

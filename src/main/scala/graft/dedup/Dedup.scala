@@ -475,13 +475,24 @@ object Dedup {
   /** Verified near-dup pairs: LSH candidates re-scored with exact
     * n-gram Jaccard (the LSH estimate prunes, the exact score decides).
     */
+  /** `pairFilter` (r10) prunes the CANDIDATE pairs before anything
+    * expensive happens — both the shingle-array build and the rescore
+    * joins then pay only for the surviving pairs. A caller that only
+    * cares about pairs touching a known id set (q163's takedown
+    * neighborhood) cuts the rescore from the corpus's full candidate
+    * sliver to that set's neighborhood; identity (the default) keeps
+    * the original all-candidates behavior.
+    */
   def nearDuplicates(docs: DataFrame, idCol: String = "doc_id",
                      textCol: String = "text", k: Int = 16,
                      bands: Int = 4, shingleSize: Int = 3,
                      estThreshold: Double = 0.35,
-                     exactThreshold: Double = 0.7): DataFrame = {
-    val cands = minhashPairs(docs, idCol, textCol, k, bands, shingleSize,
-      estThreshold)
+                     exactThreshold: Double = 0.7,
+                     pairFilter: DataFrame => DataFrame = identity)
+      : DataFrame = {
+    val cands = pairFilter(
+      minhashPairs(docs, idCol, textCol, k, bands, shingleSize,
+        estThreshold))
     // semi-join prune BEFORE building shingle arrays: candidates are a
     // sliver of a 100 TB corpus, and the rescore joins shuffle each
     // side's shingle arrays — materializing arrays for every corpus
