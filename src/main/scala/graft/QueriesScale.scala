@@ -3044,6 +3044,48 @@ object QueriesScale {
             col("__via").isNotNull).as("tombstoned"))
     },
 
+    // Tombstone-aware incremental dedup gate (r10) — the takedown ×
+    // incremental-ingest interplay q158 leaves open: after a
+    // takedown purges history docs, a NEW doc whose only duplicates
+    // were the purged docs must be RE-ADMITTED (q60's gate would
+    // have rejected it against the stale history), and the admission
+    // reason is audit data. Output per new-batch doc: admitted +
+    // reason ('fresh' = fingerprint never seen; 'history_purged' =
+    // seen only in tombstoned history; 'duplicate' = still blocked).
+    // Scale shape: history exchanges (fingerprint, flag) pairs only;
+    // the gate is one fingerprint-keyed left join; within-batch
+    // dedup is q60's window idiom.
+    "q165_tombstone_gate" -> q { (spark, dir) =>
+      import graft.sampling.Sampling
+      val d = docs(spark, dir)
+      val isHist = Sampling.hashFraction(col("doc_id"), "incr") < 0.8
+      val tombstoned = col("doc_id") % 17 === 3 ||
+        col("source").isin("src7", "src13")
+      // history fingerprints with a purged-entirely flag: a
+      // fingerprint blocks only if SOME live (non-tombstoned) history
+      // doc still carries it
+      val hist = d.filter(isHist)
+        .select(TextAnalysis.fingerprint(col("text")).as("fingerprint"),
+          tombstoned.as("__t"))
+        .groupBy(col("fingerprint"))
+        .agg((sum(when(!col("__t"), 1L).otherwise(0L)) > 0L)
+          .as("__live"))
+      val w = Window.partitionBy(col("fingerprint"))
+        .orderBy(col("doc_id"))
+      d.filter(!isHist)
+        .select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .join(hist, Seq("fingerprint"), "left")
+        .withColumn("__rn", row_number().over(w))
+        .select(col("doc_id"), col("fingerprint"),
+          (coalesce(!col("__live"), lit(true)) && col("__rn") === 1)
+            .as("admitted"),
+          when(col("__live"), lit("duplicate"))
+            .when(col("__rn") =!= 1, lit("batch_duplicate"))
+            .when(col("__live").isNotNull, lit("history_purged"))
+            .otherwise(lit("fresh")).as("reason"))
+    },
+
     // Distribution-drift monitor (r10) — the data-quality gate a
     // production ingest runs between corpus versions: Population
     // Stability Index between the q60 history slice and the new
@@ -7328,6 +7370,37 @@ object QueriesScale {
          |FROM documents d
          |LEFT JOIN seeds s ON d.doc_id = s.doc_id
          |LEFT JOIN via v ON d.doc_id = v.doc_id""".stripMargin,
+
+    // q165: q60's fingerprint/hash-fraction chain with the tombstone
+    // predicate folded into the history aggregate — a fingerprint
+    // blocks only while a LIVE history doc still carries it.
+    "q165_tombstone_gate" ->
+      """WITH f AS (
+        |  SELECT doc_id, source,
+        |         CAST(('0x' || substr(md5('incr'
+        |             || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |           / 4294967296.0 AS frac,
+        |         md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+        |           AS fingerprint,
+        |         (doc_id % 17 = 3 OR source IN ('src7', 'src13'))
+        |           AS tomb
+        |  FROM documents),
+        |hist AS (
+        |  SELECT fingerprint,
+        |         sum(CASE WHEN NOT tomb THEN 1 ELSE 0 END) > 0 AS live
+        |  FROM f WHERE frac < 0.8 GROUP BY 1),
+        |nw AS (
+        |  SELECT doc_id, fingerprint,
+        |         row_number() OVER (PARTITION BY fingerprint
+        |           ORDER BY doc_id) AS rn
+        |  FROM f WHERE frac >= 0.8)
+        |SELECT nw.doc_id, nw.fingerprint,
+        |       (COALESCE(NOT hist.live, TRUE) AND rn = 1) AS admitted,
+        |       CASE WHEN hist.live THEN 'duplicate'
+        |            WHEN rn <> 1 THEN 'batch_duplicate'
+        |            WHEN hist.live IS NOT NULL THEN 'history_purged'
+        |            ELSE 'fresh' END AS reason
+        |FROM nw LEFT JOIN hist USING (fingerprint)""".stripMargin,
 
     // q164: identical token-length bucketing, hash-fraction split,
     // Laplace-smoothed proportions, and the SAME integer-unit

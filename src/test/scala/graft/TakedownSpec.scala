@@ -98,6 +98,45 @@ class TakedownSpec extends SparkSpec {
     assert(affected >= 3L, "group removal sweeps co-packed docs")
   }
 
+  test("tombstone-aware gate (q165): all four admission reasons") {
+    import graft.sampling.Sampling
+    // the hash split is md5-keyed on doc_id, so pick ids by probing
+    val fr = spark.range(0, 300)
+      .select(col("id"), Sampling.hashFraction(col("id"), "incr")
+        .as("f"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def notSeed(id: Long) = id % 17 != 3
+    val histIds = (0L until 300L).filter(fr(_) < 0.8)
+    val newIds = (0L until 300L).filter(id => fr(id) >= 0.8 &&
+      notSeed(id))
+    val hTomb = histIds.find(_ % 17 == 3).get // tombstoned history
+    val hLive = histIds.find(notSeed).get     // live history
+    val Seq(n1, n2, n3, n4) = newIds.take(4)
+    val dir = java.nio.file.Files.createTempDirectory("tg").toString
+    Seq(
+      (hTomb, "purged text only ever in tombstoned history"),
+      (hLive, "live history text still blocking"),
+      (n1, "purged text only ever in tombstoned history"),
+      (n2, "live history text still blocking"),
+      (n3, "brand new text shared within the batch"),
+      (n4, "brand new text shared within the batch")
+    ).map { case (id, tx) => (id, "sx", "en", tx) }
+      .toDF("doc_id", "source", "lang", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q165_tombstone_gate")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(2), r.getString(3)))).toMap
+    assert(out(n1) == ((true, "history_purged")),
+      s"a doc whose only duplicates were purged re-admits: $out")
+    assert(out(n2) == ((false, "duplicate")),
+      s"live history still blocks: $out")
+    val batch = Set(out(n3), out(n4))
+    assert(batch == Set((true, "fresh"), (false, "batch_duplicate")),
+      s"within-batch dedup keeps exactly one: $out")
+    assert(!out.contains(hTomb) && !out.contains(hLive),
+      "history docs are not gate output rows")
+  }
+
   test("near-dup-extended takedown (q163): a light edit of a seed " +
       "is swept with provenance; unrelated docs survive") {
     val dir = java.nio.file.Files.createTempDirectory("tdnd").toString
