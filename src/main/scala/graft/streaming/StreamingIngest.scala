@@ -334,4 +334,48 @@ object StreamingIngest {
           }
       }
   }
+
+  /** Streaming twin of the tombstone-aware admission gate (q165's
+    * batch semantics for CONTINUOUS ingestion, r10): each fingerprint
+    * admits at most once per stream — across micro-batches via
+    * flatMapGroupsWithState state — with the admission reason derived
+    * from the tombstone-aware history flags: `fresh` (never in
+    * history), `history_purged` (in history, but every carrier doc
+    * was tombstoned — the re-admission case a stale-history gate
+    * wrongly blocks), or nothing emitted at all (a LIVE history
+    * fingerprint, or a within-stream repeat).
+    *
+    * `histLive` maps fingerprint → "some live history doc still
+    * carries it" and ships via the task closure (history-flag maps
+    * are takedown-audit-sized here; at corpus scale the identical
+    * decision becomes a broadcast join upstream of this operator or
+    * a state-store bootstrap — the semantics don't change).
+    * TombstoneGateStreamSpec asserts micro-batched streaming output
+    * ≡ the q165 batch gate, reasons included.
+    */
+  def admissionStream(pairs: org.apache.spark.sql.Dataset[(String, String)],
+                      histLive: Map[String, Boolean])
+      : org.apache.spark.sql.Dataset[(String, String, String)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    pairs
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, (String, String, String)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, String)],
+         state: GroupState[Boolean]) =>
+          if (state.exists || !rows.hasNext) Iterator.empty
+          else {
+            state.update(true)
+            histLive.get(key) match {
+              case Some(true) => Iterator.empty // live duplicate
+              case Some(false) =>
+                Iterator.single((key, rows.next()._2, "history_purged"))
+              case None =>
+                Iterator.single((key, rows.next()._2, "fresh"))
+            }
+          }
+      }
+  }
 }
