@@ -3044,6 +3044,51 @@ object QueriesScale {
             col("__via").isNotNull).as("tombstoned"))
     },
 
+    // Min-K%-Prob membership scoring (Shi et al. 2023) over the
+    // SERVED bigram LM (r10) — the LM-side contamination check next
+    // to q54/q135's shingle overlap: memorized/member text has
+    // uniformly high token probabilities, so the mean of each doc's
+    // LOWEST 20% bigram log-probs separates members from novel text
+    // better than full perplexity. Engine-exactness: per-bigram lps
+    // round to integer micro-units, per-doc selection is an integer
+    // sort + prefix slice, and the threshold compares integer units
+    // (s > -8e6·k) — no float sum-order or boundary hazard anywhere.
+    // Scale shape: the model is q136's shared fit-once cache entry;
+    // scoring is the same sized-join shape; the per-doc sort is
+    // doc-length-bounded inside one aggregate.
+    "q166_minkprob" -> q { (spark, dir) =>
+      val base = docs(spark, dir).select(col("doc_id"), col("lang"),
+        TextAnalysis.tokens(col("text")).as("tk"))
+      // the per-doc (n, k, s) frame is SERVED state like the rest of
+      // the LM family — warm executions are a pure projection
+      val f = graft.model.NgramLm.cachedScoreFrame(base,
+        "minkprob:en") {
+        val m = graft.model.NgramLm.cachedBigram(base, "en")
+        val sc = graft.model.NgramLm.scoreBigrams(bigramPairs(base), m,
+          log((coalesce(col("c12"), lit(0L)) + lit(0.5)) /
+            (coalesce(col("c1"), lit(0L)).cast("double") +
+              lit(0.5) * (lit(m.v) + 1))),
+          useCont = false)
+        val lu = when(col("lp") >= 0, floor(col("lp") * 1e6 + 0.5))
+          .otherwise(ceil(col("lp") * 1e6 - 0.5)).cast("long")
+        sc.select(col("doc_id"), lu.as("lu"))
+          .groupBy(col("doc_id"))
+          .agg(sort_array(collect_list(col("lu"))).as("ls"))
+          .withColumn("n_bigrams", size(col("ls")).cast("long"))
+          .withColumn("k", when(col("n_bigrams") > 0,
+            floor((col("n_bigrams") + 4L) / lit(5.0)).cast("long")))
+          .select(col("doc_id"), col("n_bigrams"), col("k"),
+            when(col("n_bigrams") > 0,
+              aggregate(slice(col("ls"), lit(1), col("k").cast("int")),
+                lit(0L), (acc, x) => acc + x)).as("s"))
+      }
+      val mv = col("s").cast("double") /
+        (col("k").cast("double") * lit(1e6))
+      f.select(col("doc_id"), col("n_bigrams"), col("k"),
+        pround(mv, 4).as("mink_avg"),
+        (col("s") > lit(-8000000.0) * col("k")).as("suspected"))
+    },
+
     // Tombstone-aware incremental dedup gate (r10) — the takedown ×
     // incremental-ingest interplay q158 leaves open: after a
     // takedown purges history docs, a NEW doc whose only duplicates
@@ -7370,6 +7415,56 @@ object QueriesScale {
          |FROM documents d
          |LEFT JOIN seeds s ON d.doc_id = s.doc_id
          |LEFT JOIN via v ON d.doc_id = v.doc_id""".stripMargin,
+
+    // q166: q136's scoring chain, then integer micro-unit lps,
+    // per-doc list sort + 1..k prefix slice, and the identical
+    // unit-threshold compare — short docs ride the toks left join.
+    "q166_minkprob" ->
+      s"""WITH $toksSql,
+         |bg AS (
+         |  SELECT doc_id, lang, tk[u.p] AS w1, tk[u.p + 1] AS w2
+         |  FROM toks, LATERAL (SELECT unnest(generate_series(
+         |    1, len(tk) - 1)) AS p) u
+         |  WHERE len(tk) >= 2),
+         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg
+         |        WHERE lang = 'en' GROUP BY 1, 2),
+         |c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+         |v AS (SELECT count(DISTINCT w2) AS v FROM c12),
+         |sc AS (
+         |  SELECT bg.doc_id,
+         |         ln((COALESCE(c12.c12, 0) + 0.5)
+         |            / (CAST(COALESCE(c1.c1, 0) AS DOUBLE)
+         |               + 0.5 * (v.v + 1))) AS lp
+         |  FROM bg LEFT JOIN c12 USING (w1, w2)
+         |          LEFT JOIN c1 USING (w1) CROSS JOIN v),
+         |lu AS (
+         |  SELECT doc_id,
+         |         CAST(CASE WHEN lp >= 0 THEN floor(lp * 1e6 + 0.5)
+         |              ELSE ceil(lp * 1e6 - 0.5) END AS BIGINT) AS lu
+         |  FROM sc),
+         |d AS (
+         |  SELECT doc_id, list_sort(list(lu)) AS ls,
+         |         CAST(count(*) AS BIGINT) AS n
+         |  FROM lu GROUP BY 1),
+         |e AS (
+         |  SELECT doc_id, n,
+         |         CAST(floor((n + 4) / 5.0) AS BIGINT) AS k, ls
+         |  FROM d),
+         |f AS (
+         |  SELECT doc_id, n, k,
+         |         CAST(list_sum(ls[1:k]) AS BIGINT) AS s
+         |  FROM e)
+         |SELECT toks.doc_id, COALESCE(f.n, 0) AS n_bigrams, f.k,
+         |       CASE WHEN CAST(f.s AS DOUBLE)
+         |                 / (CAST(f.k AS DOUBLE) * 1e6) >= 0
+         |            THEN floor(CAST(f.s AS DOUBLE)
+         |                   / (CAST(f.k AS DOUBLE) * 1e6)
+         |                   * 1e4 + 0.5) / 1e4
+         |            ELSE ceil(CAST(f.s AS DOUBLE)
+         |                   / (CAST(f.k AS DOUBLE) * 1e6)
+         |                   * 1e4 - 0.5) / 1e4 END AS mink_avg,
+         |       f.s > -8000000.0 * f.k AS suspected
+         |FROM toks LEFT JOIN f USING (doc_id)""".stripMargin,
 
     // q165: q60's fingerprint/hash-fraction chain with the tombstone
     // predicate folded into the history aggregate — a fingerprint

@@ -85,10 +85,14 @@ class NgramLmSpec extends SparkSpec {
     run("q151_kneser_ney")
     val builds = NgramLm.scoreRunCount.get()
     val fits = NgramLm.fitRunCount.get()
+    run("q166_minkprob") // its own frame: exactly ONE build
+    val builds2 = NgramLm.scoreRunCount.get()
+    assert(builds2 == builds + 1)
     run("q136_ngram_perplexity")
     run("q151_kneser_ney")
     run("q156_curation_capstone")
-    assert(NgramLm.scoreRunCount.get() == builds,
+    run("q166_minkprob")
+    assert(NgramLm.scoreRunCount.get() == builds2,
       "re-executions and q156 must serve the cached score frames " +
         "(zero score-frame builds)")
     assert(NgramLm.fitRunCount.get() == fits,
