@@ -11,8 +11,8 @@ import org.apache.spark.sql.functions._
   * history — with an audit trail, because production corpora are
   * legally required to prove the removal happened everywhere, not
   * just in the source of truth. (The reference pipeline keeps no
-  * derived artifacts — reference `src/storage.py:18-42` appends flat
-  * CSV snapshots — so this is brief-driven scale work.)
+  * derived artifacts — reference `src/ingestion.py:131-141` appends
+  * flat CSV snapshots — so this is brief-driven scale work.)
   *
   * Granularity matters: most artifacts remove at ROW level (a chunk
   * / shard entry / fingerprint row of a tombstoned doc), but a
