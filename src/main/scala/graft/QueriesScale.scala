@@ -619,7 +619,7 @@ object QueriesScale {
 
     "q25_lsh_pairs" -> q { (spark, dir) =>
       Dedup.minhashPairs(docs(spark, dir),
-          threshold = 0.0)
+          threshold = 0.0, serveSigs = true)
         .select(col("id_a"), col("id_b"), col("est_jaccard"))
     },
 
@@ -631,7 +631,7 @@ object QueriesScale {
     // the candidate count, not the corpus square.
     "q70_neardup_rescore" -> q { (spark, dir) =>
       Dedup.nearDuplicates(docs(spark, dir),
-          estThreshold = 0.0, exactThreshold = 0.35)
+          estThreshold = 0.0, exactThreshold = 0.35, serveSigs = true)
         .select(col("id_a"), col("id_b"),
           pround(col("jaccard"), 6).as("jaccard"))
     },
@@ -2348,7 +2348,8 @@ object QueriesScale {
     // q70; candidate-recall caveat documented on
     // Dedup.containmentPairs.
     "q114_containment" -> q { (spark, dir) =>
-      Dedup.containmentPairs(docs(spark, dir), containThreshold = 0.5)
+      Dedup.containmentPairs(docs(spark, dir), containThreshold = 0.5,
+          serveSigs = true)
         .select(col("id_a"), col("id_b"),
           pround(col("c_ab"), 6).as("c_ab"),
           pround(col("c_ba"), 6).as("c_ba"))
@@ -3024,7 +3025,8 @@ object QueriesScale {
         .filter(col("__sa").isNotNull || col("__sb").isNotNull)
         .drop("__sa", "__sb")
       val pairs = Dedup.nearDuplicates(d, estThreshold = 0.0,
-          exactThreshold = 0.35, pairFilter = seedTouch)
+          exactThreshold = 0.35, pairFilter = seedTouch,
+          serveSigs = true)
         .select(col("id_a"), col("id_b"))
       val sym = pairs.unionByName(
         pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))

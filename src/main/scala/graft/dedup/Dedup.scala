@@ -183,10 +183,67 @@ object Dedup {
     * quadratic-in-cluster band work to linear (plus the inherently
     * output-sized pair list).
     */
+  private val sigCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Count of ACTUAL signature-table builds (cache hits leave it
+    * untouched) — the FitCacheSpec-style counter.
+    */
+  private[graft] val sigBuildCount =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Drop the served signature tables — the [[graft.model.CorpusStats]]
+    * staleness hatch for harnesses that rewrite input files in place
+    * within one JVM.
+    */
+  def clearSigCache(): Unit = sigCache.clear()
+
+  /** The per-corpus MinHash signature table (id, sig, sig_fp) as
+    * FIT-ONCE SERVED STATE (the r10 score-frame discipline applied to
+    * LSH): it is a pure function of (corpus plan, k, shingleSize) and
+    * the single expensive stage of every MinHash query — k·shingles
+    * md5 evaluations per doc — so it is built once per corpus,
+    * materialized (executor storage, truncated lineage, sig_fp
+    * partitioning preserved), and served to q25/q70/q114/q163 and
+    * every later execution. OPT-IN because the memo keys on the
+    * canonicalized PLAN, not file contents: callers whose input is
+    * rewritten between executions in one JVM — the streaming gate's
+    * growing canonical table — must stay on the inline path.
+    */
+  private def cachedSigs(docs: DataFrame, idCol: String,
+                         textCol: String, k: Int,
+                         shingleSize: Int): DataFrame = {
+    val key = "minhashsigs:" +
+      s"${graft.model.PlanKey.of(docs)}:$idCol:$textCol:$k:$shingleSize"
+    val hit = sigCache.get(key)
+    if (hit != null && !hit.sparkSession.sparkContext.isStopped) hit
+    else {
+      sigCache.forEach { (kk, v) =>
+        if (v.sparkSession.sparkContext.isStopped) sigCache.remove(kk)
+      }
+      sigBuildCount.incrementAndGet()
+      val built = graft.model.Checkpoints.materialize(
+        sigFrame(docs, idCol, textCol, k, shingleSize))
+      sigCache.put(key, built)
+      built
+    }
+  }
+
+  private def sigFrame(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int, shingleSize: Int): DataFrame =
+    docs
+      .select(col(idCol), col(textCol))
+      .repartition(col(idCol))
+      .withColumn("sig", minhashSignature(col(textCol), k, shingleSize))
+      .withColumn("sig_fp", md5(concat_ws("|", col("sig"))))
+      .select(col(idCol), col("sig"), col("sig_fp"))
+      .repartition(col("sig_fp"))
+
   def minhashPairs(docs: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text", k: Int = 16,
                    bands: Int = 4, shingleSize: Int = 3,
-                   threshold: Double = 0.5): DataFrame = {
+                   threshold: Double = 0.5,
+                   serveSigs: Boolean = false): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
     // First repartition: parallelize signature hashing (input may
@@ -195,14 +252,11 @@ object Dedup {
     // shuffle, and every downstream consumer (members + groups) reads
     // the SAME exchange, so the signature is computed once per doc.
     // Text is dropped before the barrier: the exchange carries
-    // (id, sig, sig_fp), never document payloads.
-    val sigs = docs
-      .select(col(idCol), col(textCol))
-      .repartition(col(idCol))
-      .withColumn("sig", minhashSignature(col(textCol), k, shingleSize))
-      .withColumn("sig_fp", md5(concat_ws("|", col("sig"))))
-      .select(col(idCol), col("sig"), col("sig_fp"))
-      .repartition(col("sig_fp"))
+    // (id, sig, sig_fp), never document payloads. With `serveSigs`
+    // the whole table is fit-once served state ([[cachedSigs]]).
+    val sigs =
+      if (serveSigs) cachedSigs(docs, idCol, textCol, k, shingleSize)
+      else sigFrame(docs, idCol, textCol, k, shingleSize)
     val members = sigs.select(col("sig_fp"), col(idCol))
     // one row per DISTINCT signature; all members share sig, so
     // first(sig) is deterministic in value
@@ -350,9 +404,10 @@ object Dedup {
   def containmentPairs(docs: DataFrame, idCol: String = "doc_id",
                        textCol: String = "text", k: Int = 16,
                        bands: Int = 4, shingleSize: Int = 3,
-                       containThreshold: Double = 0.6): DataFrame = {
+                       containThreshold: Double = 0.6,
+                       serveSigs: Boolean = false): DataFrame = {
     val cands = minhashPairs(docs, idCol, textCol, k, bands, shingleSize,
-      threshold = 0.0)
+      threshold = 0.0, serveSigs = serveSigs)
     val candIds = cands
       .select(explode(array(col("id_a"), col("id_b"))).as(idCol))
       .distinct()
@@ -488,11 +543,12 @@ object Dedup {
                      bands: Int = 4, shingleSize: Int = 3,
                      estThreshold: Double = 0.35,
                      exactThreshold: Double = 0.7,
-                     pairFilter: DataFrame => DataFrame = identity)
+                     pairFilter: DataFrame => DataFrame = identity,
+                     serveSigs: Boolean = false)
       : DataFrame = {
     val cands = pairFilter(
       minhashPairs(docs, idCol, textCol, k, bands, shingleSize,
-        estThreshold))
+        estThreshold, serveSigs = serveSigs))
     // semi-join prune BEFORE building shingle arrays: candidates are a
     // sliver of a 100 TB corpus, and the rescore joins shuffle each
     // side's shingle arrays — materializing arrays for every corpus

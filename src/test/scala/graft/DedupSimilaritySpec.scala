@@ -489,4 +489,25 @@ class DedupSimilaritySpec extends SparkSpec {
     // novel doc passes the gate
     assert(!out.contains(103L))
   }
+
+  test("minhash signature table is fit-once served state (r10): one " +
+      "build serves the whole family; clearSigCache forces a rebuild") {
+    import graft.dedup.Dedup
+    Dedup.clearSigCache()
+    def run(q: String): Unit =
+      SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+        .write.mode("overwrite").format("noop").save()
+    run("q25_lsh_pairs")
+    val builds = Dedup.sigBuildCount.get()
+    run("q70_neardup_rescore")
+    run("q114_containment")
+    run("q25_lsh_pairs")
+    assert(Dedup.sigBuildCount.get() == builds,
+      "q70/q114/q25-again must serve q25's signature table " +
+        "(same corpus plan, k, shingle size)")
+    Dedup.clearSigCache()
+    run("q25_lsh_pairs")
+    assert(Dedup.sigBuildCount.get() > builds,
+      "clearSigCache is the staleness hatch: next run rebuilds")
+  }
 }
