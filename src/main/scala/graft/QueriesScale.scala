@@ -3177,6 +3177,47 @@ object QueriesScale {
           (col("__scu") / 1e8).as("psi"))
     },
 
+    // Embedding-distribution drift (r10) — q164's PSI discipline on
+    // the EMBEDDING side: bucket both corpus versions' vectors by
+    // their 8-plane SRP signature (the deterministic LSH geometry
+    // q48 indexes with — an encoder/version drift moves vectors
+    // across hyperplane cells long before any scalar stat moves) and
+    // PSI the 256-cell distributions, Laplace-smoothed (α=0.5 →
+    // +128 in the denominator). Same engine-exactness: integer-unit
+    // contributions before the order-free sum. Scale shape: one
+    // vector scan (the signature is a native single-pass
+    // expression), one ≤256-cell aggregate, 256-row windows.
+    "q167_embedding_drift" -> q { (spark, dir) =>
+      import graft.sampling.Sampling
+      val w = Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      val agg = vecs(spark, dir)
+        .select(Similarity.srpSignature(col("embedding"), 8).as("sig"),
+          Sampling.hashFraction(col("vec_id"), "edrift").as("fr"))
+        .groupBy(col("sig"))
+        .agg(sum(when(col("fr") < 0.8, 1L).otherwise(0L))
+          .as("n_hist"),
+          sum(when(col("fr") >= 0.8, 1L).otherwise(0L)).as("n_new"))
+      val c = (col("p_new") - col("p_hist")) *
+        log(col("p_new") / col("p_hist"))
+      agg
+        .withColumn("__th", sum(col("n_hist")).over(w))
+        .withColumn("__tn", sum(col("n_new")).over(w))
+        .withColumn("p_hist",
+          (col("n_hist") + lit(0.5)) / (col("__th") + lit(128.0)))
+        .withColumn("p_new",
+          (col("n_new") + lit(0.5)) / (col("__tn") + lit(128.0)))
+        .withColumn("__cu",
+          when(c >= 0, floor(c * 1e8 + 0.5))
+            .otherwise(ceil(c * 1e8 - 0.5)).cast("long"))
+        .withColumn("__scu", sum(col("__cu")).over(w))
+        .select(col("sig"), col("n_hist"), col("n_new"),
+          pround(col("p_hist"), 6).as("p_hist"),
+          pround(col("p_new"), 6).as("p_new"),
+          (col("__cu") / 1e8).as("contrib"),
+          (col("__scu") / 1e8).as("psi"))
+    },
+
     // RSS/Atom feed discovery (r9 verdict item 4) — the second
     // URL-discovery channel merged into the q155 frontier keyed by
     // CANONICAL URL: even-numbered hosts publish RSS (<item> with
@@ -7541,6 +7582,49 @@ object QueriesScale {
          |       cu / 1e8 AS contrib,
          |       scu / 1e8 AS psi
          |FROM u CROSS JOIN s""".stripMargin,
+
+    // q167: q164's PSI chain with the q48 SRP signature CTEs as the
+    // bucketing — identical plane literals, identical smoothing, the
+    // same integer-unit contributions before the sum.
+    "q167_embedding_drift" ->
+      s"""WITH ${planesSql(8)},
+         |$srpSigsSql,
+         |f AS (
+         |  SELECT s.sig,
+         |         CAST(('0x' || substr(md5('edrift'
+         |             || CAST(s.vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |           / 4294967296.0 AS fr
+         |  FROM srp s),
+         |agg AS (
+         |  SELECT sig,
+         |         CAST(sum(CASE WHEN fr < 0.8 THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS n_hist,
+         |         CAST(sum(CASE WHEN fr >= 0.8 THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS n_new
+         |  FROM f GROUP BY 1),
+         |t AS (SELECT sum(n_hist) AS th, sum(n_new) AS tn FROM agg),
+         |c AS (
+         |  SELECT sig, n_hist, n_new,
+         |         (n_hist + 0.5) / (th + 128.0) AS p_hist,
+         |         (n_new + 0.5) / (tn + 128.0) AS p_new
+         |  FROM agg CROSS JOIN t),
+         |u AS (
+         |  SELECT sig, n_hist, n_new, p_hist, p_new,
+         |         CAST(CASE WHEN (p_new - p_hist)
+         |                        * ln(p_new / p_hist) >= 0
+         |              THEN floor((p_new - p_hist)
+         |                     * ln(p_new / p_hist) * 1e8 + 0.5)
+         |              ELSE ceil((p_new - p_hist)
+         |                     * ln(p_new / p_hist) * 1e8 - 0.5)
+         |              END AS BIGINT) AS cu
+         |  FROM c),
+         |s2 AS (SELECT sum(cu) AS scu FROM u)
+         |SELECT sig, n_hist, n_new,
+         |       floor(p_hist * 1e6 + 0.5) / 1e6 AS p_hist,
+         |       floor(p_new * 1e6 + 0.5) / 1e6 AS p_new,
+         |       cu / 1e8 AS contrib,
+         |       scu / 1e8 AS psi
+         |FROM u CROSS JOIN s2""".stripMargin,
 
     // q159: the oracle never touches XML or raw URLs — it rebuilds
     // both channels' entry lists arithmetically in CANONICAL form
