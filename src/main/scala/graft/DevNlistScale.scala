@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.sim.Similarity
+
+/** Dev-only measurement for the q89 scale claim (r10 verdict "next"
+  * item 4): five rounds of verdicts have DOCUMENTED that q89's
+  * 9–13× sf1 wall is quadratic BY CONSTRUCTION at the oracle-pinned
+  * fixed nlist=8, and that production sizes nlist ∝ N so the
+  * within-cell pair work stays bounded — but never MEASURED it.
+  * This main runs `semanticDedup` (q89's exact operator and
+  * threshold) three ways:
+  *
+  *  1. sf0.1, nlist = 8   — the gate-scale baseline,
+  *  2. sf1,   nlist = 8   — the pinned-nlist construction (cells hold
+  *     10× the rows → ~100× the within-cell pairs: super-linear on
+  *     purpose),
+  *  3. sf1,   nlist = 80  — nlist ∝ N, the production sizing (cell
+  *     occupancy constant → pair work scales with N),
+  *
+  * and prints one JSON line with best-of-`rounds` walls, so
+  * BASELINE.md can carry the measured near-linear wall instead of
+  * the argument. Usage:
+  *   runMain graft.DevNlistScale [sf0.1Dir] [sf1Dir] [rounds]
+  */
+object DevNlistScale {
+  def main(args: Array[String]): Unit = {
+    val sfSmall = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val sfBig = args.lift(1).getOrElse("/tmp/sf1_synth")
+    val rounds = args.lift(2).map(_.toInt).getOrElse(5)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def best(dir: String, nlist: Int): (Double, Long) = {
+      val v = spark.read.parquet(s"$dir/embeddings.parquet")
+      var rows = 0L
+      val walls = (1 to rounds).map { _ =>
+        val t0 = System.nanoTime()
+        rows = Similarity.semanticDedup(v,
+          Similarity.gridCentroids(nlist, 64), threshold = 0.35,
+          roundSim = Some(6)).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      (walls.min, rows)
+    }
+
+    best(sfSmall, 8) // JVM/codegen warmup, discarded
+    val (w01, r01) = best(sfSmall, 8)
+    val (w1fix, r1fix) = best(sfBig, 8)
+    val (w1prop, r1prop) = best(sfBig, 80)
+    println(
+      s"""{"metric":"q89_nlist_scaling","rounds":$rounds,""" +
+      s""""sf01_nlist8":{"sec":$w01,"rows":$r01},""" +
+      s""""sf1_nlist8":{"sec":$w1fix,"rows":$r1fix},""" +
+      s""""sf1_nlist80":{"sec":$w1prop,"rows":$r1prop},""" +
+      s""""ratio_fixed":${w1fix / w01},""" +
+      s""""ratio_proportional":${w1prop / w01}}""")
+    spark.stop()
+  }
+}

@@ -3142,13 +3142,17 @@ object QueriesScale {
     // so the total is an order-free integer sum (a float sum over an
     // unordered window would be engine-dependent). Scale shape: one
     // scan + one 16-bucket aggregate; totals and the PSI ride
-    // 16-row windows — nothing corpus-sized moves.
+    // 16-row windows — nothing corpus-sized moves. The observed
+    // counts left-join onto the FULL 16-bucket domain with 0-fills:
+    // a bucket empty in both slices still contributes its smoothed
+    // (p_new-p_hist)·ln(p_new/p_hist) whenever the slice totals
+    // differ, so dropping it would understate the statistic.
     "q164_psi_drift" -> q { (spark, dir) =>
       import graft.sampling.Sampling
       import graft.text.TextStatsExpression.textStats
       val w = Window.rowsBetween(Window.unboundedPreceding,
         Window.unboundedFollowing)
-      val agg = docs(spark, dir)
+      val observed = docs(spark, dir)
         .select(
           least(floor(textStats(col("text")).getField("n_tokens")
             .cast("long") / 32L), lit(15L)).as("bucket"),
@@ -3157,6 +3161,11 @@ object QueriesScale {
         .agg(sum(when(col("fr") < 0.8, 1L).otherwise(0L))
           .as("n_hist"),
           sum(when(col("fr") >= 0.8, 1L).otherwise(0L)).as("n_new"))
+      val agg = spark.range(16).select(col("id").as("bucket"))
+        .join(observed, Seq("bucket"), "left")
+        .select(col("bucket"),
+          coalesce(col("n_hist"), lit(0L)).as("n_hist"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"))
       val c = (col("p_new") - col("p_hist")) *
         log(col("p_new") / col("p_hist"))
       agg
@@ -3186,18 +3195,27 @@ object QueriesScale {
     // +128 in the denominator). Same engine-exactness: integer-unit
     // contributions before the order-free sum. Scale shape: one
     // vector scan (the signature is a native single-pass
-    // expression), one ≤256-cell aggregate, 256-row windows.
+    // expression), one 256-cell aggregate, 256-row windows. The
+    // observed counts left-join onto the FULL 256-cell domain
+    // (every 8-bit signature) with 0-fills — an unobserved cell's
+    // smoothed contribution is nonzero whenever slice totals differ.
     "q167_embedding_drift" -> q { (spark, dir) =>
       import graft.sampling.Sampling
       val w = Window.rowsBetween(Window.unboundedPreceding,
         Window.unboundedFollowing)
-      val agg = vecs(spark, dir)
+      val observed = vecs(spark, dir)
         .select(Similarity.srpSignature(col("embedding"), 8).as("sig"),
           Sampling.hashFraction(col("vec_id"), "edrift").as("fr"))
         .groupBy(col("sig"))
         .agg(sum(when(col("fr") < 0.8, 1L).otherwise(0L))
           .as("n_hist"),
           sum(when(col("fr") >= 0.8, 1L).otherwise(0L)).as("n_new"))
+      val agg = spark.range(256)
+        .select(lpad(bin(col("id")), 8, "0").as("sig"))
+        .join(observed, Seq("sig"), "left")
+        .select(col("sig"),
+          coalesce(col("n_hist"), lit(0L)).as("n_hist"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"))
       val c = (col("p_new") - col("p_hist")) *
         log(col("p_new") / col("p_hist"))
       agg
@@ -3219,6 +3237,138 @@ object QueriesScale {
     },
 
     // RSS/Atom feed discovery (r9 verdict item 4) — the second
+    // Takedown survivor REPACK (r10 verdict item 1) — the step that
+    // turns q158's compliance pass from a hole into a regenerated
+    // training set: tombstoned chunks vanish, sequences containing
+    // one are invalid as a whole, and the innocent co-packed
+    // survivors repack into NEW sequences (per-bucket, seq ids above
+    // the bucket's original max) while every untouched sequence
+    // keeps its rows bit-identical — the incremental compliance
+    // release, not a full q59 re-run. Scale shape: the group flag is
+    // one (bucket, seq_id)-bounded window, the repack window sees
+    // only the affected slice, and the per-bucket seq-id base
+    // broadcasts at |buckets| rows.
+    "q168_takedown_repack" -> q { (spark, dir) =>
+      import spark.implicits._
+      import graft.operators.Takedown
+      import graft.sampling.Packing
+      val d = docs(spark, dir)
+      val urlIds = d.filter(col("doc_id") % 17 === 3)
+        .select(col("doc_id"))
+      val domains = Seq("src7", "src13").toDF("source")
+      val tomb = Takedown.resolveDocs(
+        d.select(col("doc_id"), col("source")), urlIds, domains)
+      val packed = Packing.packSequences(chunks(spark, dir),
+        capacity = 256, buckets = 32)
+      Takedown.repackSurvivors(packed, tomb, capacity = 256)
+    },
+
+    // Fetch-outcome feedback loop (r10 verdict item 2) — the loop
+    // every production scheduler closes: cycle 1 plans (q157's
+    // frontier/history), the SCHEDULED URLs get fetched with four
+    // outcome classes (200-changed / 200-unchanged / 304 / error);
+    // content observations fold back into the crawl history the
+    // add-half estimator reads, errors go to an exponential back-off
+    // ledger instead, and cycle 2 (next day) replans on the updated
+    // state. The output shows the shift per URL: a just-fetched
+    // unchanged URL's rate and staleness drop, an errored URL is
+    // held (backed_off) however stale it is. Scale shape: outcomes
+    // are fetch-cycle-sized, the ledger broadcasts, and both plan
+    // passes share q157's one-exchange shape.
+    "q169_fetch_outcomes" -> q { (spark, dir) =>
+      import graft.sources.Recrawl
+      val d = docs(spark, dir)
+      val loc = concat(lit("http://"), col("source"),
+        lit(".example/id/"), col("doc_id"))
+      val frontier = d.select(loc.as("loc"), col("source").as("host"),
+        when(col("doc_id") % 5 === 2, lit(null).cast("long"))
+          .otherwise(col("doc_id") % 80 + 30).as("lastmod_day"))
+      val history = d.filter(col("doc_id") % 11 =!= 3)
+        .select(loc.as("loc"), col("doc_id"),
+          explode(sequence(lit(0L), col("doc_id") % 4)).as("j"))
+        .select(col("loc"),
+          (lit(40L) + col("doc_id") % 7 + col("j") * 7)
+            .as("crawl_day"),
+          ((col("doc_id") + col("j")) % 3 === 0).as("changed"))
+      val plan1 = Recrawl.plan(frontier, history, nowDay = 100L,
+        slotsPerHost = 4)
+      // fetch exactly what cycle 1 scheduled; outcomes deterministic
+      val outcomes = plan1.filter(col("scheduled")).select(col("loc"))
+        .join(d.select(loc.as("loc"), col("doc_id")), Seq("loc"))
+        .select(col("loc"),
+          when(col("doc_id") % 23 === 5, lit("error"))
+            .when(col("doc_id") % 3 === 0, lit("changed"))
+            .when(col("doc_id") % 7 === 1, lit("not_modified"))
+            .otherwise(lit("unchanged")).as("status"))
+      val hist2 = Recrawl.ingestOutcomes(history, outcomes,
+        fetchDay = 100L)
+      val ledger = Recrawl.errorLedger(outcomes, fetchDay = 100L)
+      val plan2 = Recrawl.planWithBackoff(frontier, hist2,
+        nowDay = 101L, slotsPerHost = 4, ledger = ledger)
+      plan1.select(col("host"), col("loc"),
+          col("change_rate").as("rate_c1"),
+          col("need_fetch").as("need_c1"),
+          col("scheduled").as("sched_c1"))
+        .join(outcomes, Seq("loc"), "left")
+        .join(plan2.select(col("loc"),
+          col("change_rate").as("rate_c2"),
+          col("need_fetch").as("need_c2"),
+          col("scheduled").as("sched_c2"), col("backed_off")),
+          Seq("loc"))
+    },
+
+    // Quality-weighted recrawl priorities (r10 verdict item 6) — the
+    // production crawl-quality loop: q119's pinned logistic gate
+    // rolls up to a per-host keep-rate, and the staleness priority
+    // becomes the expected number of KEEPABLE changed pages
+    // (rate × days × keep_rate) — a host whose content is mostly
+    // discarded needs proportionally more staleness to earn a fetch
+    // slot; lastmod-hint and never-crawled branches stay unweighted
+    // (provable freshness and discovery outrank priors). Scale
+    // shape: the gate is one scan-parallel expression pass, the
+    // host rollup is |hosts|-row and broadcasts into the frontier —
+    // no exchange beyond q157's own.
+    "q170_quality_recrawl" -> q { (spark, dir) =>
+      import graft.sources.Recrawl
+      import graft.text.TextStatsExpression.textStats
+      val d = docs(spark, dir)
+      // q119's gate, verbatim, rolled up per host
+      val stopR = coalesce(when(col("st.n_tokens") > 0,
+        col("st.n_stop").cast("double") / col("st.n_tokens")),
+        lit(0.0))
+      val punctR = coalesce(when(col("st.n_chars") > 0,
+        col("st.n_punct").cast("double") / col("st.n_chars")),
+        lit(0.0))
+      val avgLen = coalesce(when(col("st.n_tokens") > 0,
+        col("st.total_token_len").cast("double") / col("st.n_tokens")),
+        lit(0.0))
+      val z = lit(-2.0) +
+        lit(0.8) * log(lit(1.0) + col("st.n_tokens").cast("double")) +
+        lit(3.0) * stopR - lit(8.0) * punctR -
+        lit(0.5) * abs(avgLen - lit(5.0))
+      val p = pround(lit(1.0) / (lit(1.0) + exp(-z)), 6)
+      val hostQ = d.withColumn("st", textStats(col("text")))
+        .select(col("source").as("host"),
+          (p >= 0.6).cast("long").as("k"))
+        .groupBy(col("host"))
+        .agg((sum(col("k")).cast("double") /
+          count(lit(1)).cast("double")).as("keep_rate"))
+      val loc = concat(lit("http://"), col("source"),
+        lit(".example/id/"), col("doc_id"))
+      val frontier = d.select(loc.as("loc"), col("source").as("host"),
+        when(col("doc_id") % 5 === 2, lit(null).cast("long"))
+          .otherwise(col("doc_id") % 80 + 30).as("lastmod_day"))
+      val history = d.filter(col("doc_id") % 11 =!= 3)
+        .select(loc.as("loc"), col("doc_id"),
+          explode(sequence(lit(0L), col("doc_id") % 4)).as("j"))
+        .select(col("loc"),
+          (lit(40L) + col("doc_id") % 7 + col("j") * 7)
+            .as("crawl_day"),
+          ((col("doc_id") + col("j")) % 3 === 0).as("changed"))
+      Recrawl.planWithQuality(frontier, history, nowDay = 100L,
+        slotsPerHost = 4, hostQuality = hostQ)
+    },
+
     // URL-discovery channel merged into the q155 frontier keyed by
     // CANONICAL URL: even-numbered hosts publish RSS (<item> with
     // text-form <link>), odd hosts publish Atom (<entry> with the
@@ -7410,6 +7560,300 @@ object QueriesScale {
          |         AS BIGINT)
          |FROM fh""".stripMargin,
 
+    // q168: the oracle replays the q59 packing cumsum, flags the
+    // tombstone set, escalates to (bucket, seq) groups, keeps clean
+    // sequences verbatim, and repacks the invalidated sequences'
+    // surviving chunks with a second cumsum offset by each bucket's
+    // original max seq id — identical arithmetic to the engine's
+    // repackSurvivors.
+    "q168_takedown_repack" ->
+      s"""WITH $toksSql,
+         |tomb AS (
+         |  SELECT doc_id FROM documents
+         |  WHERE doc_id % 17 = 3 OR source IN ('src7', 'src13')),
+         |ch AS (
+         |  SELECT doc_id, tk,
+         |         unnest(generate_series(1, greatest(len(tk), 1), 48))
+         |           AS s
+         |  FROM toks),
+         |ck AS (
+         |  SELECT doc_id, CAST((s - 1) // 48 AS INT) AS chunk_idx,
+         |         CAST(doc_id % 32 AS INT) AS bucket,
+         |         CAST(len(tk[s : s + 63]) AS BIGINT) AS n
+         |  FROM ch),
+         |ckf AS (
+         |  SELECT ck.doc_id, ck.chunk_idx, ck.bucket, ck.n,
+         |         t.doc_id IS NOT NULL AS tb
+         |  FROM ck LEFT JOIN tomb t USING (doc_id)),
+         |pk AS (
+         |  SELECT doc_id, chunk_idx, bucket, n, tb,
+         |         COALESCE(SUM(n) OVER (PARTITION BY bucket
+         |           ORDER BY doc_id, chunk_idx
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |           0) AS cum
+         |  FROM ckf),
+         |pks AS (
+         |  SELECT doc_id, chunk_idx, bucket, n, tb,
+         |         CAST(cum // 256 AS BIGINT) AS seq_id,
+         |         CAST(cum % 256 AS BIGINT) AS seq_offset
+         |  FROM pk),
+         |pkg AS (
+         |  SELECT *,
+         |         max(tb) OVER (PARTITION BY bucket, seq_id) AS gt
+         |  FROM pks),
+         |base AS (
+         |  SELECT bucket, max(seq_id) AS b FROM pks GROUP BY 1),
+         |surv AS (
+         |  SELECT doc_id, chunk_idx, bucket, n,
+         |         COALESCE(SUM(n) OVER (PARTITION BY bucket
+         |           ORDER BY doc_id, chunk_idx
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |           0) AS cum
+         |  FROM pkg WHERE gt AND NOT tb)
+         |SELECT doc_id, chunk_idx, bucket, seq_id, seq_offset,
+         |       false AS repacked
+         |FROM pkg WHERE NOT gt
+         |UNION ALL
+         |SELECT s.doc_id, s.chunk_idx, s.bucket,
+         |       CAST(base.b + 1 + s.cum // 256 AS BIGINT) AS seq_id,
+         |       CAST(s.cum % 256 AS BIGINT) AS seq_offset,
+         |       true AS repacked
+         |FROM surv s JOIN base USING (bucket)""".stripMargin,
+
+    // q169: the oracle replays q157's plan chain TWICE — cycle 1 at
+    // day 100, then derives the scheduled set's outcomes
+    // arithmetically, appends the content observations to history
+    // (errors to the hold set instead), and replays at day 101 with
+    // the back-off hold folded into need_fetch.
+    "q169_fetch_outcomes" ->
+      """WITH f AS (
+        |  SELECT 'http://' || source || '.example/id/'
+        |           || CAST(doc_id AS VARCHAR) AS loc,
+        |         source AS host, doc_id,
+        |         CASE WHEN doc_id % 5 = 2 THEN NULL
+        |              ELSE doc_id % 80 + 30 END AS lastmod_day
+        |  FROM documents),
+        |hh AS (
+        |  SELECT 'http://' || source || '.example/id/'
+        |           || CAST(doc_id AS VARCHAR) AS loc,
+        |         CAST(40 + doc_id % 7 + j * 7 AS BIGINT) AS crawl_day,
+        |         (doc_id + j) % 3 = 0 AS changed
+        |  FROM documents,
+        |       unnest(generate_series(0, doc_id % 4)) AS t(j)
+        |  WHERE doc_id % 11 <> 3),
+        |ha1 AS (
+        |  SELECT loc, CAST(count(*) AS BIGINT) AS n_crawls,
+        |         CAST(sum(CASE WHEN changed THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n_changes,
+        |         CAST(max(crawl_day) AS BIGINT) AS last_crawl_day
+        |  FROM hh GROUP BY 1),
+        |j1 AS (
+        |  SELECT f.loc, f.host, f.doc_id, f.lastmod_day,
+        |         ha1.n_crawls, ha1.n_changes, ha1.last_crawl_day,
+        |         CASE WHEN ha1.n_crawls IS NULL THEN NULL
+        |              ELSE CAST(floor((ha1.n_changes + 0.5)
+        |                / (ha1.n_crawls + 1.0)
+        |                * (100 - ha1.last_crawl_day) * 1e6 + 0.5)
+        |                AS BIGINT) END AS priority_units,
+        |         CASE WHEN ha1.n_crawls IS NULL THEN TRUE
+        |              WHEN f.lastmod_day IS NOT NULL
+        |                THEN f.lastmod_day > ha1.last_crawl_day
+        |              ELSE CAST(floor((ha1.n_changes + 0.5)
+        |                / (ha1.n_crawls + 1.0)
+        |                * (100 - ha1.last_crawl_day) * 1e6 + 0.5)
+        |                AS BIGINT) >= 500000 END AS need_fetch
+        |  FROM f LEFT JOIN ha1 USING (loc)),
+        |r1 AS (
+        |  SELECT *,
+        |         CASE WHEN need_fetch THEN
+        |           CAST(row_number() OVER (PARTITION BY host
+        |             ORDER BY need_fetch DESC,
+        |                      priority_units DESC NULLS FIRST,
+        |                      loc ASC) AS BIGINT)
+        |         END AS host_rank
+        |  FROM j1),
+        |p1 AS (
+        |  SELECT host, loc, doc_id,
+        |         CASE WHEN n_crawls IS NOT NULL THEN
+        |           floor((n_changes + 0.5) / (n_crawls + 1.0)
+        |             * 1e6 + 0.5) / 1e6 END AS rate_c1,
+        |         need_fetch AS need_c1,
+        |         CASE WHEN need_fetch
+        |              THEN CAST(floor((host_rank - 1) / 4.0)
+        |                     AS BIGINT) + 1 = 1
+        |              ELSE FALSE END AS sched_c1
+        |  FROM r1),
+        |oc AS (
+        |  SELECT loc,
+        |         CASE WHEN doc_id % 23 = 5 THEN 'error'
+        |              WHEN doc_id % 3 = 0 THEN 'changed'
+        |              WHEN doc_id % 7 = 1 THEN 'not_modified'
+        |              ELSE 'unchanged' END AS status
+        |  FROM p1 WHERE sched_c1),
+        |h2 AS (
+        |  SELECT loc, crawl_day, changed FROM hh
+        |  UNION ALL
+        |  SELECT loc, CAST(100 AS BIGINT) AS crawl_day,
+        |         status = 'changed' AS changed
+        |  FROM oc WHERE status <> 'error'),
+        |led AS (SELECT loc FROM oc WHERE status = 'error'),
+        |ha2 AS (
+        |  SELECT loc, CAST(count(*) AS BIGINT) AS n_crawls,
+        |         CAST(sum(CASE WHEN changed THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n_changes,
+        |         CAST(max(crawl_day) AS BIGINT) AS last_crawl_day
+        |  FROM h2 GROUP BY 1),
+        |j2 AS (
+        |  SELECT f.loc, f.host, f.lastmod_day,
+        |         ha2.n_crawls, ha2.n_changes, ha2.last_crawl_day,
+        |         led.loc IS NOT NULL AS backed_off,
+        |         CASE WHEN ha2.n_crawls IS NULL THEN NULL
+        |              ELSE CAST(floor((ha2.n_changes + 0.5)
+        |                / (ha2.n_crawls + 1.0)
+        |                * (101 - ha2.last_crawl_day) * 1e6 + 0.5)
+        |                AS BIGINT) END AS priority_units,
+        |         CASE WHEN led.loc IS NOT NULL THEN FALSE
+        |              WHEN ha2.n_crawls IS NULL THEN TRUE
+        |              WHEN f.lastmod_day IS NOT NULL
+        |                THEN f.lastmod_day > ha2.last_crawl_day
+        |              ELSE CAST(floor((ha2.n_changes + 0.5)
+        |                / (ha2.n_crawls + 1.0)
+        |                * (101 - ha2.last_crawl_day) * 1e6 + 0.5)
+        |                AS BIGINT) >= 500000 END AS need_fetch
+        |  FROM f LEFT JOIN ha2 USING (loc)
+        |       LEFT JOIN led ON led.loc = f.loc),
+        |r2 AS (
+        |  SELECT *,
+        |         CASE WHEN need_fetch THEN
+        |           CAST(row_number() OVER (PARTITION BY host
+        |             ORDER BY need_fetch DESC,
+        |                      priority_units DESC NULLS FIRST,
+        |                      loc ASC) AS BIGINT)
+        |         END AS host_rank
+        |  FROM j2),
+        |p2 AS (
+        |  SELECT loc,
+        |         CASE WHEN n_crawls IS NOT NULL THEN
+        |           floor((n_changes + 0.5) / (n_crawls + 1.0)
+        |             * 1e6 + 0.5) / 1e6 END AS rate_c2,
+        |         need_fetch AS need_c2,
+        |         CASE WHEN need_fetch
+        |              THEN CAST(floor((host_rank - 1) / 4.0)
+        |                     AS BIGINT) + 1 = 1
+        |              ELSE FALSE END AS sched_c2,
+        |         backed_off
+        |  FROM r2)
+        |SELECT p1.host, p1.loc, oc.status, p1.rate_c1, p2.rate_c2,
+        |       p1.need_c1, p2.need_c2, p1.sched_c1, p2.sched_c2,
+        |       p2.backed_off
+        |FROM p1
+        |LEFT JOIN oc USING (loc)
+        |JOIN p2 USING (loc)""".stripMargin,
+
+    // q170: q119's oracle gate rolled up per host (via a doc_id join
+    // back to documents for the source), then q157's plan chain with
+    // the keep-rate multiplied into the priority product in the same
+    // written order as the engine's rate × days × quality.
+    "q170_quality_recrawl" ->
+      s"""WITH $toksSql,
+         |qr AS (
+         |  SELECT doc_id,
+         |         CAST(len(tk) AS DOUBLE) AS ntok,
+         |         COALESCE(CASE WHEN len(tk) > 0
+         |              THEN CAST(len(list_filter(tk, x -> list_contains(
+         |                     ['the','a','an','and','or','of','to','in',
+         |                      'is','it'], lower(x)))) AS DOUBLE) / len(tk)
+         |              END, 0.0) AS stop_ratio,
+         |         COALESCE(CASE WHEN length(text) > 0
+         |              THEN CAST(length(regexp_replace(text,
+         |                     '[^[:punct:]]', '', 'g')) AS DOUBLE)
+         |                   / length(text)
+         |              END, 0.0) AS punct_ratio,
+         |         COALESCE(CASE WHEN len(tk) > 0
+         |              THEN CAST(list_sum(list_transform(tk,
+         |                     x -> length(x))) AS DOUBLE) / len(tk)
+         |              END, 0.0) AS avg_len
+         |  FROM toks),
+         |qs AS (
+         |  SELECT doc_id,
+         |         round(1.0 / (1.0 + exp(-((((-2.0
+         |           + 0.8 * ln(1.0 + ntok)) + 3.0 * stop_ratio)
+         |           - 8.0 * punct_ratio) - 0.5 * abs(avg_len - 5.0)))),
+         |           6) AS p_keep
+         |  FROM qr),
+         |hq AS (
+         |  SELECT d.source AS host,
+         |         CAST(sum(CASE WHEN qs.p_keep >= 0.6 THEN 1 ELSE 0
+         |           END) AS DOUBLE)
+         |           / CAST(count(*) AS DOUBLE) AS keep_rate
+         |  FROM qs JOIN documents d USING (doc_id)
+         |  GROUP BY 1),
+         |f AS (
+         |  SELECT 'http://' || source || '.example/id/'
+         |           || CAST(doc_id AS VARCHAR) AS loc,
+         |         source AS host,
+         |         CASE WHEN doc_id % 5 = 2 THEN NULL
+         |              ELSE doc_id % 80 + 30 END AS lastmod_day
+         |  FROM documents),
+         |hh AS (
+         |  SELECT 'http://' || source || '.example/id/'
+         |           || CAST(doc_id AS VARCHAR) AS loc,
+         |         40 + doc_id % 7 + j * 7 AS crawl_day,
+         |         (doc_id + j) % 3 = 0 AS changed
+         |  FROM documents,
+         |       unnest(generate_series(0, doc_id % 4)) AS t(j)
+         |  WHERE doc_id % 11 <> 3),
+         |ha AS (
+         |  SELECT loc, CAST(count(*) AS BIGINT) AS n_crawls,
+         |         CAST(sum(CASE WHEN changed THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS n_changes,
+         |         CAST(max(crawl_day) AS BIGINT) AS last_crawl_day
+         |  FROM hh GROUP BY 1),
+         |j AS (
+         |  SELECT f.loc, f.host, f.lastmod_day, hq.keep_rate,
+         |         ha.n_crawls, ha.n_changes, ha.last_crawl_day,
+         |         CASE WHEN ha.n_crawls IS NULL THEN NULL
+         |              ELSE CAST(floor((ha.n_changes + 0.5)
+         |                / (ha.n_crawls + 1.0)
+         |                * (100 - ha.last_crawl_day) * hq.keep_rate
+         |                * 1e6 + 0.5) AS BIGINT) END
+         |           AS priority_units,
+         |         CASE WHEN ha.n_crawls IS NULL THEN TRUE
+         |              WHEN f.lastmod_day IS NOT NULL
+         |                THEN f.lastmod_day > ha.last_crawl_day
+         |              ELSE CAST(floor((ha.n_changes + 0.5)
+         |                / (ha.n_crawls + 1.0)
+         |                * (100 - ha.last_crawl_day) * hq.keep_rate
+         |                * 1e6 + 0.5) AS BIGINT) >= 500000 END
+         |           AS need_fetch
+         |  FROM f LEFT JOIN ha USING (loc)
+         |       JOIN hq ON hq.host = f.host),
+         |r AS (
+         |  SELECT *,
+         |         CASE WHEN need_fetch THEN
+         |           CAST(row_number() OVER (PARTITION BY host
+         |             ORDER BY need_fetch DESC,
+         |                      priority_units DESC NULLS FIRST,
+         |                      loc ASC) AS BIGINT)
+         |         END AS host_rank
+         |  FROM j)
+         |SELECT host, loc,
+         |       COALESCE(n_crawls, 0) AS n_crawls,
+         |       COALESCE(n_changes, 0) AS n_changes,
+         |       last_crawl_day, lastmod_day,
+         |       CASE WHEN n_crawls IS NOT NULL THEN
+         |         floor((n_changes + 0.5) / (n_crawls + 1.0)
+         |           * 1e6 + 0.5) / 1e6 END AS change_rate,
+         |       priority_units, need_fetch, host_rank,
+         |       CAST(floor((host_rank - 1) / 4.0) AS BIGINT) + 1
+         |         AS cycle,
+         |       CASE WHEN need_fetch
+         |            THEN CAST(floor((host_rank - 1) / 4.0) AS BIGINT)
+         |                 + 1 = 1
+         |            ELSE FALSE END AS scheduled,
+         |       keep_rate
+         |FROM r""".stripMargin,
+
     // q163: the oracle re-derives the seed set, replays q70's whole
     // banded-LSH + exact-Jaccard pair chain (threshold 0.35),
     // symmetrizes, and takes the min seed neighbour per swept doc.
@@ -7541,9 +7985,10 @@ object QueriesScale {
         |FROM nw LEFT JOIN hist USING (fingerprint)""".stripMargin,
 
     // q164: identical token-length bucketing, hash-fraction split,
-    // Laplace-smoothed proportions, and the SAME integer-unit
-    // contribution rounding before the PSI sum, so the float-order
-    // hazard of summing doubles never arises on either engine.
+    // Laplace-smoothed proportions, the SAME integer-unit
+    // contribution rounding before the PSI sum (so the float-order
+    // hazard of summing doubles never arises on either engine), and
+    // the same full-16-bucket domain 0-fill.
     "q164_psi_drift" ->
       s"""WITH $toksSql,
          |b AS (
@@ -7552,13 +7997,19 @@ object QueriesScale {
          |             || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
          |           / 4294967296.0 AS fr
          |  FROM toks),
-         |agg AS (
+         |obs AS (
          |  SELECT bucket,
          |         CAST(sum(CASE WHEN fr < 0.8 THEN 1 ELSE 0 END)
          |           AS BIGINT) AS n_hist,
          |         CAST(sum(CASE WHEN fr >= 0.8 THEN 1 ELSE 0 END)
          |           AS BIGINT) AS n_new
          |  FROM b GROUP BY 1),
+         |agg AS (
+         |  SELECT CAST(d.range AS BIGINT) AS bucket,
+         |         COALESCE(o.n_hist, 0) AS n_hist,
+         |         COALESCE(o.n_new, 0) AS n_new
+         |  FROM range(0, 16) d
+         |  LEFT JOIN obs o ON o.bucket = d.range),
          |t AS (SELECT sum(n_hist) AS th, sum(n_new) AS tn FROM agg),
          |c AS (
          |  SELECT bucket, n_hist, n_new,
@@ -7585,7 +8036,8 @@ object QueriesScale {
 
     // q167: q164's PSI chain with the q48 SRP signature CTEs as the
     // bucketing — identical plane literals, identical smoothing, the
-    // same integer-unit contributions before the sum.
+    // same integer-unit contributions before the sum, and the same
+    // full-256-cell domain 0-fill (every 8-bit signature).
     "q167_embedding_drift" ->
       s"""WITH ${planesSql(8)},
          |$srpSigsSql,
@@ -7595,13 +8047,19 @@ object QueriesScale {
          |             || CAST(s.vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
          |           / 4294967296.0 AS fr
          |  FROM srp s),
-         |agg AS (
+         |obs AS (
          |  SELECT sig,
          |         CAST(sum(CASE WHEN fr < 0.8 THEN 1 ELSE 0 END)
          |           AS BIGINT) AS n_hist,
          |         CAST(sum(CASE WHEN fr >= 0.8 THEN 1 ELSE 0 END)
          |           AS BIGINT) AS n_new
          |  FROM f GROUP BY 1),
+         |agg AS (
+         |  SELECT lpad(bin(d.range), 8, '0') AS sig,
+         |         COALESCE(o.n_hist, 0) AS n_hist,
+         |         COALESCE(o.n_new, 0) AS n_new
+         |  FROM range(0, 256) d
+         |  LEFT JOIN obs o ON o.sig = lpad(bin(d.range), 8, '0')),
          |t AS (SELECT sum(n_hist) AS th, sum(n_new) AS tn FROM agg),
          |c AS (
          |  SELECT sig, n_hist, n_new,

@@ -184,6 +184,39 @@ object Artifacts {
     NgramLm.TrigramLm(c123, ctx12, n3, loadNgram(spark, s"$path/c12"))
   }
 
+  /** The served MinHash signature table (id, sig, sig_fp) —
+    * [[graft.dedup.Dedup]]'s fit-once state (r10 verdict item 3's
+    * missing artifact). Corpus-sized (one row per doc), so it writes
+    * DISTRIBUTED — no repartition(1), no collect; [[loadSigs]]
+    * restores the sig_fp partitioning the banded consumers expect
+    * and materializes, so serving from a loaded table schedules zero
+    * signature-hash jobs. Wire a loaded table into the serving path
+    * with [[graft.dedup.Dedup.installSigs]].
+    */
+  def saveSigs(sigs: org.apache.spark.sql.DataFrame,
+               path: String): Unit =
+    sigs.write.mode("overwrite").parquet(path)
+
+  def loadSigs(spark: SparkSession,
+               path: String): org.apache.spark.sql.DataFrame =
+    Checkpoints.materialize(
+      spark.read.parquet(path).repartition(col("sig_fp")))
+
+  /** A served per-doc LM score frame — [[NgramLm.cachedScoreFrame]]'s
+    * derived trained state (q136/q151/q156/q166's warm input).
+    * Corpus-sized → distributed write; the columns are integer
+    * counts and 4dp-rounded doubles, so the round-trip is exact and
+    * a loaded frame is bit-equal to a rebuilt one. Wire it back with
+    * [[NgramLm.installScoreFrame]].
+    */
+  def saveScoreFrame(frame: org.apache.spark.sql.DataFrame,
+                     path: String): Unit =
+    frame.write.mode("overwrite").parquet(path)
+
+  def loadScoreFrame(spark: SparkSession,
+                     path: String): org.apache.spark.sql.DataFrame =
+    Checkpoints.materialize(spark.read.parquet(path))
+
   /** Linear-model weight vectors — q140's trained quality classifier
     * (and any (feature, weight) model). The ordinal pins position so
     * the margin expression rebuilds in training order; the name makes

@@ -1,6 +1,5 @@
 package graft.model
 
-import java.util.concurrent.ConcurrentHashMap
 import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.sql.DataFrame
@@ -47,9 +46,25 @@ object NgramLm {
   final case class BigramLm(c12: DataFrame, ctx: DataFrame,
                             cont: DataFrame, nall: Long, v: Long)
 
-  private val bigramCache = new ConcurrentHashMap[String, BigramLm]()
-  private val dsirCache = new ConcurrentHashMap[String, DataFrame]()
-  private val scoreCache = new ConcurrentHashMap[String, DataFrame]()
+  /** LRU bound for the fit-once memos (r10 verdict "what's wrong"
+    * item 2): a long-lived driver iterating corpus versions must not
+    * accumulate dead entries — and the executor storage behind them —
+    * forever. Eviction releases the evicted entry's materialized
+    * frames (a guarded no-op for driver-local relations); served
+    * frames are valid while their entry lives, and the `clear()`
+    * hatch remains the staleness escape.
+    */
+  private[graft] val MaxMemoEntries = 64
+
+  private def releaseBigram(m: BigramLm): Unit =
+    Seq(m.c12, m.ctx, m.cont).foreach(Checkpoints.release)
+
+  private val bigramCache =
+    new BoundedCache[BigramLm](MaxMemoEntries, releaseBigram)
+  private val dsirCache =
+    new BoundedCache[DataFrame](MaxMemoEntries, Checkpoints.release)
+  private val scoreCache =
+    new BoundedCache[DataFrame](MaxMemoEntries, Checkpoints.release)
 
   /** Count of ACTUAL model fits (cache hits leave it untouched) —
     * FitCacheSpec's zero-model-jobs-on-re-execution counter.
@@ -102,10 +117,21 @@ object NgramLm {
     }
   }
 
+  /** Install a LOADED score frame ([[Artifacts.loadScoreFrame]]) as
+    * the served entry for (tag, corpus plan): a fresh session that
+    * loads the persisted artifact scores with ZERO build jobs — the
+    * parquet-handoff leg the model artifacts already have (r10
+    * verdict item 3). The caller passes the same `base` frame and
+    * tag the online query constructs.
+    */
+  def installScoreFrame(base: DataFrame, tag: String,
+                        frame: DataFrame): Unit =
+    scoreCache.put(s"score:$tag:${PlanKey.of(base)}", frame)
+
   private def live(df: DataFrame): Boolean =
     !df.sparkSession.sparkContext.isStopped
 
-  private def evictDead[V](cache: ConcurrentHashMap[String, V],
+  private def evictDead[V](cache: BoundedCache[V],
                            frame: V => DataFrame): Unit =
     cache.forEach { (k, v) =>
       if (!live(frame(v))) cache.remove(k)
@@ -245,7 +271,11 @@ object NgramLm {
   final case class TrigramLm(c123: DataFrame, ctx12: DataFrame,
                              n3: Long, bigram: BigramLm)
 
-  private val trigramCache = new ConcurrentHashMap[String, TrigramLm]()
+  // the embedded bigram member is bigramCache's SHARED entry —
+  // only that cache's own eviction may release it
+  private val trigramCache =
+    new BoundedCache[TrigramLm](MaxMemoEntries, (m: TrigramLm) =>
+      Seq(m.c123, m.ctx12).foreach(Checkpoints.release))
 
   /** The query-facing trained trigram LM: one pass over the trusted
     * slice for the order-3 counts; the bigram order comes from

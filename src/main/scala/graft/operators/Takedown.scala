@@ -70,6 +70,66 @@ object Takedown {
   def purge(flagged: DataFrame): DataFrame =
     flagged.filter(!col("__tomb")).drop("__tomb")
 
+  /** Survivor repack (r10 verdict item 1) — the step that turns a
+    * takedown from a hole into a regenerated training set: a packed
+    * sequence with even one tombstoned chunk is invalid as a WHOLE
+    * ([[flagGroup]]), but its innocent co-packed chunks are still
+    * valid training data and must land in new sequences. Incremental
+    * by construction:
+    *
+    *  - sequences with NO tombstoned member keep their rows
+    *    bit-identical (same seq_id/seq_offset — untouched buckets and
+    *    the clean sequences of touched buckets never rewrite);
+    *  - tombstoned chunks vanish;
+    *  - the surviving chunks of invalidated sequences repack with the
+    *    [[graft.sampling.Packing]] discipline (order by (doc, chunk),
+    *    running-token cumsum, split every `capacity`) into NEW seq_ids
+    *    starting above the bucket's original max, so repacked ids
+    *    never collide with kept ones.
+    *
+    * Scale shape: the group flag is one window over the artifact's
+    * own (bucket, seq_id) partitioning; the repack window sees ONLY
+    * the affected slice (survivors of invalidated sequences — tiny
+    * next to the corpus unless the takedown is); the per-bucket
+    * seq-id base is a |buckets|-row broadcast join. Nothing
+    * corpus-sized moves beyond the flag join.
+    *
+    * @param packed [[graft.sampling.Packing.packSequences]] output:
+    *               (idCol, idxCol, nCol, bucket, seq_id, seq_offset)
+    * @return (idCol, idxCol, bucket, seq_id, seq_offset, repacked)
+    */
+  def repackSurvivors(packed: DataFrame, tombstoned: DataFrame,
+                      capacity: Int,
+                      idCol: String = "doc_id",
+                      idxCol: String = "chunk_idx",
+                      nCol: String = "n_chunk_tokens"): DataFrame = {
+    require(capacity > 0,
+      s"repackSurvivors: capacity=$capacity must be > 0")
+    val outCols = Seq(col(idCol), col(idxCol), col("bucket"),
+      col("seq_id"), col("seq_offset"), col("repacked"))
+    val flagged = flag(packed, tombstoned)
+      .withColumn("__gtomb", max(col("__tomb")).over(
+        Window.partitionBy(col("bucket"), col("seq_id"))))
+    val kept = flagged.filter(!col("__gtomb"))
+      .withColumn("repacked", lit(false))
+      .select(outCols: _*)
+    // per-bucket seq-id base: |buckets| rows, broadcast
+    val base = packed.groupBy(col("bucket"))
+      .agg(max(col("seq_id")).as("__base"))
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col(idCol), col(idxCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val repacked = flagged.filter(col("__gtomb") && !col("__tomb"))
+      .join(broadcast(base), Seq("bucket"))
+      .withColumn("__cum", coalesce(sum(col(nCol)).over(w), lit(0L)))
+      .withColumn("seq_id",
+        col("__base") + lit(1L) + expr(s"__cum DIV $capacity"))
+      .withColumn("seq_offset", (col("__cum") % capacity).cast("long"))
+      .withColumn("repacked", lit(true))
+      .select(outCols: _*)
+    kept.unionByName(repacked)
+  }
+
   /** The compliance rollup over flagged artifacts, ONE plan: per
     * artifact (rows_before, rows_removed, rows_after,
     * docs_affected) — docs_affected counts DISTINCT doc ids whose

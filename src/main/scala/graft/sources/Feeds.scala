@@ -61,23 +61,44 @@ object FeedIngest {
     decodeEntities(xml.substring(s + open.length, e).trim)
   }
 
+  /** One attribute's value inside an open-tag segment; null when
+    * absent. Double-quoted form only (the Atom norm).
+    */
+  private def attrOf(seg: String, name: String): String = {
+    val key = name + "=\""
+    val hi = seg.indexOf(key)
+    if (hi < 0) return null
+    val vEnd = seg.indexOf('"', hi + key.length)
+    if (vEnd < 0) return null
+    seg.substring(hi + key.length, vEnd).trim
+  }
+
   /** The entry's link: RSS text form first, then Atom's
-    * `href="…"` attribute on the first `<link …>` tag.
+    * `href="…"` attribute form. Real Atom entries list several
+    * `<link>` tags and often put `rel="self"` / `rel="edit"` before
+    * the page link, so ALL link tags in the entry are scanned and the
+    * first `rel="alternate"` (or rel-less — alternate is Atom's
+    * default, RFC 4287 §4.2.7.2) wins; self/edit/etc never resolve.
     */
   private def linkOf(xml: String, from: Int, to: Int): String = {
     val text = childText(xml, from, to, "link")
     if (text != null && text.nonEmpty) return text
-    val s = xml.indexOf("<link", from)
-    if (s < 0 || s >= to) return null
-    val gt = xml.indexOf('>', s)
-    if (gt < 0 || gt > to) return null
-    val seg = xml.substring(s, gt)
-    val hi = seg.indexOf("href=\"")
-    if (hi < 0) return null
-    val vEnd = seg.indexOf('"', hi + 6)
-    if (vEnd < 0) return null
-    val v = decodeEntities(seg.substring(hi + 6, vEnd).trim)
-    if (v.isEmpty) null else v
+    var s = xml.indexOf("<link", from)
+    while (s >= 0 && s < to) {
+      val gt = xml.indexOf('>', s)
+      if (gt < 0 || gt > to) return null // torn tag: stop
+      val seg = xml.substring(s, gt)
+      val rel = attrOf(seg, "rel")
+      if (rel == null || rel == "alternate") {
+        val href = attrOf(seg, "href")
+        if (href != null) {
+          val v = decodeEntities(href)
+          if (v.nonEmpty) return v
+        }
+      }
+      s = xml.indexOf("<link", gt)
+    }
+    null
   }
 
   /** Parse a feed document into entries, document order preserved

@@ -67,8 +67,8 @@ object Recrawl {
     * @return one row per frontier URL:
     *         (host, loc, n_crawls, n_changes, last_crawl_day,
     *          lastmod_day, change_rate, priority_units, need_fetch,
-    *          host_rank, cycle, scheduled) — rank/cycle/scheduled
-    *          are null for URLs that don't need a fetch
+    *          host_rank, cycle, scheduled) — host_rank/cycle are null
+    *          and scheduled is false for URLs that don't need a fetch
     */
   def plan(frontier: DataFrame, history: DataFrame, nowDay: Long,
            slotsPerHost: Int): DataFrame =
@@ -93,8 +93,122 @@ object Recrawl {
           coalesce(col("__slots"), lit(defaultSlots.toLong))),
       history, nowDay)
 
-  private def planWithSlots(frontier: DataFrame, history: DataFrame,
+  /** Close the crawl loop (r10 verdict item 2): fold one cycle's
+    * per-URL fetch outcomes back into the crawl history the add-half
+    * estimator reads, so the next cycle's plan reflects what the
+    * fetches actually found.
+    *
+    * `outcomes` is (loc, status) with the four production results:
+    *  - `changed`      — 200, content differs → (loc, day, true)
+    *  - `unchanged`    — 200, content identical → (loc, day, false)
+    *  - `not_modified` — 304 conditional hit: the server attested
+    *    no change, the same observation as `unchanged` without the
+    *    body transfer → (loc, day, false)
+    *  - `error` — the fetch yielded NO content observation: no
+    *    history row (an error says nothing about change rate); the
+    *    back-off lives in [[errorLedger]] instead.
+    *
+    * Scale shape: a filter + projection unioned under the history
+    * scan — outcomes are fetch-cycle-sized, never corpus-sized.
+    */
+  def ingestOutcomes(history: DataFrame, outcomes: DataFrame,
+                     fetchDay: Long): DataFrame =
+    history.unionByName(
+      outcomes.filter(col("status")
+          .isin("changed", "unchanged", "not_modified"))
+        .select(col("loc"), lit(fetchDay).as("crawl_day"),
+          (col("status") === "changed").as("changed")))
+
+  /** Exponential back-off ledger for fetch errors: one row per URL
+    * with an UNRESOLVED error — (loc, n_errors,
+    * next_eligible_day = fetchDay + min(2^n_errors, 8) days). Any
+    * non-error outcome clears the URL's entry (the next failure
+    * starts over at 2 days); repeated errors double the hold up to
+    * the 8-day cap. The ledger is error-population-sized and joins
+    * broadcast-small against the frontier.
+    */
+  def errorLedger(prev: DataFrame, outcomes: DataFrame,
+                  fetchDay: Long): DataFrame = {
+    val err = outcomes.filter(col("status") === "error")
+      .select(col("loc"), lit(true).as("__e"))
+    val ok = outcomes.filter(col("status") =!= "error")
+      .select(col("loc"), lit(true).as("__ok"))
+    prev.join(err, Seq("loc"), "full")
+      .join(ok, Seq("loc"), "left")
+      .filter(col("__ok").isNull) // success resolves the entry
+      .withColumn("n_errors",
+        coalesce(col("n_errors"), lit(0L)) +
+          when(col("__e").isNotNull, lit(1L)).otherwise(lit(0L)))
+      .withColumn("next_eligible_day",
+        when(col("__e").isNotNull, lit(fetchDay) +
+          least(pow(lit(2.0), col("n_errors")), lit(8.0))
+            .cast("long"))
+          .otherwise(col("next_eligible_day")))
+      .select(col("loc"), col("n_errors"), col("next_eligible_day"))
+  }
+
+  /** First-cycle ledger (no previous entries). */
+  def errorLedger(outcomes: DataFrame, fetchDay: Long): DataFrame =
+    outcomes.filter(col("status") === "error")
+      .select(col("loc"), lit(1L).as("n_errors"),
+        lit(fetchDay + 2L).as("next_eligible_day"))
+
+  /** [[plan]] with the error back-off applied: a frontier URL whose
+    * ledger entry says `next_eligible_day > nowDay` is held out of
+    * this cycle (need_fetch false, rank/cycle null, and a
+    * `backed_off` audit column appended) regardless of staleness —
+    * including never-crawled URLs whose only fetch attempt errored.
+    */
+  def planWithBackoff(frontier: DataFrame, history: DataFrame,
+                      nowDay: Long, slotsPerHost: Int,
+                      ledger: DataFrame): DataFrame =
+    planWithSlots(
+      frontier.withColumn("__slots", lit(slotsPerHost.toLong))
+        .join(broadcast(ledger.select(col("loc"),
+          (col("next_eligible_day") > nowDay).as("__hold"))),
+          Seq("loc"), "left"),
+      history, nowDay)
+
+  /** Per-host quality priors (r10 verdict item 6): crawl budget
+    * should prefer hosts that historically yield KEEPABLE content,
+    * so the staleness priority becomes the expected number of
+    * keepable changed pages — rate × days_since × host keep-rate —
+    * and the estimator-fallback fetch decision inherits the same
+    * product (fetch when expected keepable changes ≥ 1/2): a host
+    * whose content is 90% discarded needs 10× the staleness to earn
+    * a slot. The lastmod-hint and never-crawled branches are
+    * deliberately unaffected — provable freshness and discovery
+    * outrank priors. `hostQuality` (host, keep_rate ∈ [0,1]) is
+    * host-bounded → broadcast; absent hosts use `defaultQuality`.
+    * The applied prior is echoed in a `keep_rate` output column.
+    */
+  def planWithQuality(frontier: DataFrame, history: DataFrame,
+                      nowDay: Long, slotsPerHost: Int,
+                      hostQuality: DataFrame,
+                      defaultQuality: Double = 1.0): DataFrame =
+    planWithSlots(
+      frontier.withColumn("__slots", lit(slotsPerHost.toLong))
+        .join(broadcast(hostQuality.select(col("host"),
+          col("keep_rate").cast("double").as("__quality"))),
+          Seq("host"), "left")
+        .withColumn("__quality",
+          coalesce(col("__quality"), lit(defaultQuality))),
+      history, nowDay)
+
+  private def planWithSlots(frontierRaw: DataFrame, history: DataFrame,
                             nowDay: Long): DataFrame = {
+    // Slot budgets derived from Crawl-delay (floor(cycle/delay)) hit 0
+    // for any delay longer than the cycle; 0 slots would make the
+    // cycle arithmetic divide by zero (NaN→garbage cycles). A polite
+    // host still gets fetched — just one URL per cycle — so clamp the
+    // budget to >= 1 slot rather than silently dropping the host.
+    val frontier = frontierRaw.withColumn("__slots",
+      greatest(lit(1L), col("__slots")))
+    // back-off hold (planWithBackoff attaches __hold): a held URL is
+    // not a candidate this cycle whatever its staleness says
+    val hasHold = frontierRaw.columns.contains("__hold")
+    val hold =
+      if (hasHold) coalesce(col("__hold"), lit(false)) else lit(false)
     // 1. change-rate estimate: one URL-keyed aggregate over history
     val hist = history.groupBy(col("loc"))
       .agg(count(lit(1)).as("n_crawls"),
@@ -104,12 +218,20 @@ object Recrawl {
     val rate = (col("n_changes") + lit(0.5)) /
       (col("n_crawls") + lit(1.0))
     val days = lit(nowDay) - col("last_crawl_day")
+    // quality prior (planWithQuality attaches __quality): the
+    // priority becomes expected KEEPABLE changes
+    val hasQuality = frontierRaw.columns.contains("__quality")
+    val pu =
+      if (hasQuality)
+        floor(rate * days * col("__quality") * 1e6 + 0.5).cast("long")
+      else floor(rate * days * 1e6 + 0.5).cast("long")
     val joined = frontier.join(hist, Seq("loc"), "left")
       .withColumn("priority_units",
         when(col("n_crawls").isNull, lit(null).cast("long"))
-          .otherwise(floor(rate * days * 1e6 + 0.5).cast("long")))
+          .otherwise(pu))
       .withColumn("need_fetch",
-        when(col("n_crawls").isNull, lit(true)) // never crawled
+        when(hold, lit(false))                  // error back-off
+          .when(col("n_crawls").isNull, lit(true)) // never crawled
           .when(col("lastmod_day").isNotNull,   // conditional fetch
             col("lastmod_day") > col("last_crawl_day"))
           .otherwise(col("priority_units") >= lit(500000L)))
@@ -121,21 +243,24 @@ object Recrawl {
       .orderBy(col("need_fetch").desc,
         col("priority_units").desc_nulls_first,
         col("loc").asc)
+    val outCols = Seq(col("host"), col("loc"),
+      coalesce(col("n_crawls"), lit(0L)).as("n_crawls"),
+      coalesce(col("n_changes"), lit(0L)).as("n_changes"),
+      col("last_crawl_day"), col("lastmod_day"),
+      when(col("n_crawls").isNotNull, pround(rate, 6))
+        .as("change_rate"),
+      col("priority_units"), col("need_fetch"),
+      col("host_rank"), col("cycle"),
+      when(col("need_fetch"), col("cycle") === 1L).otherwise(lit(false))
+        .as("scheduled")) ++
+      (if (hasHold) Seq(hold.as("backed_off")) else Nil) ++
+      (if (hasQuality) Seq(col("__quality").as("keep_rate")) else Nil)
     joined
       .withColumn("host_rank",
         when(col("need_fetch"), row_number().over(w).cast("long")))
       .withColumn("cycle",
         floor((col("host_rank") - 1L).cast("double") /
           col("__slots").cast("double")).cast("long") + 1L)
-      .select(col("host"), col("loc"),
-        coalesce(col("n_crawls"), lit(0L)).as("n_crawls"),
-        coalesce(col("n_changes"), lit(0L)).as("n_changes"),
-        col("last_crawl_day"), col("lastmod_day"),
-        when(col("n_crawls").isNotNull, pround(rate, 6))
-          .as("change_rate"),
-        col("priority_units"), col("need_fetch"),
-        col("host_rank"), col("cycle"),
-        when(col("need_fetch"), col("cycle") === 1L).otherwise(lit(false))
-          .as("scheduled"))
+      .select(outCols: _*)
   }
 }

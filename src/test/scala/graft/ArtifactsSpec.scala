@@ -117,6 +117,62 @@ class ArtifactsSpec extends SparkSpec {
     assert(cov >= 0)
   }
 
+  test("MinHash signature table persists; a loaded table serves " +
+      "every serveSigs query with zero signature builds") {
+    import graft.dedup.Dedup
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    Dedup.clearSigCache()
+    val sigs = Dedup.signatureTable(d)
+    val p = tmp("sigs")
+    Artifacts.saveSigs(sigs, p)
+    val warmPairs = Dedup.minhashPairs(d, serveSigs = true)
+      .collect().map(_.toSeq).toSet
+    // fresh-session handoff: drop the in-JVM entry, load, install
+    Dedup.clearSigCache()
+    val loaded = Artifacts.loadSigs(spark, p)
+    Dedup.installSigs(d, loaded)
+    val builds = Dedup.sigBuildCount.get()
+    val served = Dedup.minhashPairs(d, serveSigs = true)
+      .collect().map(_.toSeq).toSet
+    assert(Dedup.sigBuildCount.get() == builds,
+      "a loaded signature table must serve with ZERO build jobs")
+    assert(served == warmPairs,
+      "pairs from the loaded table must equal the fitted path's")
+    Dedup.clearSigCache()
+  }
+
+  test("LM score frame persists; a loaded frame serves the scoring " +
+      "branch with zero builds") {
+    import graft.model.NgramLm
+    import spark.implicits._
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"),
+        split(col("text"), "\\s+").as("tk"))
+    NgramLm.clear()
+    val f = NgramLm.cachedScoreFrame(base, "artspec") {
+      val m = NgramLm.cachedBigram(base, "en")
+      base.select(col("doc_id"), size(col("tk")).as("n_bigrams"),
+        (lit(m.nall).cast("double") / (size(col("tk")) + lit(1)))
+          .as("ppl"))
+    }
+    val rows = f.collect().map(_.toSeq).toSet
+    val p = tmp("scoreframe")
+    Artifacts.saveScoreFrame(f, p)
+    // fresh-session handoff
+    NgramLm.clear()
+    val loaded = Artifacts.loadScoreFrame(spark, p)
+    NgramLm.installScoreFrame(base, "artspec", loaded)
+    val builds = NgramLm.scoreRunCount.get()
+    val served = NgramLm.cachedScoreFrame(base, "artspec") {
+      fail("the build branch must not run when a loaded frame is " +
+        "installed"); base
+    }
+    assert(NgramLm.scoreRunCount.get() == builds)
+    assert(served.collect().map(_.toSeq).toSet == rows,
+      "the loaded frame must be bit-equal to the built one")
+    NgramLm.clear()
+  }
+
   test("linear-model weights round-trip in training order") {
     val w = Seq("bias" -> -0.123456, "x1" -> 0.4, "x2" -> 1.75,
       "x3" -> -8.0, "x4" -> 0.000001)

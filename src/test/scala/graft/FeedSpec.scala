@@ -45,6 +45,23 @@ class FeedSpec extends SparkSpec {
       FeedEntry("http://h/r", null, null)))
   }
 
+  test("Atom multi-link entries: rel=self/edit before the page link " +
+      "never win; alternate or rel-less resolves") {
+    val multi =
+      """<feed>
+        |<entry><link rel="self" href="http://h/feed/1"/>
+        |<link rel="edit" href="http://h/edit/1"/>
+        |<link rel="alternate" href="http://h/page1"/></entry>
+        |<entry><link rel="self" href="http://h/feed/2"/>
+        |<link href="http://h/page2"/></entry>
+        |<entry><link rel="self" href="http://h/feed/3"/></entry>
+        |</feed>""".stripMargin
+    // entry 3 has ONLY a self link — no resolvable page URL: skipped
+    assert(FeedIngest.parseEntries(multi) == Seq(
+      FeedEntry("http://h/page1", null, null),
+      FeedEntry("http://h/page2", null, null)))
+  }
+
   test("hand-truncated feed yields its intact prefix") {
     // tear mid-way through the second item's link text
     val torn = rss.substring(0, rss.indexOf("http://h/b") + 4)

@@ -103,4 +103,84 @@ class RecrawlSpec extends SparkSpec {
     assert(out("u/other") == 1L, "default-slot host packs normally")
     assert(out("u/old") == null && out("u/cold") == null)
   }
+
+  test("fetch-outcome loop: rates update, a second unchanged " +
+      "observation drops below the fetch threshold, errors back off") {
+    val fr2 = Seq[(String, String, Option[Long])](
+      ("u/b", "h", None), ("u/c", "h", None),
+      ("u/d", "h", None), ("u/e", "h", None)
+    ).toDF("loc", "host", "lastmod_day")
+    val h1 = Seq(
+      ("u/b", 90L, false), // rate .5/2=.25, days 10 → pu 2.5M → fetch
+      ("u/c", 90L, true),  // rate 1.5/2=.75 → pu 7.5M → fetch
+      ("u/d", 85L, false)  // rate .25, days 15 → pu 3.75M → fetch
+    ).toDF("loc", "crawl_day", "changed")
+    val p1 = Recrawl.plan(fr2, h1, nowDay = 100L, slotsPerHost = 4)
+    assert(p1.collect().forall(_.getBoolean(8)),
+      "all four are cycle-1 candidates (u/e never crawled)")
+
+    val outcomes = Seq(("u/b", "unchanged"), ("u/c", "changed"),
+      ("u/d", "not_modified"), ("u/e", "error"))
+      .toDF("loc", "status")
+    val h2 = Recrawl.ingestOutcomes(h1, outcomes, fetchDay = 100L)
+    val h2rows = h2.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2))).toSet
+    // content observations appended; 304 counts as unchanged; the
+    // error appends NOTHING (it observed no content)
+    assert(h2rows == Set(("u/b", 90L, false), ("u/c", 90L, true),
+      ("u/d", 85L, false), ("u/b", 100L, false), ("u/c", 100L, true),
+      ("u/d", 100L, false)), s"history after ingest: $h2rows")
+
+    val led = Recrawl.errorLedger(outcomes, fetchDay = 100L)
+    assert(led.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2))).toSeq == Seq(("u/e", 1L, 102L)))
+
+    val p2 = Recrawl.planWithBackoff(fr2, h2, nowDay = 101L,
+        slotsPerHost = 4, ledger = led)
+      .collect().map(r => r.getString(1) -> r).toMap
+    // u/b: unchanged twice → rate .5/3=.166667, days 1 → pu 166667
+    // < 500000 → drops out of the plan
+    assert(p2("u/b").getDouble(6) == 0.166667)
+    assert(!p2("u/b").getBoolean(8), "unchanged-twice drops below")
+    // u/c: changed again → rate 2.5/3=.833333 → pu 833333 → stays in
+    assert(p2("u/c").getDouble(6) == 0.833333)
+    assert(p2("u/c").getBoolean(8), "a hot URL keeps refetching")
+    // u/d: the 304 counted as an unchanged observation
+    assert(p2("u/d").getDouble(6) == 0.166667)
+    assert(!p2("u/d").getBoolean(8))
+    // u/e: never crawled (the errored fetch observed nothing) but
+    // HELD by back-off until day 102
+    assert(!p2("u/e").getBoolean(8) && p2("u/e").getBoolean(12),
+      "an errored URL is backed off, not retried immediately")
+    assert(!p2("u/b").getBoolean(12) && !p2("u/c").getBoolean(12))
+
+    // ledger merge arithmetic: repeat error doubles the hold (cap 8),
+    // a success clears the entry, a fresh error starts at 2 days
+    val prev = led.unionByName(
+      Seq(("u/y", 1L, 102L)).toDF("loc", "n_errors",
+        "next_eligible_day"))
+    val oc2 = Seq(("u/e", "error"), ("u/x", "error"),
+      ("u/y", "unchanged")).toDF("loc", "status")
+    val led2 = Recrawl.errorLedger(prev, oc2, fetchDay = 102L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(led2 == Map("u/e" -> ((2L, 106L)), "u/x" -> ((1L, 104L))),
+      s"ledger after cycle 2: $led2")
+  }
+
+  test("zero/negative slot budgets clamp to 1 — a very polite host " +
+      "still fetches, one URL per cycle, no NaN cycles") {
+    // Crawl-delay 60s under a 20s cycle → floor(20/60) = 0 slots;
+    // without the clamp, cycle arithmetic divides by zero
+    val slots = Seq(("h1", 0L), ("h2", -2L)).toDF("host", "slots")
+    val out = Recrawl.plan(frontier, history, nowDay = 100L,
+        hostSlots = slots, defaultSlots = 3)
+      .collect().map(r => r.getString(1) ->
+        (if (r.isNullAt(10)) null else r.getLong(10))).toMap
+    assert(out("u/new") == 1L && out("u/hot") == 2L &&
+      out("u/mod") == 3L && out("u/hot2") == 4L,
+      s"slots=0 must behave as slots=1: $out")
+    assert(out("u/other") == 1L)
+    assert(out("u/old") == null && out("u/cold") == null)
+  }
 }

