@@ -631,7 +631,8 @@ object QueriesScale {
     // the candidate count, not the corpus square.
     "q70_neardup_rescore" -> q { (spark, dir) =>
       Dedup.nearDuplicates(docs(spark, dir),
-          estThreshold = 0.0, exactThreshold = 0.35, serveSigs = true)
+          estThreshold = 0.0, exactThreshold = 0.35,
+          servePairs = true)
         .select(col("id_a"), col("id_b"),
           pround(col("jaccard"), 6).as("jaccard"))
     },
@@ -3013,10 +3014,8 @@ object QueriesScale {
       val seeds = d.filter(col("doc_id") % 17 === 3 ||
           col("source").isin("src7", "src13"))
         .select(col("doc_id"))
-      // prune candidate pairs to the takedown NEIGHBORHOOD before the
-      // exact rescore: only pairs touching a seed can extend the set,
-      // so the shingle build + Jaccard joins pay for the seed
-      // neighborhood, not the corpus's whole candidate sliver
+      // the seed-touch predicate: only pairs touching a seed can
+      // extend the takedown set (one hop)
       val seedTouch: DataFrame => DataFrame = c => c
         .join(seeds.select(col("doc_id").as("id_a"),
           lit(true).as("__sa")), Seq("id_a"), "left")
@@ -3024,9 +3023,14 @@ object QueriesScale {
           lit(true).as("__sb")), Seq("id_b"), "left")
         .filter(col("__sa").isNotNull || col("__sb").isNotNull)
         .drop("__sa", "__sb")
+      // servePairs (r11): the FULL rescored pair table is the served
+      // near-dup index q70 builds; the seed-touch filter is a pure
+      // pair-id predicate, so applying it to the served table selects
+      // exactly the pairs the candidate-stage prune admitted — the
+      // takedown closure rides the index instead of re-banding
       val pairs = Dedup.nearDuplicates(d, estThreshold = 0.0,
           exactThreshold = 0.35, pairFilter = seedTouch,
-          serveSigs = true)
+          servePairs = true)
         .select(col("id_a"), col("id_b"))
       val sym = pairs.unionByName(
         pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))

@@ -565,14 +565,82 @@ object Dedup {
     * sliver to that set's neighborhood; identity (the default) keeps
     * the original all-candidates behavior.
     */
+  private val pairCache = new graft.model.BoundedCache[DataFrame](
+    graft.model.NgramLm.MaxMemoEntries,
+    graft.model.Checkpoints.release)
+
+  /** Count of ACTUAL pair-table builds ([[nearDuplicates]] with
+    * `servePairs` misses) — the FitCacheSpec counter discipline.
+    */
+  private[graft] val pairBuildCount =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Drop the served pair tables ([[clearSigCache]]'s twin). */
+  def clearPairCache(): Unit = pairCache.clear()
+
+  private def pairKey(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int, bands: Int, shingleSize: Int,
+                      estThreshold: Double,
+                      exactThreshold: Double): String =
+    "neardup:" + sigKey(docs, idCol, textCol, k, shingleSize) +
+      s":$bands:$estThreshold:$exactThreshold"
+
+  /** Install a LOADED pair table
+    * ([[graft.model.Artifacts.loadPairs]]) as the served near-dup
+    * index for (corpus plan, params) — [[installSigs]]'s twin one
+    * stage later.
+    */
+  def installPairs(docs: DataFrame, pairs: DataFrame,
+                   idCol: String = "doc_id", textCol: String = "text",
+                   k: Int = 16, bands: Int = 4, shingleSize: Int = 3,
+                   estThreshold: Double = 0.35,
+                   exactThreshold: Double = 0.7): Unit =
+    pairCache.put(pairKey(docs, idCol, textCol, k, bands, shingleSize,
+      estThreshold, exactThreshold), pairs)
+
   def nearDuplicates(docs: DataFrame, idCol: String = "doc_id",
                      textCol: String = "text", k: Int = 16,
                      bands: Int = 4, shingleSize: Int = 3,
                      estThreshold: Double = 0.35,
                      exactThreshold: Double = 0.7,
                      pairFilter: DataFrame => DataFrame = identity,
-                     serveSigs: Boolean = false)
+                     serveSigs: Boolean = false,
+                     servePairs: Boolean = false)
       : DataFrame = {
+    // Served pair table (r10 closing's signature discipline one stage
+    // later): the exact-rescored near-dup pair list is itself a pure
+    // function of (corpus plan, k, bands, shingle, thresholds) — the
+    // near-dup INDEX a production corpus maintains — so with
+    // `servePairs` it is built ONCE (full candidate set, no filter),
+    // materialized, and every consumer applies its own `pairFilter`
+    // to the served table: a row-predicate on (id_a, id_b) selects
+    // the same pairs after the rescore as before it (q163's
+    // seed-touch filter is one), so filtered consumers — the takedown
+    // neighborhood — ride the q70 build instead of re-banding the
+    // corpus. Filters that are NOT pure pair-id predicates must stay
+    // on the inline path.
+    if (servePairs) {
+      val key = pairKey(docs, idCol, textCol, k, bands, shingleSize,
+        estThreshold, exactThreshold)
+      val hit = pairCache.get(key)
+      val full =
+        if (hit != null && !hit.sparkSession.sparkContext.isStopped)
+          hit
+        else {
+          pairCache.forEach { (kk, v) =>
+            if (v.sparkSession.sparkContext.isStopped)
+              pairCache.remove(kk)
+          }
+          pairBuildCount.incrementAndGet()
+          val built = graft.model.Checkpoints.materialize(
+            nearDuplicates(docs, idCol, textCol, k, bands,
+              shingleSize, estThreshold, exactThreshold,
+              serveSigs = true))
+          pairCache.put(key, built)
+          built
+        }
+      return pairFilter(full)
+    }
     val cands = pairFilter(
       minhashPairs(docs, idCol, textCol, k, bands, shingleSize,
         estThreshold, serveSigs = serveSigs))

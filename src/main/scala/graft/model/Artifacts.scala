@@ -202,6 +202,20 @@ object Artifacts {
     Checkpoints.materialize(
       spark.read.parquet(path).repartition(col("sig_fp")))
 
+  /** The served near-dup pair table (id_a, id_b, jaccard) —
+    * [[graft.dedup.Dedup.nearDuplicates]]'s `servePairs` index
+    * ([[saveSigs]]'s twin one stage later). Pair-sliver-sized but
+    * corpus-proportional → distributed write. Wire a loaded table
+    * back with [[graft.dedup.Dedup.installPairs]].
+    */
+  def savePairs(pairs: org.apache.spark.sql.DataFrame,
+                path: String): Unit =
+    pairs.write.mode("overwrite").parquet(path)
+
+  def loadPairs(spark: SparkSession,
+                path: String): org.apache.spark.sql.DataFrame =
+    Checkpoints.materialize(spark.read.parquet(path))
+
   /** A served per-doc LM score frame — [[NgramLm.cachedScoreFrame]]'s
     * derived trained state (q136/q151/q156/q166's warm input).
     * Corpus-sized → distributed write; the columns are integer

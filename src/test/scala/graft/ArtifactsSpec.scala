@@ -141,6 +141,29 @@ class ArtifactsSpec extends SparkSpec {
     Dedup.clearSigCache()
   }
 
+  test("near-dup pair table persists; a loaded index serves with " +
+      "zero pair builds") {
+    import graft.dedup.Dedup
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    Dedup.clearPairCache(); Dedup.clearSigCache()
+    val pairs = Dedup.nearDuplicates(d, estThreshold = 0.0,
+      exactThreshold = 0.35, servePairs = true)
+    val rows = pairs.collect().map(_.toSeq).toSet
+    val p = tmp("pairs")
+    Artifacts.savePairs(pairs, p)
+    Dedup.clearPairCache(); Dedup.clearSigCache()
+    Dedup.installPairs(d, Artifacts.loadPairs(spark, p),
+      estThreshold = 0.0, exactThreshold = 0.35)
+    val builds = Dedup.pairBuildCount.get()
+    val served = Dedup.nearDuplicates(d, estThreshold = 0.0,
+        exactThreshold = 0.35, servePairs = true)
+      .collect().map(_.toSeq).toSet
+    assert(Dedup.pairBuildCount.get() == builds,
+      "a loaded pair index must serve with ZERO builds")
+    assert(served == rows)
+    Dedup.clearPairCache(); Dedup.clearSigCache()
+  }
+
   test("LM score frame persists; a loaded frame serves the scoring " +
       "branch with zero builds") {
     import graft.model.NgramLm

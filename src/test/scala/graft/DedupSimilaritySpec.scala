@@ -112,6 +112,44 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(nd.contains((1L, 2L)))
   }
 
+  test("served pair table: one build serves the unfiltered and " +
+      "seed-filtered consumers; filtered output equals the inline " +
+      "candidate-stage prune") {
+    val d = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    Dedup.clearPairCache(); Dedup.clearSigCache()
+    val inlineAll = Dedup.nearDuplicates(d, estThreshold = 0.0,
+        exactThreshold = 0.35).collect().map(_.toSeq).toSet
+    val b0 = Dedup.pairBuildCount.get()
+    val servedAll = Dedup.nearDuplicates(d, estThreshold = 0.0,
+        exactThreshold = 0.35, servePairs = true)
+      .collect().map(_.toSeq).toSet
+    assert(Dedup.pairBuildCount.get() == b0 + 1)
+    assert(servedAll == inlineAll,
+      "the served table must equal the inline rescore")
+    // a pure pair-id predicate applied to the served table == the
+    // inline candidate-stage prune (q163's equivalence)
+    import org.apache.spark.sql.DataFrame
+    val seeds = d.filter($"doc_id" % 17 === 3).select($"doc_id")
+    val touch: DataFrame => DataFrame = c => c
+      .join(seeds.select($"doc_id".as("id_a"), lit(true).as("__a")),
+        Seq("id_a"), "left")
+      .join(seeds.select($"doc_id".as("id_b"), lit(true).as("__b")),
+        Seq("id_b"), "left")
+      .filter($"__a".isNotNull || $"__b".isNotNull)
+      .drop("__a", "__b")
+    val inlineFiltered = Dedup.nearDuplicates(d, estThreshold = 0.0,
+        exactThreshold = 0.35, pairFilter = touch)
+      .select($"id_a", $"id_b").collect().map(_.toSeq).toSet
+    val servedFiltered = Dedup.nearDuplicates(d, estThreshold = 0.0,
+        exactThreshold = 0.35, pairFilter = touch, servePairs = true)
+      .select($"id_a", $"id_b").collect().map(_.toSeq).toSet
+    assert(Dedup.pairBuildCount.get() == b0 + 1,
+      "the filtered consumer must ride the SAME build")
+    assert(servedFiltered == inlineFiltered)
+    Dedup.clearPairCache(); Dedup.clearSigCache()
+  }
+
   test("simhash: equal texts equal, near texts close in hamming") {
     val sh = docs.select($"doc_id", Dedup.simhash($"text").as("h"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
