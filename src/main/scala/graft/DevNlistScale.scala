@@ -19,9 +19,20 @@ import graft.sim.Similarity
   *  3. sf1,   nlist = 80  — nlist ∝ N, the production sizing (cell
   *     occupancy constant → pair work scales with N),
   *
-  * and prints one JSON line with best-of-`rounds` walls, so
-  * BASELINE.md can carry the measured near-linear wall instead of
-  * the argument. Usage:
+  * and prints one JSON line with best-of-`rounds` walls plus the
+  * max-cell occupancy per leg, so BASELINE.md can carry the measured
+  * wall instead of the argument.
+  *
+  * Centroids are the TRAINED quantizer (`trainedCentroids`, q36's
+  * fit-once Lloyd refinement), not the oracle's toy fixed grid: the
+  * production claim is about DATA-FITTED cells, and an unfitted grid
+  * refutes itself at large nlist — more random directions make the
+  * argmax winner-take-all (a first run with gridCentroids(80)
+  * measured a 25k-row max cell out of 50k vectors, and the wall
+  * DOUBLED vs nlist=8: the skew, not the cell count, sets the pair
+  * work). Balanced cells are exactly what the k-means fit buys; the
+  * fit is memoized so best-of-rounds times the warm online path.
+  * Usage:
   *   runMain graft.DevNlistScale [sf0.1Dir] [sf1Dir] [rounds]
   */
 object DevNlistScale {
@@ -37,28 +48,32 @@ object DevNlistScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def best(dir: String, nlist: Int): (Double, Long) = {
+    def best(dir: String, nlist: Int): (Double, Long, Long) = {
       val v = spark.read.parquet(s"$dir/embeddings.parquet")
+      val cents = Similarity.trainedCentroids(v, nlist, iters = 2)
+      val maxCell = Similarity.ivfCellStats(v, cents)
+        .agg(org.apache.spark.sql.functions.max("n_vecs"))
+        .head.getLong(0)
       var rows = 0L
       val walls = (1 to rounds).map { _ =>
         val t0 = System.nanoTime()
-        rows = Similarity.semanticDedup(v,
-          Similarity.gridCentroids(nlist, 64), threshold = 0.35,
+        rows = Similarity.semanticDedup(v, cents, threshold = 0.35,
           roundSim = Some(6)).count()
         (System.nanoTime() - t0) / 1e9
       }
-      (walls.min, rows)
+      (walls.min, rows, maxCell)
     }
 
     best(sfSmall, 8) // JVM/codegen warmup, discarded
-    val (w01, r01) = best(sfSmall, 8)
-    val (w1fix, r1fix) = best(sfBig, 8)
-    val (w1prop, r1prop) = best(sfBig, 80)
+    val (w01, r01, m01) = best(sfSmall, 8)
+    val (w1fix, r1fix, m1fix) = best(sfBig, 8)
+    val (w1prop, r1prop, m1prop) = best(sfBig, 80)
     println(
       s"""{"metric":"q89_nlist_scaling","rounds":$rounds,""" +
-      s""""sf01_nlist8":{"sec":$w01,"rows":$r01},""" +
-      s""""sf1_nlist8":{"sec":$w1fix,"rows":$r1fix},""" +
-      s""""sf1_nlist80":{"sec":$w1prop,"rows":$r1prop},""" +
+      s""""sf01_nlist8":{"sec":$w01,"rows":$r01,"max_cell":$m01},""" +
+      s""""sf1_nlist8":{"sec":$w1fix,"rows":$r1fix,"max_cell":$m1fix},""" +
+      s""""sf1_nlist80":{"sec":$w1prop,"rows":$r1prop,""" +
+      s""""max_cell":$m1prop},""" +
       s""""ratio_fixed":${w1fix / w01},""" +
       s""""ratio_proportional":${w1prop / w01}}""")
     spark.stop()

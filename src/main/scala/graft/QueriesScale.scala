@@ -57,12 +57,24 @@ object QueriesScale {
 
   /** q51's chunk frame, shared with the q59 packing stage. */
   private def chunks(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
-      .select(col("doc_id"),
+    chunksOf(docs(spark, dir))
+
+  /** The chunk build over an arbitrary (doc_id, text) frame — q175
+    * re-chunks a REVISED corpus version, so the corpus is a parameter.
+    */
+  private def chunksOf(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
         explode(TextAnalysis.tokenChunks(col("text"), 64, 48)).as("c"))
       .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
         size(col("c.chunk_tokens")).cast("long").as("n_chunk_tokens"),
         md5(concat_ws(" ", col("c.chunk_tokens"))).as("chunk_hash"))
+
+  /** q173/q175's manifest: [[graft.operators.Release.manifest]] over
+    * the q59 pack (capacity 256, 32 buckets — the test-scale shard
+    * count; production shard counts grow ∝ N).
+    */
+  private def shardManifest(packed: DataFrame): DataFrame =
+    graft.operators.Release.manifest(packed)
 
   /** q117/q118/q122/q133 dup-group sizing: max(53, N/100) — group
     * COUNT scales with the corpus so identical-hash cliques stay
@@ -4423,6 +4435,114 @@ object QueriesScale {
         .select(col("lang"), posexplode(col("tk")).as(Seq("pos", "s")))
         .select(col("lang"), (col("pos") + 1).cast("int").as("rank"),
           col("s.id").as("doc_id"), (-col("s.score")).as("coin"))
+    },
+
+    // SEMANTIC decontamination (r11) — the embedding-space member of
+    // the decontamination family (q54/q72 shingle, q104/q135 spans,
+    // q166 Min-K%-Prob): a PARAPHRASED benchmark item shares no
+    // n-grams with the training doc that leaks it, but its embedding
+    // sits next to the benchmark's. Every train vector scores against
+    // the full benchmark suite; max cosine ≥ 0.30 flags it and
+    // n_bench_hits counts the offending benchmark rows (the audit a
+    // removal ticket needs). Scale shape: benchmark suites are
+    // BOUNDED (1e4–1e6 items — eval sets, not corpora), so the bench
+    // side broadcasts; ONE corpus scan does |bench|·d flops per row,
+    // and the per-vector aggregate collapses map-side (each train
+    // row's bench expansion is partition-local under the broadcast
+    // join), so the exchange carries one row per train vector. When
+    // |bench| outgrows a broadcast, q29's SRP banding is the
+    // recall-bounded prescreen — same two-stage shape as q70.
+    "q171_semantic_decontam" -> q { (spark, dir) =>
+      val v = vecs(spark, dir)
+      Similarity.benchContamination(
+        v.filter(col("vec_id") % 40 =!= 7),
+        v.filter(col("vec_id") % 40 === 7),
+        threshold = 0.30, roundSim = Some(6))
+    },
+
+    // Corpus RELEASE DIFF (r11) — the delta manifest a versioned
+    // corpus publishes: v1 drops some docs, adds others, and revises
+    // text in place; the diff classifies every non-identical doc as
+    // added / removed / changed by comparing content fingerprints
+    // keyed on doc_id. Scale shape: fingerprints are computed UNDER
+    // the scans (the full-outer exchange carries (doc_id, source,
+    // 32-char md5) — ~50 bytes/doc for a 100 TB corpus), and the
+    // unchanged mass (the overwhelming majority of a real release)
+    // is filtered before anything reaches the output.
+    "q172_release_diff" -> q { (spark, dir) =>
+      val d = docs(spark, dir)
+      graft.operators.Release.diff(
+        d.filter(col("doc_id") % 13 =!= 5)
+          .select(col("doc_id"), col("source"),
+            md5(col("text")).as("fp")),
+        d.filter(col("doc_id") % 13 =!= 7)
+          .select(col("doc_id"), col("source"),
+            md5(when(col("doc_id") % 9 === 2,
+                concat(col("text"), lit(" rev2")))
+              .otherwise(col("text"))).as("fp")))
+    },
+
+    // Content-addressed RELEASE MANIFEST (r11) — what a corpus
+    // release ships alongside the data: per shard (bucket) the
+    // sequence count, chunk count, token count, and a shard
+    // fingerprint built from per-sequence fingerprints (chunk hashes
+    // in offset order, sequences in id order). A consumer verifies a
+    // downloaded shard by recomputing one md5 chain; q175 diffs two
+    // manifests to decide which shards re-ship. Scale shape: two
+    // hash-only aggregates above the q59 pack — sequence state is
+    // capacity-bounded, shard state is release-shard-sized (shard
+    // count grows ∝ N), and no text moves past the chunk hash.
+    "q173_release_manifest" -> q { (spark, dir) =>
+      shardManifest(graft.sampling.Packing.packSequences(
+        chunks(spark, dir), capacity = 256, buckets = 32))
+    },
+
+    // ENSEMBLE near-dup closure (r11) — production dedup unions
+    // MULTIPLE detectors before resolving survivors, because each
+    // detector's blind spot differs: MinHash-LSH (set-Jaccard —
+    // insensitive to token order, misses high-overlap docs whose
+    // shingle sets diverge) and SimHash (frequency-weighted hamming —
+    // catches those, misses heavy reorderings). Edges from both
+    // detectors feed ONE connected-components pass, so a dup chain
+    // detected half by one signal and half by the other still
+    // collapses into a single cluster. Scale shape: both detectors
+    // are banded (never all-pairs), the MinHash side rides the
+    // fit-once served signature table, the union is edge-list-sized,
+    // and the closure is q50's O(log diameter) label propagation.
+    "q174_ensemble_dedup" -> q { (spark, dir) =>
+      val d = docs(spark, dir)
+      val mh = Dedup.minhashPairs(d, threshold = 0.5, serveSigs = true)
+        .select(col("id_a"), col("id_b"))
+      val sh = Dedup.simhashPairs(d, maxHamming = 12)
+        .select(col("id_a"), col("id_b"))
+      val cl = Dedup.duplicateClusters(mh.unionByName(sh))
+      cl.withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id")))
+          .cast("long"))
+    },
+
+    // Incremental release: DIRTY-SHARD detection (r11) — the reason
+    // q173's manifest exists: when v1 revises two docs and drops one,
+    // only the shards whose fingerprint moved re-ship; every other
+    // shard's bytes are PROVABLY identical (same md5 chain over the
+    // same chunk hashes), so a 100 TB re-release moves only the dirty
+    // slice. The delta here is bucket-localized by construction
+    // (revisions hit bucket 3, removals bucket 17) — the output shows
+    // exactly those two shards dirty and thirty clean. Scale shape:
+    // two manifest builds (hash-only aggregates) + a |shards|-row
+    // fingerprint compare.
+    "q175_dirty_shards" -> q { (spark, dir) =>
+      val d = docs(spark, dir)
+      val v1 = d.filter(!(col("doc_id") % 32 === 17 &&
+          col("doc_id") % 13 === 5))
+        .withColumn("text",
+          when(col("doc_id") % 32 === 3 && col("doc_id") % 9 === 2,
+            concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")))
+      def m(c: DataFrame): DataFrame =
+        shardManifest(graft.sampling.Packing.packSequences(
+          chunksOf(c), capacity = 256, buckets = 32))
+      graft.operators.Release.dirtyShards(m(d), m(v1))
     }
   )
 
@@ -9349,6 +9469,232 @@ object QueriesScale {
         |       doc_id, coin
         |FROM s
         |WINDOW w AS (PARTITION BY lang ORDER BY coin ASC, doc_id ASC)
-        |QUALIFY row_number() OVER w <= 20""".stripMargin
+        |QUALIFY row_number() OVER w <= 20""".stripMargin,
+
+    // q171: brute-force max-cosine of every train vector against the
+    // benchmark slice — the same dot/norm/round arithmetic as q28.
+    "q171_semantic_decontam" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_sum(list_transform(embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |b AS (SELECT embedding AS be, nrm AS bn FROM v
+        |      WHERE vec_id % 40 = 7),
+        |p AS (
+        |  SELECT t.vec_id,
+        |         round(list_sum(list_transform(generate_series(1, 64),
+        |             i -> CAST(t.embedding[i] AS DOUBLE)
+        |                  * CAST(b.be[i] AS DOUBLE)))
+        |           / (t.nrm * b.bn), 6) AS sim
+        |  FROM v t CROSS JOIN b WHERE t.vec_id % 40 <> 7)
+        |SELECT vec_id, max(sim) AS max_bench_sim,
+        |       CAST(sum(CASE WHEN sim >= 0.30 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_bench_hits,
+        |       max(sim) >= 0.30 AS contaminated
+        |FROM p GROUP BY 1""".stripMargin,
+
+    // q172: fingerprint both versions, full-outer join on doc_id,
+    // classify, drop the unchanged mass — same branch order as the
+    // engine (removed tested before added).
+    "q172_release_diff" ->
+      """WITH v0 AS (
+        |  SELECT doc_id, source AS src0, md5(text) AS fp0
+        |  FROM documents WHERE doc_id % 13 <> 5),
+        |v1 AS (
+        |  SELECT doc_id, source AS src1,
+        |         md5(CASE WHEN doc_id % 9 = 2 THEN text || ' rev2'
+        |                  ELSE text END) AS fp1
+        |  FROM documents WHERE doc_id % 13 <> 7),
+        |j AS (
+        |  SELECT doc_id, COALESCE(src0, src1) AS source,
+        |         CASE WHEN fp1 IS NULL THEN 'removed'
+        |              WHEN fp0 IS NULL THEN 'added'
+        |              WHEN fp0 <> fp1 THEN 'changed'
+        |              ELSE 'unchanged' END AS status
+        |  FROM v0 FULL OUTER JOIN v1 USING (doc_id))
+        |SELECT doc_id, source, status FROM j
+        |WHERE status <> 'unchanged'""".stripMargin,
+
+    // q173: the q59 pack replayed, then the two ordered md5 chains —
+    // string_agg ORDER BY reproduces the engine's sorted collect_list.
+    "q173_release_manifest" ->
+      s"""WITH $toksSql,
+         |ch AS (
+         |  SELECT doc_id, tk,
+         |         unnest(generate_series(1, greatest(len(tk), 1), 48))
+         |           AS s
+         |  FROM toks),
+         |ck AS (
+         |  SELECT doc_id, CAST((s - 1) // 48 AS INT) AS chunk_idx,
+         |         CAST(doc_id % 32 AS INT) AS bucket,
+         |         CAST(len(tk[s : s + 63]) AS BIGINT) AS n,
+         |         md5(array_to_string(tk[s : s + 63], ' '))
+         |           AS chunk_hash
+         |  FROM ch),
+         |c AS (
+         |  SELECT doc_id, chunk_idx, bucket, n, chunk_hash,
+         |         COALESCE(SUM(n) OVER (PARTITION BY bucket
+         |           ORDER BY doc_id, chunk_idx
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |           0) AS cum
+         |  FROM ck),
+         |pk AS (
+         |  SELECT chunk_hash, n, bucket,
+         |         CAST(cum // 256 AS BIGINT) AS seq_id,
+         |         CAST(cum % 256 AS BIGINT) AS seq_offset
+         |  FROM c),
+         |sq AS (
+         |  SELECT bucket, seq_id,
+         |         md5(string_agg(chunk_hash, '' ORDER BY seq_offset))
+         |           AS seq_fp,
+         |         CAST(count(*) AS BIGINT) AS n_chunks,
+         |         CAST(sum(n) AS BIGINT) AS n_tokens
+         |  FROM pk GROUP BY 1, 2)
+         |SELECT bucket, CAST(count(*) AS BIGINT) AS n_sequences,
+         |       CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
+         |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |       md5(string_agg(seq_fp, '' ORDER BY seq_id)) AS shard_fp
+         |FROM sq GROUP BY 1""".stripMargin,
+
+    // q174: the q50 reachability closure over the UNION of both
+    // detectors' edge sets — the simhash chain verbatim plus the q25
+    // minhash chain (renamed m* to avoid CTE collisions) filtered at
+    // est_jaccard >= 0.5.
+    "q174_ensemble_dedup" ->
+      s"""WITH RECURSIVE $simhashPairsSql,
+         |msh AS (
+         |  SELECT doc_id,
+         |         CASE WHEN len(tk) >= 3
+         |              THEN list_transform(
+         |                     generate_series(1, len(tk) - 2),
+         |                     j -> array_to_string(tk[j:j+2], ' '))
+         |              ELSE [array_to_string(tk, ' ')] END AS shl
+         |  FROM toks),
+         |mshd AS (SELECT doc_id, list_distinct(shl) AS shl FROM msh),
+         |msigs AS (
+         |  SELECT doc_id,
+         |         list_transform(generate_series(0, 15),
+         |           i -> list_min(list_transform(shl,
+         |                  s -> md5(CAST(i AS VARCHAR) || ':' || s))))
+         |           AS sig
+         |  FROM mshd),
+         |mbands AS (
+         |  SELECT doc_id, sig, b.b AS band_idx,
+         |         md5(array_to_string(sig[b.b*4+1:b.b*4+4], '|'))
+         |           AS band_hash
+         |  FROM msigs CROSS JOIN (SELECT unnest([0,1,2,3]) AS b) b),
+         |mpairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b
+         |  FROM mbands a
+         |  JOIN mbands bb ON a.band_idx = bb.band_idx
+         |               AND a.band_hash = bb.band_hash
+         |               AND a.doc_id < bb.doc_id
+         |  WHERE CAST(list_sum(list_transform(generate_series(1, 16),
+         |          i -> CASE WHEN a.sig[i] = bb.sig[i]
+         |                    THEN 1 ELSE 0 END)) AS DOUBLE) / 16.0
+         |        >= 0.5),
+         |e AS (
+         |  SELECT id_a AS u, id_b AS v FROM pairs WHERE hamming <= 12
+         |  UNION
+         |  SELECT id_b, id_a FROM pairs WHERE hamming <= 12
+         |  UNION
+         |  SELECT id_a, id_b FROM mpairs
+         |  UNION
+         |  SELECT id_b, id_a FROM mpairs),
+         |r(u, v) AS (
+         |  SELECT u, v FROM e
+         |  UNION
+         |  SELECT r.u, e.v FROM r JOIN e ON r.v = e.u),
+         |m AS (SELECT u, MIN(v) AS mv FROM r GROUP BY u),
+         |cl AS (SELECT u AS doc_id, LEAST(u, mv) AS cluster_id FROM m)
+         |SELECT doc_id, cluster_id,
+         |       CAST(count(*) OVER (PARTITION BY cluster_id)
+         |         AS BIGINT) AS n_members
+         |FROM cl""".stripMargin,
+
+    // q175: the q173 chain twice — v0 = the full corpus, v1 with the
+    // bucket-17 removals and bucket-3 revisions — full-outer joined
+    // on bucket with the fingerprint compare.
+    "q175_dirty_shards" ->
+      """WITH d1 AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 32 = 3 AND doc_id % 9 = 2
+        |              THEN text || ' rev2' ELSE text END AS text
+        |  FROM documents
+        |  WHERE NOT (doc_id % 32 = 17 AND doc_id % 13 = 5)),
+        |tk0 AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text,
+        |           '\s+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |tk1 AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text,
+        |           '\s+'), x -> x <> '') AS tk
+        |  FROM d1),
+        |ch0 AS (
+        |  SELECT doc_id, tk,
+        |         unnest(generate_series(1, greatest(len(tk), 1), 48))
+        |           AS s
+        |  FROM tk0),
+        |ch1 AS (
+        |  SELECT doc_id, tk,
+        |         unnest(generate_series(1, greatest(len(tk), 1), 48))
+        |           AS s
+        |  FROM tk1),
+        |ck0 AS (
+        |  SELECT doc_id, CAST((s - 1) // 48 AS INT) AS chunk_idx,
+        |         CAST(doc_id % 32 AS INT) AS bucket,
+        |         CAST(len(tk[s : s + 63]) AS BIGINT) AS n,
+        |         md5(array_to_string(tk[s : s + 63], ' '))
+        |           AS chunk_hash
+        |  FROM ch0),
+        |ck1 AS (
+        |  SELECT doc_id, CAST((s - 1) // 48 AS INT) AS chunk_idx,
+        |         CAST(doc_id % 32 AS INT) AS bucket,
+        |         CAST(len(tk[s : s + 63]) AS BIGINT) AS n,
+        |         md5(array_to_string(tk[s : s + 63], ' '))
+        |           AS chunk_hash
+        |  FROM ch1),
+        |c0 AS (
+        |  SELECT bucket, n, chunk_hash,
+        |         COALESCE(SUM(n) OVER (PARTITION BY bucket
+        |           ORDER BY doc_id, chunk_idx
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |           0) AS cum
+        |  FROM ck0),
+        |c1 AS (
+        |  SELECT bucket, n, chunk_hash,
+        |         COALESCE(SUM(n) OVER (PARTITION BY bucket
+        |           ORDER BY doc_id, chunk_idx
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |           0) AS cum
+        |  FROM ck1),
+        |sq0 AS (
+        |  SELECT bucket, CAST(cum // 256 AS BIGINT) AS seq_id,
+        |         md5(string_agg(chunk_hash, ''
+        |           ORDER BY cum % 256)) AS seq_fp,
+        |         CAST(sum(n) AS BIGINT) AS n_tokens
+        |  FROM c0 GROUP BY 1, 2),
+        |sq1 AS (
+        |  SELECT bucket, CAST(cum // 256 AS BIGINT) AS seq_id,
+        |         md5(string_agg(chunk_hash, ''
+        |           ORDER BY cum % 256)) AS seq_fp,
+        |         CAST(sum(n) AS BIGINT) AS n_tokens
+        |  FROM c1 GROUP BY 1, 2),
+        |m0 AS (
+        |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_sequences_v0,
+        |         CAST(sum(n_tokens) AS BIGINT) AS n_tokens_v0,
+        |         md5(string_agg(seq_fp, '' ORDER BY seq_id)) AS fp_v0
+        |  FROM sq0 GROUP BY 1),
+        |m1 AS (
+        |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_sequences_v1,
+        |         CAST(sum(n_tokens) AS BIGINT) AS n_tokens_v1,
+        |         md5(string_agg(seq_fp, '' ORDER BY seq_id)) AS fp_v1
+        |  FROM sq1 GROUP BY 1)
+        |SELECT bucket, n_sequences_v0, n_tokens_v0, fp_v0,
+        |       n_sequences_v1, n_tokens_v1, fp_v1,
+        |       (fp_v0 IS NULL OR fp_v1 IS NULL OR fp_v0 <> fp_v1)
+        |         AS dirty
+        |FROM m0 FULL OUTER JOIN m1 USING (bucket)""".stripMargin
   )
 }

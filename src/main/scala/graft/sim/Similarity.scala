@@ -62,6 +62,44 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** SEMANTIC decontamination (r11) — the embedding-space member of
+    * the decontamination family (shingle/Bloom/span/Min-K live in
+    * text/): a PARAPHRASED benchmark item shares no n-grams with the
+    * training doc that leaks it, but its embedding sits next to the
+    * benchmark's. Every corpus vector scores against the full
+    * benchmark suite; `max_bench_sim ≥ threshold` flags it and
+    * `n_bench_hits` counts the offending benchmark rows (the audit a
+    * removal ticket needs). Scale shape: benchmark suites are BOUNDED
+    * (1e4–1e6 items — eval sets, not corpora), so the bench side
+    * broadcasts; ONE corpus scan does |bench|·d flops per row, and
+    * the per-vector aggregate collapses map-side (each corpus row's
+    * bench expansion is partition-local under the broadcast join), so
+    * the exchange carries one row per corpus vector. When |bench|
+    * outgrows a broadcast, SRP banding ([[nearDuplicates]]) is the
+    * recall-bounded prescreen — the same two-stage shape as the text
+    * rescore path.
+    */
+  def benchContamination(corpus: DataFrame, bench: DataFrame,
+                         threshold: Double,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding",
+                         roundSim: Option[Int] = None): DataFrame = {
+    import graft.functions.PortableRound.pround
+    val c = corpus.select(col(idCol), col(vecCol),
+      l2Norm(col(vecCol)).as("__cn"))
+    val b = bench.select(col(vecCol).as("__bvec"),
+      l2Norm(col(vecCol)).as("__bn"))
+    val sim = dot(col(vecCol), col("__bvec")) /
+      (col("__cn") * col("__bn"))
+    c.crossJoin(broadcast(b))
+      .select(col(idCol), roundSim.fold(sim)(pround(sim, _)).as("__s"))
+      .groupBy(col(idCol))
+      .agg(max(col("__s")).as("max_bench_sim"),
+        sum(when(col("__s") >= threshold, lit(1L)).otherwise(lit(0L)))
+          .as("n_bench_hits"))
+      .withColumn("contaminated", col("max_bench_sim") >= threshold)
+  }
+
   /** Brute-force exact squared-L2 top-k — the ground-truth pass for
     * evaluating L2-metric indexes (PQ/ADC); same broadcast-queries
     * shape as the cosine variant: the corpus never shuffles and only

@@ -383,4 +383,49 @@ object StreamingIngest {
           }
       }
   }
+
+  /** Streaming twin of the crawl-loop history fold (q169's batch
+    * semantics for CONTINUOUS fetch ingestion, r11): per-URL crawl
+    * state (n_crawls, n_changes, last_crawl_day) maintained across
+    * micro-batches as fetch outcomes `(loc, status, fetchDay)`
+    * arrive. Content observations — `changed` / `unchanged` /
+    * `not_modified` (a 304 attests no-change without the body) —
+    * fold into the counts exactly as
+    * [[graft.sources.Recrawl.ingestOutcomes]] appends them to the
+    * batch history; `error` outcomes observe NOTHING (the back-off
+    * lives in the error ledger, not the estimator) and leave state
+    * untouched. Each trigger emits the updated state row for every
+    * URL it observed — exactly the per-URL aggregate the add-half
+    * estimator reads, so a downstream plan re-scores staleness
+    * continuously instead of re-aggregating the full history.
+    * CrawlHistoryStreamSpec asserts the final streamed state ≡ the
+    * batch `ingestOutcomes` chain's aggregate, errors included.
+    */
+  def crawlHistoryStream(outcomes: org.apache.spark.sql
+        .Dataset[(String, String, Long)])
+      : org.apache.spark.sql.Dataset[(String, Long, Long, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = outcomes.sparkSession
+    import spark.implicits._
+    val content = Set("changed", "unchanged", "not_modified")
+    outcomes
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long),
+          (String, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (loc: String, rows: Iterator[(String, String, Long)],
+         state: GroupState[(Long, Long, Long)]) =>
+          val obs = rows.filter(r => content(r._2)).toSeq
+          if (obs.isEmpty) Iterator.empty // errors observe nothing
+          else {
+            val (c0, g0, d0) = state.getOption
+              .getOrElse((0L, 0L, Long.MinValue))
+            val next = (c0 + obs.size,
+              g0 + obs.count(_._2 == "changed"),
+              math.max(d0, obs.map(_._3).max))
+            state.update(next)
+            Iterator.single((loc, next._1, next._2, next._3))
+          }
+      }
+  }
 }

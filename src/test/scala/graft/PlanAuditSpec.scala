@@ -558,4 +558,29 @@ class PlanAuditSpec extends SparkSpec {
         p.take(3000))
     assert(!p.contains("Join"), s"q148 has no joins:\n${p.take(2000)}")
   }
+
+  test("semantic decontam broadcasts the bench side and partial-aggs") {
+    // q171: the benchmark suite is bounded → broadcast nested loop
+    // over the BROADCAST side only; the per-vector max/count must
+    // collapse map-side (partial agg) so the exchange carries one row
+    // per corpus vector, not the |corpus|·|bench| expansion
+    val p = plan("q171_semantic_decontam")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("partial_max"),
+      s"q171 expected a map-side partial aggregate:\n${p.take(2000)}")
+    assert(!p.contains("Window"), p.take(2000))
+  }
+
+  test("release diff joins fingerprints, never text") {
+    // q172: md5 is computed UNDER the scan so the full-outer join's
+    // exchange carries (doc_id, source, fp) — the plan must not
+    // reference the text column above its md5 projection
+    val p = plan("q172_release_diff")
+    assert(p.contains("FullOuter"), p.take(3000))
+    // everything above the join must be fingerprint-only: md5 is
+    // projected below, so no text column survives into the join
+    val above = p.substring(0, p.indexOf("Join"))
+    assert(!above.contains("text#"),
+      s"q172 moves raw text above the join:\n${p.take(3000)}")
+  }
 }

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import graft.operators.Release
+import graft.sampling.Packing
+import graft.sim.Similarity
+
+/** Release management (r11): version diff, content-addressed shard
+  * manifest, dirty-shard decision, semantic decontamination, and the
+  * ensemble dedup closure — properties asserted on hand-built frames
+  * where every expected value is derivable by inspection.
+  */
+class ReleaseSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("diff classifies added / removed / changed and drops the " +
+      "unchanged mass") {
+    val v0 = Seq((1L, "a", "h1"), (2L, "a", "h2"), (3L, "b", "h3"))
+      .toDF("doc_id", "source", "fp")
+    val v1 = Seq((2L, "a", "h2"), (3L, "b", "h3x"), (4L, "c", "h4"))
+      .toDF("doc_id", "source", "fp")
+    val got = Release.diff(v0, v1).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq((1L, "a", "removed"),
+      (3L, "b", "changed"), (4L, "c", "added")))
+  }
+
+  // four docs, one chunk each, two buckets (doc_id % 2) — manifest
+  // values are hand-checkable and a one-chunk edit is bucket-local
+  private def packedOf(texts: Map[Long, String]): DataFrame = {
+    val chunks = texts.toSeq.sortBy(_._1)
+      .map { case (id, t) =>
+        (id, 0, t.split(" ").length.toLong,
+          // stand-in chunk hash: the text itself keeps the
+          // fingerprint chain inspectable
+          t)
+      }
+      .toDF("doc_id", "chunk_idx", "n_chunk_tokens", "chunk_hash")
+    Packing.packSequences(chunks, capacity = 4, buckets = 2)
+  }
+
+  private val baseTexts = Map(
+    0L -> "aa bb", 1L -> "cc dd", 2L -> "ee ff", 3L -> "gg hh")
+
+  test("manifest is deterministic under row order and partitioning") {
+    val m1 = Release.manifest(packedOf(baseTexts))
+    val m2 = Release.manifest(
+      packedOf(baseTexts).repartition(7).sortWithinPartitions(
+        col("seq_offset").desc))
+    val k = (df: DataFrame) => df.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).sortBy(_._1).toSeq
+    assert(k(m1) == k(m2))
+    assert(k(m1).map(_._1) == Seq(0, 1))
+    // bucket 0 holds docs 0 and 2: two 2-token chunks packed into
+    // one 4-capacity sequence
+    assert(k(m1).head == ((0, 1L, 2L, 4L, k(m1).head._5)))
+  }
+
+  test("a one-doc edit dirties exactly its bucket") {
+    val m0 = Release.manifest(packedOf(baseTexts))
+    val m1 = Release.manifest(packedOf(baseTexts + (2L -> "ee XX")))
+    val got = Release.dirtyShards(m0, m1).collect()
+      .map(r => (r.getInt(0), r.getBoolean(7))).sortBy(_._1)
+    assert(got.toSeq == Seq((0, true), (1, false)))
+  }
+
+  test("a shard present in only one version is dirty") {
+    val m0 = Release.manifest(packedOf(baseTexts))
+    val m1 = Release.manifest(
+      packedOf(baseTexts).filter(col("bucket") =!= 1))
+    val got = Release.dirtyShards(m0, m1).collect()
+      .map(r => (r.getInt(0), r.getBoolean(7))).sortBy(_._1)
+    assert(got.toSeq == Seq((0, false), (1, true)))
+    // and the null side carries null stats, not zeros
+    val b1 = Release.dirtyShards(m0, m1)
+      .filter(col("bucket") === 1).head
+    assert(b1.isNullAt(b1.fieldIndex("fp_v1")))
+  }
+
+  test("benchContamination flags by max cosine and counts hits") {
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.0f)),   // sim 1.0 to b1, 0.6 to b2
+      (11L, Array(0.0f, 1.0f)),   // sim 0.0 to b1, 0.8 to b2
+      (12L, Array(-1.0f, 0.0f))   // negative sims only
+    ).toDF("vec_id", "embedding")
+    val bench = Seq(
+      (90L, Array(1.0f, 0.0f)),
+      (91L, Array(0.6f, 0.8f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.benchContamination(corpus, bench,
+        threshold = 0.5, roundSim = Some(6)).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        r.getBoolean(3))).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (10L, 1.0, 2L, true),     // hits both benchmarks
+      (11L, 0.8, 1L, true),     // paraphrase-shaped: only b2
+      (12L, -0.6, 0L, false)))  // max sim is -0.6 (vs b2)
+  }
+
+  test("ensemble closure merges chains split across detectors") {
+    // detector A sees 1~2, detector B sees 2~3: neither alone links
+    // 1 to 3, the union closure must
+    val a = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val b = Seq((2L, 3L)).toDF("id_a", "id_b")
+    val cl = graft.dedup.Dedup.duplicateClusters(a.unionByName(b))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(cl.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 1L)))
+  }
+}
