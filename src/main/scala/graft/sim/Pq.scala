@@ -180,7 +180,7 @@ object Pq {
     val indexed = corpus
       .withColumn("__dists", distances(col(vecCol), codebooks))
       .select(col(idCol).as("neighbor_id"),
-        Similarity.cellOf(scores).as("cell"),
+        Similarity.nearestCell(col(vecCol), centroids).as("cell"),
         codes(col("__dists")).as("__codes"))
     val wCell = Window.partitionBy(col("query_id"))
       .orderBy(col("__s").desc, col("cell").asc)
@@ -233,7 +233,7 @@ object Pq {
         (x, c) => x - c)
     val scores = Similarity.centroidScores(col(vecCol), centroids)
     val indexed = corpus
-      .withColumn("cell", Similarity.cellOf(scores))
+      .withColumn("cell", Similarity.nearestCell(col(vecCol), centroids))
       .withColumn("__res", residual(col(vecCol), col("cell")))
       .select(col(idCol).as("neighbor_id"), col("cell"),
         codes(distances(col("__res"), codebooks)).as("__codes"))

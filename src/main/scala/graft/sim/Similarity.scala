@@ -370,6 +370,19 @@ object Similarity {
   private[sim] def cellOf(scores: Column): Column =
     (array_position(scores, array_max(scores)) - 1).cast("int")
 
+  /** One-pass native cell assignment for CORPUS-side routing —
+    * bit-identical to `cellOf(centroidScores(...))` (same dot order,
+    * same divide, same first-max/NaN tiebreak: VectorExpressions.
+    * CentroidAssign's scaladoc carries the proof obligations) but one
+    * O(nlist·d) loop per row instead of nlist separate expression
+    * evaluations, which kept per-row assignment cost from scaling
+    * with nlist ∝ N. Query-side probing keeps the score ARRAY
+    * (posexplode over bounded query sets needs every cell's score).
+    */
+  private[sim] def nearestCell(vec: Column,
+                               centroids: Seq[Array[Double]]): Column =
+    VectorExpressions.centroidAssign(vec, centroids).getField("cell")
+
   /** Per-cell squared L2 distances Σ_i (v_i − c_i)² over the centroid
     * LITERALS, summed in dim order (portable) — the assignment metric
     * PQ codebook training uses, matching the encode path's argmin-L2
@@ -412,9 +425,10 @@ object Similarity {
     corpus
       .select(col(idCol), col(vecCol))
       .repartition(col(idCol))
-      .withColumn("__s", centroidScores(col(vecCol), centroids))
-      .withColumn("cell", cellOf(col("__s")))
-      .withColumn("__best", array_max(col("__s")))
+      .withColumn("__a",
+        VectorExpressions.centroidAssign(col(vecCol), centroids))
+      .withColumn("cell", col("__a.cell"))
+      .withColumn("__best", col("__a.best"))
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("n_vecs"),
         sum(units).as("affinity_units"))
@@ -427,11 +441,10 @@ object Similarity {
     import graft.functions.PortableRound.pround
     require(centroids.nonEmpty, "ivfTopK: centroids must be non-empty")
     val scores = centroidScores(col(vecCol), centroids)
-    // first index achieving the max score — ties to the lowest cell
-    val cell = cellOf(scores)
 
     val assigned = corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).as("__cvec"), cell.as("cell"))
+      col(vecCol).as("__cvec"),
+      nearestCell(col(vecCol), centroids).as("cell"))
 
     val wCell = Window.partitionBy(col("query_id"))
       .orderBy(col("__s").desc, col("cell").asc)
@@ -475,10 +488,10 @@ object Similarity {
     require(nprobes.nonEmpty, "ivfTopKSweep: nprobes must be non-empty")
     val maxProbe = nprobes.max
     val scores = centroidScores(col(vecCol), centroids)
-    val cell = cellOf(scores)
 
     val assigned = corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).as("__cvec"), cell.as("cell"))
+      col(vecCol).as("__cvec"),
+      nearestCell(col(vecCol), centroids).as("cell"))
 
     val wCell = Window.partitionBy(col("query_id"))
       .orderBy(col("__s").desc, col("cell").asc)
@@ -566,7 +579,7 @@ object Similarity {
     val assigned = vectors
       .select(col(idCol), col(vecCol))
       .repartition(col(idCol))
-      .withColumn("cell", cellOf(centroidScores(col(vecCol), centroids)))
+      .withColumn("cell", nearestCell(col(vecCol), centroids))
       .repartition(col("cell"))
     // Identical-vector collapse (the q25/minhashPairs hardening, r4
     // verdict #2, applied to embeddings): production corpora carry
@@ -670,7 +683,7 @@ object Similarity {
     // assignment rule matches the online path it trains for: cosine
     // (IVF cell routing, cellOf) or squared-L2 (PQ encode, Pq.codes)
     val assign: Column => Column =
-      if (metric == "cosine") v => cellOf(centroidScores(v, centroids))
+      if (metric == "cosine") v => nearestCell(v, centroids)
       else v => cellOfMin(centroidL2(v, centroids))
     // parallelism spread for the per-row scoring (single-row-group
     // parquet reads as one split); collapses with an upstream
@@ -779,7 +792,7 @@ object Similarity {
     // group parquet reads as one split) before the cell exchange
     val assigned = vectors.select(col(idCol), col(vecCol))
       .repartition(col(idCol))
-      .withColumn("cell", cellOf(centroidScores(col(vecCol), centroids)))
+      .withColumn("cell", nearestCell(col(vecCol), centroids))
     val w = Window.partitionBy(col("cell"))
       .orderBy(md5(concat(lit(salt + ":"), col(idCol).cast("string"))).asc,
         col(idCol).asc)
