@@ -3277,6 +3277,8 @@ object QueriesScale {
       val packed = Packing.packSequences(chunks(spark, dir),
         capacity = 256, buckets = 32)
       Takedown.repackSurvivors(packed, tomb, capacity = 256)
+        .select(col("doc_id"), col("chunk_idx"), col("bucket"),
+          col("seq_id"), col("seq_offset"), col("repacked"))
     },
 
     // Fetch-outcome feedback loop (r10 verdict item 2) — the loop
@@ -4543,6 +4545,33 @@ object QueriesScale {
         shardManifest(graft.sampling.Packing.packSequences(
           chunksOf(c), capacity = 256, buckets = 32))
       graft.operators.Release.dirtyShards(m(d), m(v1))
+    },
+
+    // COMPLIANCE RELEASE, end to end (r11) — the lifecycle closure of
+    // q168 (survivor repack) + q173/q175 (manifest + dirty shards): a
+    // takedown invalidates the packed sequences carrying the
+    // tombstoned doc, their innocent survivors repack, and the
+    // manifest diff PROVES which shards the re-release ships. The
+    // takedown here is URL-level and bucket-local by construction (a
+    // doc's chunks share its doc_id%32 bucket), so the output shows
+    // ONE dirty shard and 31 byte-identical ones — the incremental
+    // compliance re-release a 100 TB corpus needs (only the dirty
+    // slice moves; every clean shard's fingerprint chain is
+    // unchanged, so nothing else re-uploads or re-validates). Scale
+    // shape: q168's repack slice + two hash-only manifest aggregates
+    // + a |shards|-row compare.
+    "q176_takedown_release" -> q { (spark, dir) =>
+      import graft.operators.{Release, Takedown}
+      import graft.sampling.Packing
+      val urlIds = docs(spark, dir)
+        .filter(col("doc_id") % 32 === 11 && col("doc_id") % 17 === 3)
+        .select(col("doc_id"))
+      val packed0 = Packing.packSequences(chunks(spark, dir),
+        capacity = 256, buckets = 32)
+      val packed1 = Takedown.repackSurvivors(packed0, urlIds,
+        capacity = 256)
+      Release.dirtyShards(Release.manifest(packed0),
+        Release.manifest(packed1))
     }
   )
 
@@ -9695,6 +9724,92 @@ object QueriesScale {
         |       n_sequences_v1, n_tokens_v1, fp_v1,
         |       (fp_v0 IS NULL OR fp_v1 IS NULL OR fp_v0 <> fp_v1)
         |         AS dirty
-        |FROM m0 FULL OUTER JOIN m1 USING (bucket)""".stripMargin
+        |FROM m0 FULL OUTER JOIN m1 USING (bucket)""".stripMargin,
+
+    // q176: the q168 repack chain (with chunk hashes carried through)
+    // feeding the q173 manifest aggregates on both sides of the
+    // takedown, full-outer joined on bucket.
+    "q176_takedown_release" ->
+      s"""WITH $toksSql,
+         |ch AS (
+         |  SELECT doc_id, tk,
+         |         unnest(generate_series(1, greatest(len(tk), 1), 48))
+         |           AS s
+         |  FROM toks),
+         |ck AS (
+         |  SELECT doc_id, CAST((s - 1) // 48 AS INT) AS chunk_idx,
+         |         CAST(doc_id % 32 AS INT) AS bucket,
+         |         CAST(len(tk[s : s + 63]) AS BIGINT) AS n,
+         |         md5(array_to_string(tk[s : s + 63], ' '))
+         |           AS chunk_hash
+         |  FROM ch),
+         |tomb AS (
+         |  SELECT doc_id FROM documents
+         |  WHERE doc_id % 32 = 11 AND doc_id % 17 = 3),
+         |ckf AS (
+         |  SELECT ck.doc_id, ck.chunk_idx, ck.bucket, ck.n,
+         |         ck.chunk_hash, t.doc_id IS NOT NULL AS tb
+         |  FROM ck LEFT JOIN tomb t USING (doc_id)),
+         |pk AS (
+         |  SELECT doc_id, chunk_idx, bucket, n, chunk_hash, tb,
+         |         COALESCE(SUM(n) OVER (PARTITION BY bucket
+         |           ORDER BY doc_id, chunk_idx
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |           0) AS cum
+         |  FROM ckf),
+         |pks AS (
+         |  SELECT doc_id, chunk_idx, bucket, n, chunk_hash, tb,
+         |         CAST(cum // 256 AS BIGINT) AS seq_id,
+         |         CAST(cum % 256 AS BIGINT) AS seq_offset
+         |  FROM pk),
+         |pkg AS (
+         |  SELECT *,
+         |         max(tb) OVER (PARTITION BY bucket, seq_id) AS gt
+         |  FROM pks),
+         |base AS (
+         |  SELECT bucket, max(seq_id) AS b FROM pks GROUP BY 1),
+         |surv AS (
+         |  SELECT doc_id, chunk_idx, bucket, n, chunk_hash,
+         |         COALESCE(SUM(n) OVER (PARTITION BY bucket
+         |           ORDER BY doc_id, chunk_idx
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |           0) AS cum
+         |  FROM pkg WHERE gt AND NOT tb),
+         |packed1 AS (
+         |  SELECT bucket, seq_id, seq_offset, n, chunk_hash
+         |  FROM pkg WHERE NOT gt
+         |  UNION ALL
+         |  SELECT s.bucket,
+         |         CAST(base.b + 1 + s.cum // 256 AS BIGINT) AS seq_id,
+         |         CAST(s.cum % 256 AS BIGINT) AS seq_offset,
+         |         s.n, s.chunk_hash
+         |  FROM surv s JOIN base USING (bucket)),
+         |sq0 AS (
+         |  SELECT bucket, seq_id,
+         |         md5(string_agg(chunk_hash, '' ORDER BY seq_offset))
+         |           AS seq_fp,
+         |         CAST(sum(n) AS BIGINT) AS n_tokens
+         |  FROM pks GROUP BY 1, 2),
+         |sq1 AS (
+         |  SELECT bucket, seq_id,
+         |         md5(string_agg(chunk_hash, '' ORDER BY seq_offset))
+         |           AS seq_fp,
+         |         CAST(sum(n) AS BIGINT) AS n_tokens
+         |  FROM packed1 GROUP BY 1, 2),
+         |m0 AS (
+         |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_sequences_v0,
+         |         CAST(sum(n_tokens) AS BIGINT) AS n_tokens_v0,
+         |         md5(string_agg(seq_fp, '' ORDER BY seq_id)) AS fp_v0
+         |  FROM sq0 GROUP BY 1),
+         |m1 AS (
+         |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_sequences_v1,
+         |         CAST(sum(n_tokens) AS BIGINT) AS n_tokens_v1,
+         |         md5(string_agg(seq_fp, '' ORDER BY seq_id)) AS fp_v1
+         |  FROM sq1 GROUP BY 1)
+         |SELECT bucket, n_sequences_v0, n_tokens_v0, fp_v0,
+         |       n_sequences_v1, n_tokens_v1, fp_v1,
+         |       (fp_v0 IS NULL OR fp_v1 IS NULL OR fp_v0 <> fp_v1)
+         |         AS dirty
+         |FROM m0 FULL OUTER JOIN m1 USING (bucket)""".stripMargin
   )
 }

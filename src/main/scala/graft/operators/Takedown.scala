@@ -96,7 +96,10 @@ object Takedown {
     *
     * @param packed [[graft.sampling.Packing.packSequences]] output:
     *               (idCol, idxCol, nCol, bucket, seq_id, seq_offset)
-    * @return (idCol, idxCol, bucket, seq_id, seq_offset, repacked)
+    * @return every input column (seq_id/seq_offset reassigned for
+    *         repacked rows) + `repacked` — passthrough columns like
+    *         chunk hashes survive, so a release manifest
+    *         ([[Release.manifest]]) can run directly on the output
     */
   def repackSurvivors(packed: DataFrame, tombstoned: DataFrame,
                       capacity: Int,
@@ -105,8 +108,7 @@ object Takedown {
                       nCol: String = "n_chunk_tokens"): DataFrame = {
     require(capacity > 0,
       s"repackSurvivors: capacity=$capacity must be > 0")
-    val outCols = Seq(col(idCol), col(idxCol), col("bucket"),
-      col("seq_id"), col("seq_offset"), col("repacked"))
+    val outCols = (packed.columns.map(col) :+ col("repacked")).toSeq
     val flagged = flag(packed, tombstoned)
       .withColumn("__gtomb", max(col("__tomb")).over(
         Window.partitionBy(col("bucket"), col("seq_id"))))
