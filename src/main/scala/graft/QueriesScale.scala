@@ -69,13 +69,6 @@ object QueriesScale {
         size(col("c.chunk_tokens")).cast("long").as("n_chunk_tokens"),
         md5(concat_ws(" ", col("c.chunk_tokens"))).as("chunk_hash"))
 
-  /** q173/q175's manifest: [[graft.operators.Release.manifest]] over
-    * the q59 pack (capacity 256, 32 buckets — the test-scale shard
-    * count; production shard counts grow ∝ N).
-    */
-  private def shardManifest(packed: DataFrame): DataFrame =
-    graft.operators.Release.manifest(packed)
-
   /** q117/q118/q122/q133 dup-group sizing: max(53, N/100) — group
     * COUNT scales with the corpus so identical-hash cliques stay
     * bounded — nudged odd and off multiples of 5 so it never divides
@@ -4495,8 +4488,9 @@ object QueriesScale {
     // capacity-bounded, shard state is release-shard-sized (shard
     // count grows ∝ N), and no text moves past the chunk hash.
     "q173_release_manifest" -> q { (spark, dir) =>
-      shardManifest(graft.sampling.Packing.packSequences(
-        chunks(spark, dir), capacity = 256, buckets = 32))
+      graft.operators.Release.manifest(
+        graft.sampling.Packing.packSequences(
+          chunks(spark, dir), capacity = 256, buckets = 32))
     },
 
     // ENSEMBLE near-dup closure (r11) — production dedup unions
@@ -4542,8 +4536,9 @@ object QueriesScale {
             concat(col("text"), lit(" rev2")))
             .otherwise(col("text")))
       def m(c: DataFrame): DataFrame =
-        shardManifest(graft.sampling.Packing.packSequences(
-          chunksOf(c), capacity = 256, buckets = 32))
+        graft.operators.Release.manifest(
+          graft.sampling.Packing.packSequences(
+            chunksOf(c), capacity = 256, buckets = 32))
       graft.operators.Release.dirtyShards(m(d), m(v1))
     },
 
@@ -9575,7 +9570,8 @@ object QueriesScale {
          |  FROM c),
          |sq AS (
          |  SELECT bucket, seq_id,
-         |         md5(string_agg(chunk_hash, '' ORDER BY seq_offset))
+         |         md5(string_agg(chunk_hash, ''
+         |           ORDER BY seq_offset, chunk_hash))
          |           AS seq_fp,
          |         CAST(count(*) AS BIGINT) AS n_chunks,
          |         CAST(sum(n) AS BIGINT) AS n_tokens
@@ -9701,13 +9697,13 @@ object QueriesScale {
         |sq0 AS (
         |  SELECT bucket, CAST(cum // 256 AS BIGINT) AS seq_id,
         |         md5(string_agg(chunk_hash, ''
-        |           ORDER BY cum % 256)) AS seq_fp,
+        |           ORDER BY cum % 256, chunk_hash)) AS seq_fp,
         |         CAST(sum(n) AS BIGINT) AS n_tokens
         |  FROM c0 GROUP BY 1, 2),
         |sq1 AS (
         |  SELECT bucket, CAST(cum // 256 AS BIGINT) AS seq_id,
         |         md5(string_agg(chunk_hash, ''
-        |           ORDER BY cum % 256)) AS seq_fp,
+        |           ORDER BY cum % 256, chunk_hash)) AS seq_fp,
         |         CAST(sum(n) AS BIGINT) AS n_tokens
         |  FROM c1 GROUP BY 1, 2),
         |m0 AS (
@@ -9786,13 +9782,15 @@ object QueriesScale {
          |  FROM surv s JOIN base USING (bucket)),
          |sq0 AS (
          |  SELECT bucket, seq_id,
-         |         md5(string_agg(chunk_hash, '' ORDER BY seq_offset))
+         |         md5(string_agg(chunk_hash, ''
+         |           ORDER BY seq_offset, chunk_hash))
          |           AS seq_fp,
          |         CAST(sum(n) AS BIGINT) AS n_tokens
          |  FROM pks GROUP BY 1, 2),
          |sq1 AS (
          |  SELECT bucket, seq_id,
-         |         md5(string_agg(chunk_hash, '' ORDER BY seq_offset))
+         |         md5(string_agg(chunk_hash, ''
+         |           ORDER BY seq_offset, chunk_hash))
          |           AS seq_fp,
          |         CAST(sum(n) AS BIGINT) AS n_tokens
          |  FROM packed1 GROUP BY 1, 2),

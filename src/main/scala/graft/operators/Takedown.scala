@@ -108,7 +108,10 @@ object Takedown {
                       nCol: String = "n_chunk_tokens"): DataFrame = {
     require(capacity > 0,
       s"repackSurvivors: capacity=$capacity must be > 0")
-    val outCols = (packed.columns.map(col) :+ col("repacked")).toSeq
+    // chained takedown waves feed a prior repack's output back in —
+    // drop its old `repacked` marker rather than emitting a duplicate
+    val outCols = (packed.columns.filterNot(_ == "repacked")
+      .map(col) :+ col("repacked")).toSeq
     val flagged = flag(packed, tombstoned)
       .withColumn("__gtomb", max(col("__tomb")).over(
         Window.partitionBy(col("bucket"), col("seq_id"))))

@@ -85,6 +85,13 @@ object Similarity {
                          vecCol: String = "embedding",
                          roundSim: Option[Int] = None): DataFrame = {
     import graft.functions.PortableRound.pround
+    // fail LOUDLY on an empty suite: the cross join would silently
+    // emit ZERO rows, and "no contamination found" with no corpus
+    // vector present is indistinguishable from an un-run audit.
+    // The emptiness probe is one limit-1 job on the bounded side.
+    require(!bench.isEmpty,
+      "benchContamination: benchmark suite is empty — a mis-filtered " +
+        "bench frame would silently report no contamination")
     val c = corpus.select(col(idCol), col(vecCol),
       l2Norm(col(vecCol)).as("__cn"))
     val b = bench.select(col(vecCol).as("__bvec"),
@@ -366,12 +373,8 @@ object Similarity {
       dot(vec, array(cArr.toSeq.map(lit): _*)) / lit(nrm)
     }: _*)
 
-  /** First index achieving the max score — ties to the lowest cell. */
-  private[sim] def cellOf(scores: Column): Column =
-    (array_position(scores, array_max(scores)) - 1).cast("int")
-
   /** One-pass native cell assignment for CORPUS-side routing —
-    * bit-identical to `cellOf(centroidScores(...))` (same dot order,
+    * bit-identical to the retired array_position(scores, array_max)-over-centroidScores form (same dot order,
     * same divide, same first-max/NaN tiebreak: VectorExpressions.
     * CentroidAssign's scaladoc carries the proof obligations) but one
     * O(nlist·d) loop per row instead of nlist separate expression

@@ -62,7 +62,9 @@ class CrawlHistoryStreamSpec extends SparkSpec {
         r.getLong(3))))
       .groupBy(_._1)
       .map { case (loc, rows) =>
-        loc -> rows.map(_._2).maxBy(_._3)
+        // n_crawls grows monotonically per URL, so the max row IS the
+        // final state (last_crawl_day can tie across triggers)
+        loc -> rows.map(_._2).maxBy(_._1)
       }
 
     assert(streamed == batch,

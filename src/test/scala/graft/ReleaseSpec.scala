@@ -81,6 +81,48 @@ class ReleaseSpec extends SparkSpec {
     assert(b1.isNullAt(b1.fieldIndex("fp_v1")))
   }
 
+  test("manifest breaks seq_offset ties by chunk hash (zero-token " +
+      "chunks share an offset with their successor)") {
+    // a zero-token chunk does not advance the packing cumsum, so it
+    // shares (seq_id, seq_offset) with the next chunk in its bucket —
+    // the fingerprint order must stay deterministic (offset, hash)
+    val chunks = Seq(
+      (0L, 0, 0L, "zz-empty"),  // 0 tokens: ties with the next chunk
+      (1L, 0, 2L, "aa-next"),
+      (2L, 0, 2L, "mm-tail")
+    ).toDF("doc_id", "chunk_idx", "n_chunk_tokens", "chunk_hash")
+    val packed = Packing.packSequences(chunks, capacity = 8,
+      buckets = 1)
+    // doc 0 and doc 1 share seq_offset 0 — the tie under test
+    val offs = packed.select(col("doc_id"), col("seq_offset"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(offs(0L) == 0L && offs(1L) == 0L)
+    val fp1 = Release.manifest(packed).select(col("shard_fp")).head
+      .getString(0)
+    val fp2 = Release.manifest(packed.repartition(5)
+        .sortWithinPartitions(col("chunk_hash").desc))
+      .select(col("shard_fp")).head.getString(0)
+    assert(fp1 == fp2, "tied-offset fingerprint must be order-free")
+  }
+
+  test("repackSurvivors output feeds a second takedown wave") {
+    // chained waves: the output carries `repacked`, which must not
+    // duplicate when the frame re-enters repackSurvivors
+    val chunks = spark.range(0, 8)
+      .select(col("id").as("doc_id"), lit(0).as("chunk_idx"))
+      .withColumn("n_chunk_tokens", lit(3L))
+    val packed = Packing.packSequences(chunks, capacity = 8,
+      buckets = 2)
+    val wave1 = graft.operators.Takedown.repackSurvivors(packed,
+      Seq(2L).toDF("doc_id"), capacity = 8)
+    val wave2 = graft.operators.Takedown.repackSurvivors(wave1,
+      Seq(5L).toDF("doc_id"), capacity = 8)
+    assert(wave2.columns.count(_ == "repacked") == 1)
+    val ids = wave2.select(col("doc_id")).collect()
+      .map(_.getLong(0)).toSet
+    assert(ids == Set(0L, 1L, 3L, 4L, 6L, 7L))
+  }
+
   test("benchContamination flags by max cosine and counts hits") {
     val corpus = Seq(
       (10L, Array(1.0f, 0.0f)),   // sim 1.0 to b1, 0.6 to b2
