@@ -68,6 +68,35 @@ object DevNlistScale {
     val (w01, r01, m01) = best(sfSmall, 8)
     val (w1fix, r1fix, m1fix) = best(sfBig, 8)
     val (w1prop, r1prop, m1prop) = best(sfBig, 80)
+
+    /** Refresh-cost leg (r12 — r11 verdict Next #5's measurement):
+      * wall of [[Similarity.ivfRefreshDirtyCells]] at a given dirty
+      * fraction of the nlist-80 index, best-of-`rounds`, against the
+      * full re-route (every cell dirty). Refresh cost must track the
+      * dirty fraction, not the corpus size — a ~10%-dirty refresh
+      * should cost ~10% of the full re-route's assignment work.
+      */
+    def refresh(dir: String, nlist: Int, dirtyFrac: Double): Double = {
+      import org.apache.spark.sql.functions.col
+      val v = spark.read.parquet(s"$dir/embeddings.parquet")
+      val cents = Similarity.trainedCentroids(v, nlist, iters = 2)
+      val assigned = v.withColumn("cell",
+        graft.sim.VectorExpressions
+          .centroidAssign(col("embedding"), cents).getField("cell"))
+        .localCheckpoint() // the index table, served — not re-derived
+      val nDirty = math.max(1, (nlist * dirtyFrac).round.toInt)
+      val dirty = (0 until nDirty).toSeq
+      (1 to rounds).map { _ =>
+        val t0 = System.nanoTime()
+        val (_, reassigned) = Similarity.ivfRefreshDirtyCells(
+          assigned, cents, dirty)
+        reassigned.count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    val wRef10 = refresh(sfBig, 80, 0.1)
+    val wRef100 = refresh(sfBig, 80, 1.0)
+
     println(
       s"""{"metric":"q89_nlist_scaling","rounds":$rounds,""" +
       s""""sf01_nlist8":{"sec":$w01,"rows":$r01,"max_cell":$m01},""" +
@@ -75,7 +104,10 @@ object DevNlistScale {
       s""""sf1_nlist80":{"sec":$w1prop,"rows":$r1prop,""" +
       s""""max_cell":$m1prop},""" +
       s""""ratio_fixed":${w1fix / w01},""" +
-      s""""ratio_proportional":${w1prop / w01}}""")
+      s""""ratio_proportional":${w1prop / w01},""" +
+      s""""refresh_dirty10pct_sec":$wRef10,""" +
+      s""""refresh_full_sec":$wRef100,""" +
+      s""""refresh_cost_ratio":${wRef10 / wRef100}}""")
     spark.stop()
   }
 }

@@ -659,9 +659,12 @@ object QueriesScale {
     // "which row survives" step after pair detection; chained dups
     // (a~b, b~c) collapse into one cluster even when a~c was never a
     // candidate. DuckDB oracle: recursive-CTE reachability closure.
+    // The engine feeds CC the connectivity-preserving star edge set
+    // (r12: Dedup.simhashEdges) — identical components to the full
+    // pair graph at linear edge cardinality in exact-dup group size.
     "q50_dup_clusters" -> q { (spark, dir) =>
       Dedup.duplicateClusters(
-        Dedup.simhashPairs(docs(spark, dir), maxHamming = 12))
+        Dedup.simhashEdges(docs(spark, dir), maxHamming = 12))
     },
 
     // Quality-aware survivor selection (r4 verdict item 4): the
@@ -677,7 +680,7 @@ object QueriesScale {
       import graft.text.TextStatsExpression.textStats
       val d = docs(spark, dir)
       val clusters = Dedup.duplicateClusters(
-        Dedup.simhashPairs(d, maxHamming = 12))
+        Dedup.simhashEdges(d, maxHamming = 12))
       val scored = d.withColumn("st", textStats(col("text")))
         .select(col("doc_id"), qualityScore.as("quality_score"))
       val labeled = scored.join(clusters, Seq("doc_id"), "left")
@@ -4465,7 +4468,12 @@ object QueriesScale {
     // unchanged mass (the overwhelming majority of a real release)
     // is filtered before anything reaches the output.
     "q172_release_diff" -> q { (spark, dir) =>
-      val d = docs(spark, dir)
+      // raw scan, NOT the repartitioned docs() helper: the diff's
+      // contract is fingerprints-under-the-scan, and the helper's
+      // parallelism exchange would shuffle full text before the md5
+      // projection (caught by PlanAuditSpec's r12 structural check —
+      // no Exchange in this plan may carry text)
+      val d = t(spark, dir, "documents")
       graft.operators.Release.diff(
         d.filter(col("doc_id") % 13 =!= 5)
           .select(col("doc_id"), col("source"),
@@ -4507,10 +4515,8 @@ object QueriesScale {
     // and the closure is q50's O(log diameter) label propagation.
     "q174_ensemble_dedup" -> q { (spark, dir) =>
       val d = docs(spark, dir)
-      val mh = Dedup.minhashPairs(d, threshold = 0.5, serveSigs = true)
-        .select(col("id_a"), col("id_b"))
-      val sh = Dedup.simhashPairs(d, maxHamming = 12)
-        .select(col("id_a"), col("id_b"))
+      val mh = Dedup.minhashEdges(d, threshold = 0.5, serveSigs = true)
+      val sh = Dedup.simhashEdges(d, maxHamming = 12)
       val cl = Dedup.duplicateClusters(mh.unionByName(sh))
       cl.withColumn("n_members",
         count(lit(1)).over(Window.partitionBy(col("cluster_id")))
@@ -4567,6 +4573,63 @@ object QueriesScale {
         capacity = 256)
       Release.dirtyShards(Release.manifest(packed0),
         Release.manifest(packed1))
+    },
+
+    // INCREMENTAL cluster maintenance (r12 — r11 verdict Next #2):
+    // production dedup is a loop, and q174 made full-closure-per-
+    // batch the catalog's most expensive query — so the served label
+    // table absorbs each batch's new edges via a BATCH-sized label-
+    // graph closure instead of re-propagating the historical edge
+    // list. Here history = doc_id % 5 != 0 (its labels are the served
+    // state a prior cycle persisted via Artifacts.saveLabels); the
+    // new batch's detector emits the pairs incident to the arriving
+    // docs (in production: band the batch against the served
+    // signature table, incrementalNearDup-style); mergeClusters
+    // bridges touched components only. The oracle is the FULL
+    // recompute over the union — the spec-level guarantee (merged ≡
+    // full) checked hash-exact in both engines.
+    "q177_incremental_clusters" -> q { (spark, dir) =>
+      val d = docs(spark, dir)
+      val hist = d.filter(col("doc_id") % 5 =!= 0)
+      val labels = Dedup.duplicateClusters(
+        Dedup.simhashEdges(hist, maxHamming = 12))
+      val newEdges = Dedup.simhashPairs(d, maxHamming = 12)
+        .filter(col("id_a") % 5 === 0 || col("id_b") % 5 === 0)
+        .select(col("id_a"), col("id_b"))
+      Dedup.mergeClusters(labels, newEdges)
+    },
+
+    // RELEASE ROOT (r12 — r11 verdict Next #3): the one-hash summary
+    // a release publishes — md5 chain over shard fingerprints in
+    // bucket order plus corpus-wide totals. A consumer holding the
+    // manifest reproduces the root from shard fps alone; holding a
+    // shard, it reproduces that shard's fp from chunk hashes (q179).
+    // Scale shape: one ≤|shards|-row aggregate on top of the q173
+    // manifest — nothing corpus-sized moves.
+    "q178_release_root" -> q { (spark, dir) =>
+      graft.operators.Release.root(
+        graft.operators.Release.manifest(
+          graft.sampling.Packing.packSequences(
+            chunks(spark, dir), capacity = 256, buckets = 32)))
+    },
+
+    // CONSUMER SHARD VERIFICATION (r12): the verify step a downloader
+    // runs — recompute the md5 chain over the packed rows it actually
+    // fetched (here shards 0–7, with a PLANTED corruption in bucket
+    // 5's first chunk) and compare against the published manifest.
+    // The corrupted shard fails loudly (ok = false, fingerprints
+    // differ); the other seven reproduce their chains exactly.
+    // Verifying a subset never touches the rest of the release.
+    "q179_shard_verify" -> q { (spark, dir) =>
+      import graft.operators.Release
+      val packed = graft.sampling.Packing.packSequences(
+        chunks(spark, dir), capacity = 256, buckets = 32)
+      val downloaded = packed.filter(col("bucket") < 8)
+        .withColumn("chunk_hash",
+          when(col("bucket") === 5 && col("seq_id") === 0 &&
+              col("seq_offset") === 0,
+            md5(lit("corrupt"))).otherwise(col("chunk_hash")))
+      Release.verifyShards(downloaded, Release.manifest(packed))
     }
   )
 
@@ -9808,6 +9871,139 @@ object QueriesScale {
          |       n_sequences_v1, n_tokens_v1, fp_v1,
          |       (fp_v0 IS NULL OR fp_v1 IS NULL OR fp_v0 <> fp_v1)
          |         AS dirty
-         |FROM m0 FULL OUTER JOIN m1 USING (bucket)""".stripMargin
+         |FROM m0 FULL OUTER JOIN m1 USING (bucket)""".stripMargin,
+
+    // q177: the incremental merge must equal the FULL recompute over
+    // the union of historical and new edges — so the oracle is
+    // exactly the q50 closure over the complete pair set; the
+    // history/batch split exists only on the engine side.
+    "q177_incremental_clusters" ->
+      s"""WITH RECURSIVE $simhashPairsSql,
+         |e AS (
+         |  SELECT id_a AS u, id_b AS v FROM pairs WHERE hamming <= 12
+         |  UNION
+         |  SELECT id_b, id_a FROM pairs WHERE hamming <= 12),
+         |r(u, v) AS (
+         |  SELECT u, v FROM e
+         |  UNION
+         |  SELECT r.u, e.v FROM r JOIN e ON r.v = e.u),
+         |m AS (SELECT u, MIN(v) AS mv FROM r GROUP BY u)
+         |SELECT u AS doc_id, LEAST(u, mv) AS cluster_id FROM m""".stripMargin,
+
+    // q178: the q173 manifest chain wrapped in the release-root
+    // aggregate — shard fps chained in bucket order.
+    "q178_release_root" ->
+      s"""WITH $toksSql,
+         |ch AS (
+         |  SELECT doc_id, tk,
+         |         unnest(generate_series(1, greatest(len(tk), 1), 48))
+         |           AS s
+         |  FROM toks),
+         |ck AS (
+         |  SELECT doc_id, CAST((s - 1) // 48 AS INT) AS chunk_idx,
+         |         CAST(doc_id % 32 AS INT) AS bucket,
+         |         CAST(len(tk[s : s + 63]) AS BIGINT) AS n,
+         |         md5(array_to_string(tk[s : s + 63], ' '))
+         |           AS chunk_hash
+         |  FROM ch),
+         |c AS (
+         |  SELECT doc_id, chunk_idx, bucket, n, chunk_hash,
+         |         COALESCE(SUM(n) OVER (PARTITION BY bucket
+         |           ORDER BY doc_id, chunk_idx
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |           0) AS cum
+         |  FROM ck),
+         |pk AS (
+         |  SELECT chunk_hash, n, bucket,
+         |         CAST(cum // 256 AS BIGINT) AS seq_id,
+         |         CAST(cum % 256 AS BIGINT) AS seq_offset
+         |  FROM c),
+         |sq AS (
+         |  SELECT bucket, seq_id,
+         |         md5(string_agg(chunk_hash, ''
+         |           ORDER BY seq_offset, chunk_hash))
+         |           AS seq_fp,
+         |         CAST(count(*) AS BIGINT) AS n_chunks,
+         |         CAST(sum(n) AS BIGINT) AS n_tokens
+         |  FROM pk GROUP BY 1, 2),
+         |m AS (
+         |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_sequences,
+         |         CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
+         |         CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |         md5(string_agg(seq_fp, '' ORDER BY seq_id)) AS shard_fp
+         |  FROM sq GROUP BY 1)
+         |SELECT CAST(count(*) AS BIGINT) AS n_shards,
+         |       CAST(sum(n_sequences) AS BIGINT) AS n_sequences,
+         |       CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
+         |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |       md5(string_agg(shard_fp, '' ORDER BY bucket))
+         |         AS release_fp
+         |FROM m""".stripMargin,
+
+    // q179: the q173 chain twice — the full manifest (expected) and
+    // the downloaded buckets 0–7 with bucket 5's first chunk hash
+    // corrupted (actual) — left-joined per bucket with the verdict.
+    "q179_shard_verify" ->
+      s"""WITH $toksSql,
+         |ch AS (
+         |  SELECT doc_id, tk,
+         |         unnest(generate_series(1, greatest(len(tk), 1), 48))
+         |           AS s
+         |  FROM toks),
+         |ck AS (
+         |  SELECT doc_id, CAST((s - 1) // 48 AS INT) AS chunk_idx,
+         |         CAST(doc_id % 32 AS INT) AS bucket,
+         |         CAST(len(tk[s : s + 63]) AS BIGINT) AS n,
+         |         md5(array_to_string(tk[s : s + 63], ' '))
+         |           AS chunk_hash
+         |  FROM ch),
+         |c AS (
+         |  SELECT doc_id, chunk_idx, bucket, n, chunk_hash,
+         |         COALESCE(SUM(n) OVER (PARTITION BY bucket
+         |           ORDER BY doc_id, chunk_idx
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |           0) AS cum
+         |  FROM ck),
+         |pk AS (
+         |  SELECT chunk_hash, n, bucket,
+         |         CAST(cum // 256 AS BIGINT) AS seq_id,
+         |         CAST(cum % 256 AS BIGINT) AS seq_offset
+         |  FROM c),
+         |sq AS (
+         |  SELECT bucket, seq_id,
+         |         md5(string_agg(chunk_hash, ''
+         |           ORDER BY seq_offset, chunk_hash))
+         |           AS seq_fp
+         |  FROM pk GROUP BY 1, 2),
+         |expected AS (
+         |  SELECT bucket,
+         |         md5(string_agg(seq_fp, '' ORDER BY seq_id))
+         |           AS expected_fp
+         |  FROM sq GROUP BY 1),
+         |dl AS (
+         |  SELECT bucket, seq_id, seq_offset, n,
+         |         CASE WHEN bucket = 5 AND seq_id = 0
+         |                   AND seq_offset = 0
+         |              THEN md5('corrupt') ELSE chunk_hash END
+         |           AS chunk_hash
+         |  FROM pk WHERE bucket < 8),
+         |sq2 AS (
+         |  SELECT bucket, seq_id,
+         |         md5(string_agg(chunk_hash, ''
+         |           ORDER BY seq_offset, chunk_hash))
+         |           AS seq_fp,
+         |         CAST(sum(n) AS BIGINT) AS n_tokens
+         |  FROM dl GROUP BY 1, 2),
+         |actual AS (
+         |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_sequences,
+         |         CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |         md5(string_agg(seq_fp, '' ORDER BY seq_id))
+         |           AS actual_fp
+         |  FROM sq2 GROUP BY 1)
+         |SELECT a.bucket, a.n_sequences, a.n_tokens,
+         |       e.expected_fp, a.actual_fp,
+         |       (e.expected_fp IS NOT NULL
+         |         AND a.actual_fp = e.expected_fp) AS ok
+         |FROM actual a LEFT JOIN expected e USING (bucket)""".stripMargin
   )
 }

@@ -335,6 +335,58 @@ object Dedup {
     cross.union(within)
   }
 
+  /** Connectivity-preserving MinHash edge set for connected-components
+    * consumers — [[simhashEdges]]'s twin over [[minhashPairs]]'s
+    * collapse: one edge per candidate representative pair (distinct
+    * signatures sharing a band, est_jaccard ≥ threshold) plus a star
+    * of rep→member edges inside each multi-member signature group
+    * (identical signatures are est_jaccard exactly 1.0 ≥ any
+    * threshold ≤ 1). Components are identical to the full pair
+    * graph's at an edge list LINEAR in exact-dup group size — the CC
+    * input stays bounded on boilerplate-heavy corpora where the pair
+    * contract is inherently quadratic. Rides the same served
+    * signature table (`serveSigs`).
+    */
+  def minhashEdges(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", k: Int = 16,
+                   bands: Int = 4, shingleSize: Int = 3,
+                   threshold: Double = 0.5,
+                   serveSigs: Boolean = false): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val r = k / bands
+    val sigs =
+      if (serveSigs) cachedSigs(docs, idCol, textCol, k, shingleSize)
+      else sigFrame(docs, idCol, textCol, k, shingleSize)
+    val members = sigs.select(col("sig_fp"), col(idCol))
+    val groups = sigs.groupBy(col("sig_fp"))
+      .agg(min(col(idCol)).as("rep_id"), first(col("sig")).as("sig"),
+        count(lit(1)).as("__m"))
+    val banded = groups
+      .withColumn("band",
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band_idx"),
+            md5(concat_ws("|", slice(col("sig"), b * r + 1, lit(r))))
+              .as("band_hash")))))
+      .select(col("rep_id"), col("sig"),
+        col("band.band_idx"), col("band.band_hash"))
+    val a = banded.select(col("rep_id").as("rid_a"),
+      col("sig").as("sig_a"), col("band_idx"), col("band_hash"))
+    val b = banded.select(col("rep_id").as("rid_b"),
+      col("sig").as("sig_b"), col("band_idx"), col("band_hash"))
+    val repEdges = a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("rid_a") < col("rid_b"))
+      .filter((size(filter(zip_with(col("sig_a"), col("sig_b"),
+        (x, y) => x === y), p => p)).cast("double") / k) >= threshold)
+      .select(col("rid_a").as("id_a"), col("rid_b").as("id_b"))
+      .distinct()
+    val starEdges = members
+      .join(groups.filter(col("__m") > 1)
+        .select(col("sig_fp"), col("rep_id")), Seq("sig_fp"))
+      .filter(col(idCol) =!= col("rep_id"))
+      .select(col("rep_id").as("id_a"), col(idCol).as("id_b"))
+    repEdges.union(starEdges)
+  }
+
   /** 64-bit SimHash as a 16-hex-char string. Per token: 64 bits from
     * the first 16 hex chars of md5(token); each bit votes +1/-1; final
     * bit = vote > 0. Duplicate tokens vote multiple times (standard
@@ -360,32 +412,135 @@ object Dedup {
     * band by pigeonhole; larger thresholds trade recall) re-scored
     * with exact hamming distance. Join is on exact band values — no
     * all-pairs comparison, same scale shape as MinHash-LSH.
+    *
+    * Identical-signature hardening (r11 verdict item 1 — the
+    * [[minhashPairs]] discipline applied to the one detector that
+    * lacked it): exact duplicates share the SAME 64-bit simhash, so
+    * they collide in every band, and an m-doc exact-dup group would
+    * push 4·m²/2 rows through the band join before the hamming
+    * filter — quadratic in dup-group size on corpora that are ~30%
+    * exact dups (any real crawl). Signatures therefore collapse to
+    * ONE representative per distinct `sh` before the band self-join;
+    * the join, hamming rescore, and dedup exchange all run at
+    * distinct-signature cardinality. Member pairs re-expand afterward
+    * at output cardinality: cross-group pairs by two fan-out joins
+    * (hamming is a function of the two signatures only, so every
+    * member pair inherits its representatives' distance exactly), and
+    * within-group pairs arithmetically at hamming = 0 (identical
+    * signatures). Worst case drops from quadratic-in-group band work
+    * to linear, plus the inherently output-sized pair list — CC
+    * consumers that only need connectivity should use
+    * [[simhashEdges]], which is linear outright.
     */
   def simhashPairs(docs: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text",
                    maxHamming: Int = 3): DataFrame = {
-    val banded = docs
+    val (members, repPairs) = simhashRepPairs(
+      docs, idCol, textCol, maxHamming)
+    // cross-group expansion: every (member of A, member of B) combo,
+    // oriented smaller-id-first — pure fan-out joins, output-sized
+    val cross = repPairs
+      .join(members.select(col("sh").as("sh_a"),
+        col(idCol).as("__ia")), Seq("sh_a"))
+      .join(members.select(col("sh").as("sh_b"),
+        col(idCol).as("__ib")), Seq("sh_b"))
+      .select(least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"),
+        col("hamming"))
+    // within-group pairs: identical signatures are at hamming exactly
+    // 0, which always clears maxHamming >= 0 — no band join needed
+    val within = members.select(col("sh"), col(idCol).as("id_a"))
+      .join(members.select(col("sh"), col(idCol).as("id_b")),
+        Seq("sh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        lit(0).cast("int").as("hamming"))
+    cross.union(within)
+  }
+
+  /** Shared collapse stage of [[simhashPairs]]/[[simhashEdges]]:
+    * (member table (sh, id), representative pairs (sh_a, sh_b,
+    * hamming) — one row per unordered pair of DISTINCT signatures
+    * that share a band and pass the hamming threshold).
+    */
+  private def simhashRepPairs(docs: DataFrame, idCol: String,
+                              textCol: String, maxHamming: Int)
+      : (DataFrame, DataFrame) = {
+    // First repartition: parallelize signature hashing (input may
+    // arrive as few splits). Second: a materialization barrier keyed
+    // on sh — the grouped collapse below then needs no further
+    // shuffle, and the members/groups consumers read the SAME
+    // exchange, so the signature is computed once per doc. Text is
+    // dropped before the barrier: the exchange carries (id, sh) only.
+    val sigs = docs
       .select(col(idCol), col(textCol))
       .repartition(col(idCol))
       .withColumn("sh", simhash(col(textCol)))
-      .repartition(col(idCol))
-      .select(col(idCol), col("sh"),
+      .select(col(idCol), col("sh"))
+      .repartition(col("sh"))
+    val members = sigs.select(col("sh"), col(idCol))
+    // one row per DISTINCT signature; rep ids are unique per group
+    val groups = sigs.groupBy(col("sh"))
+      .agg(min(col(idCol)).as("rep_id"))
+    val banded = groups
+      .select(col("sh"), col("rep_id"),
         posexplode(array((0 until 4).map(b =>
           col("sh").substr(b * 4 + 1, 4)): _*))
           .as(Seq("band_idx", "band_val")))
-    val a = banded.select(col(idCol).as("id_a"), col("sh").as("sh_a"),
-      col("band_idx"), col("band_val"))
-    val b = banded.select(col(idCol).as("id_b"), col("sh").as("sh_b"),
-      col("band_idx"), col("band_val"))
-    a.join(b, Seq("band_idx", "band_val"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
+    val a = banded.select(col("sh").as("sh_a"),
+      col("rep_id").as("rid_a"), col("band_idx"), col("band_val"))
+    val b = banded.select(col("sh").as("sh_b"),
+      col("rep_id").as("rid_b"), col("band_idx"), col("band_val"))
+    // rid_a < rid_b: each unordered pair of DISTINCT signatures once;
+    // same-signature collisions are excluded here and handled
+    // arithmetically by the callers
+    val repPairs = a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("rid_a") < col("rid_b"))
+      .select(col("sh_a"), col("sh_b"),
         simhashHamming(col("sh_a"), col("sh_b")).as("hamming"))
-      // threshold BEFORE the dedup shuffle: a pair colliding in
-      // several bands is deduped once either way, but far-apart pairs
-      // (hamming > max) never enter the exchange
+      // threshold BEFORE the dedup shuffle: a signature pair colliding
+      // in several bands is deduped once either way, but far-apart
+      // pairs (hamming > max) never enter the exchange
       .filter(col("hamming") <= maxHamming)
       .distinct()
+    (members, repPairs)
+  }
+
+  /** Connectivity-preserving SimHash edge set for connected-components
+    * consumers ([[duplicateClusters]]): instead of [[simhashPairs]]'s
+    * full pair contract (inherently quadratic in exact-dup group
+    * size, because that IS the pair output), emit (1) one edge per
+    * candidate REPRESENTATIVE pair and (2) a star of rep→member edges
+    * inside each multi-member signature group. Components are
+    * IDENTICAL to the full pair graph's — within a group every member
+    * reaches the rep directly, and across groups members connect via
+    * their reps — but the edge list is linear in docs + distinct-
+    * signature candidate pairs, so the CC input for a corpus with
+    * million-copy boilerplate clusters stays million-edge, not
+    * half-a-trillion-edge. Output columns (id_a, id_b) with
+    * id_a < id_b (reps are group minima, so star edges orient
+    * naturally).
+    */
+  def simhashEdges(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text",
+                   maxHamming: Int = 3): DataFrame = {
+    val (members, repPairs) = simhashRepPairs(
+      docs, idCol, textCol, maxHamming)
+    val groups = members.groupBy(col("sh"))
+      .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("__m"))
+    val repEdges = repPairs
+      .join(groups.select(col("sh").as("sh_a"),
+        col("rep_id").as("__ra")), Seq("sh_a"))
+      .join(groups.select(col("sh").as("sh_b"),
+        col("rep_id").as("__rb")), Seq("sh_b"))
+      .select(least(col("__ra"), col("__rb")).as("id_a"),
+        greatest(col("__ra"), col("__rb")).as("id_b"))
+    val starEdges = members
+      .join(groups.filter(col("__m") > 1)
+        .select(col("sh"), col("rep_id")), Seq("sh"))
+      .filter(col(idCol) =!= col("rep_id"))
+      .select(col("rep_id").as("id_a"), col(idCol).as("id_b"))
+    repEdges.union(starEdges)
   }
 
   /** Exact word n-gram Jaccard similarity between two shingle-set
@@ -552,6 +707,72 @@ object Dedup {
       s"duplicateClusters: not converged after $maxIter rounds — " +
         s"component diameter exceeds 2^$maxIter; raise maxIter")
     labels.select(col("u").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Incremental cluster maintenance (r12 — r11 verdict "Next" item
+    * 2): merge a batch of NEW near-dup edges into an EXISTING cluster
+    * label table without re-propagating the historical edge list.
+    * Production dedup is a loop — each ingest cycle's detectors
+    * (e.g. [[incrementalNearDup]], the q174 ensemble on the new
+    * slice) emit edges incident to the batch, and the served labels
+    * ([[duplicateClusters]] output, persisted via
+    * [[graft.model.Artifacts.saveLabels]]) must absorb them without
+    * the full-closure recompute that made q174 the catalog's most
+    * expensive query.
+    *
+    * Correctness rests on the min-label invariant: every existing
+    * `cluster_id` IS the minimum doc id of its component, so merging
+    * components reduces to connected components over the LABEL graph
+    * — one node per touched label (previously-unlabeled endpoints
+    * label themselves), one edge per new edge whose endpoints carry
+    * different labels — and the merged root (min over merged labels)
+    * equals the min doc id over the merged components, exactly what a
+    * full recompute over (old ∪ new) edges would assign. Untouched
+    * components never enter the label graph and keep their labels
+    * bit-for-bit.
+    *
+    * Scale shape: the label graph is BATCH-sized (≤ 2·|newEdges|
+    * nodes), so its closure is a near-free fixpoint regardless of
+    * corpus size, and the relabel map joins back to the corpus-sized
+    * label table on `cluster_id` — one broadcast-able join, no
+    * corpus-edge re-propagation. Output: (doc_id, cluster_id) over
+    * previously-labeled docs ∪ new-edge endpoints, identical to
+    * `duplicateClusters(oldEdges ∪ newEdges)`.
+    */
+  def mergeClusters(labels: DataFrame, newEdges: DataFrame,
+                    idA: String = "id_a", idB: String = "id_b",
+                    maxIter: Int = 40): DataFrame = {
+    val lab = labels.select(col("doc_id"), col("cluster_id"))
+    val e = newEdges.select(col(idA).as("u"), col(idB).as("v"))
+      .filter(col("u") =!= col("v"))
+    // endpoint → current label; an endpoint with no history labels
+    // itself (the duplicateClusters initialization for fresh docs)
+    val ends = e.select(explode(array(col("u"), col("v"))).as("doc_id"))
+      .distinct()
+    val endLab = ends.join(lab, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("lbl"))
+    // label-graph edges: only edges that actually bridge two distinct
+    // labels survive — an in-cluster rediscovery costs nothing
+    val labelEdges = e
+      .join(endLab.select(col("doc_id").as("u"), col("lbl").as("__lu")),
+        Seq("u"))
+      .join(endLab.select(col("doc_id").as("v"), col("lbl").as("__lv")),
+        Seq("v"))
+      .filter(col("__lu") =!= col("__lv"))
+      .select(least(col("__lu"), col("__lv")).as("id_a"),
+        greatest(col("__lu"), col("__lv")).as("id_b"))
+      .distinct()
+    // closure over the batch-sized label graph only
+    val rootMap = duplicateClusters(labelEdges, maxIter = maxIter)
+      .select(col("cluster_id").as("__root"), col("doc_id").as("lbl"))
+    val prevUnlabeled = endLab
+      .join(lab.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    val all = lab.select(col("doc_id"), col("cluster_id").as("lbl"))
+      .unionByName(prevUnlabeled.select(col("doc_id"), col("lbl")))
+    all.join(rootMap, Seq("lbl"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__root"), col("lbl")).as("cluster_id"))
   }
 
   /** Verified near-dup pairs: LSH candidates re-scored with exact

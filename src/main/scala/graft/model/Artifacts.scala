@@ -216,6 +216,61 @@ object Artifacts {
                 path: String): org.apache.spark.sql.DataFrame =
     Checkpoints.materialize(spark.read.parquet(path))
 
+  /** The crawl loop's operational state (r12 — r11 verdict Next #4):
+    * everything [[graft.sources.Recrawl]]'s next cycle reads that
+    * previously lived only as caller-carried DataFrames and died with
+    * the JVM —
+    *  - `history` (loc, crawl_day, changed): the add-half change-rate
+    *    estimator's observations, grown by `ingestOutcomes`;
+    *  - `errorLedger` (loc, n_errors, next_eligible_day): the
+    *    exponential back-off `planWithBackoff` enforces — losing it
+    *    mid-loop would re-hammer every erroring host at full rate;
+    *  - `hostQuality` (host, keep_rate): the keep-rate priors
+    *    `planWithQuality` folds into staleness priority.
+    * A restarted driver loads the state and plans the next cycle
+    * IDENTICALLY to an uninterrupted loop (RecrawlSpec asserts the
+    * plan across a save/load boundary bit-for-bit). History is
+    * crawl-log-sized → distributed write; ledger and quality are
+    * error-/host-bounded but write the same way for uniformity —
+    * all columns are longs/booleans/doubles-from-ratios, so the
+    * round-trips are exact.
+    */
+  case class CrawlState(history: org.apache.spark.sql.DataFrame,
+                        errorLedger: org.apache.spark.sql.DataFrame,
+                        hostQuality: org.apache.spark.sql.DataFrame)
+
+  def saveCrawlState(state: CrawlState, path: String): Unit = {
+    state.history.write.mode("overwrite").parquet(s"$path/history")
+    state.errorLedger.write.mode("overwrite")
+      .parquet(s"$path/error_ledger")
+    state.hostQuality.write.mode("overwrite")
+      .parquet(s"$path/host_quality")
+  }
+
+  def loadCrawlState(spark: SparkSession, path: String): CrawlState =
+    CrawlState(
+      Checkpoints.materialize(spark.read.parquet(s"$path/history")),
+      Checkpoints.materialize(
+        spark.read.parquet(s"$path/error_ledger")),
+      Checkpoints.materialize(
+        spark.read.parquet(s"$path/host_quality")))
+
+  /** The served duplicate-cluster label table (doc_id, cluster_id) —
+    * [[graft.dedup.Dedup.duplicateClusters]]'s output and
+    * [[graft.dedup.Dedup.mergeClusters]]'s input/output: production
+    * dedup is a loop, so the labels persist between ingest cycles and
+    * each batch's new edges merge into the LOADED table instead of
+    * re-propagating the full edge list. Corpus-sized → distributed
+    * write; both columns are longs, so the round-trip is exact.
+    */
+  def saveLabels(labels: org.apache.spark.sql.DataFrame,
+                 path: String): Unit =
+    labels.write.mode("overwrite").parquet(path)
+
+  def loadLabels(spark: SparkSession,
+                 path: String): org.apache.spark.sql.DataFrame =
+    Checkpoints.materialize(spark.read.parquet(path))
+
   /** A served per-doc LM score frame — [[NgramLm.cachedScoreFrame]]'s
     * derived trained state (q136/q151/q156/q166's warm input).
     * Corpus-sized → distributed write; the columns are integer

@@ -79,6 +79,24 @@ object Similarity {
     * recall-bounded prescreen — the same two-stage shape as the text
     * rescore path.
     */
+  /** Verified-non-empty bench plans ([[benchContamination]]'s probe
+    * memo — bounded like every served-state cache).
+    */
+  private val benchProbeCache =
+    new graft.model.BoundedCache[java.lang.Boolean](
+      graft.model.NgramLm.MaxMemoEntries, _ => ())
+
+  /** Count of ACTUAL emptiness probes (memo hits leave it untouched)
+    * — the FitCacheSpec counter discipline.
+    */
+  private[graft] val benchProbeRunCount =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Drop the memoized bench-emptiness verdicts (the in-place-rewrite
+    * staleness hatch, [[graft.dedup.Dedup.clearSigCache]]'s twin).
+    */
+  def clearBenchProbeCache(): Unit = benchProbeCache.clear()
+
   def benchContamination(corpus: DataFrame, bench: DataFrame,
                          threshold: Double,
                          idCol: String = "vec_id",
@@ -88,10 +106,21 @@ object Similarity {
     // fail LOUDLY on an empty suite: the cross join would silently
     // emit ZERO rows, and "no contamination found" with no corpus
     // vector present is indistinguishable from an un-run audit.
-    // The emptiness probe is one limit-1 job on the bounded side.
-    require(!bench.isEmpty,
-      "benchContamination: benchmark suite is empty — a mis-filtered " +
-        "bench frame would silently report no contamination")
+    // The emptiness probe is one limit-1 job on the bounded side,
+    // MEMOIZED per bench plan (r11 ADVICE item 3): harness loops that
+    // construct the query repeatedly — the full-catalog plan audits —
+    // pay the probe once, not per construction. Same plan-key caveat
+    // as every served table: a bench file rewritten in place within
+    // one JVM keeps its verdict until [[clearBenchProbeCache]].
+    val benchKey = corpusPlanKey(bench)
+    if (benchProbeCache.get(benchKey) == null) {
+      benchProbeRunCount.incrementAndGet()
+      require(!bench.isEmpty,
+        "benchContamination: benchmark suite is empty — a " +
+          "mis-filtered bench frame would silently report no " +
+          "contamination")
+      benchProbeCache.put(benchKey, java.lang.Boolean.TRUE)
+    }
     val c = corpus.select(col(idCol), col(vecCol),
       l2Norm(col(vecCol)).as("__cn"))
     val b = bench.select(col(vecCol).as("__bvec"),
@@ -435,6 +464,97 @@ object Similarity {
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("n_vecs"),
         sum(units).as("affinity_units"))
+  }
+
+  /** Dirty-cell decision from an [[ivfCellStats]] audit (r12 — r11
+    * verdict Next #5 wires the q127 monitor to an ACTION): a cell is
+    * dirty when its occupancy breaches `maxOccupancy` (mega-cell —
+    * the q89 latency hazard) or its mean member affinity falls below
+    * `minMeanAffinity` (stale centroid — members drifted away from
+    * the direction that owns them). The stats frame is ≤ nlist rows,
+    * so the collect is model-sized like the centroids themselves.
+    */
+  def dirtyCellsFromStats(stats: DataFrame, maxOccupancy: Long,
+                          minMeanAffinity: Double): Seq[Int] =
+    stats.filter(col("n_vecs") > maxOccupancy ||
+        (col("affinity_units").cast("double") /
+          col("n_vecs").cast("double")) < minMeanAffinity * 1e6)
+      .select(col("cell")).collect().map(_.getInt(0)).toSeq.sorted
+
+  /** Incremental IVF index refresh: refit ONLY the dirty cells'
+    * centroids (each becomes the quantized mean of its CURRENT
+    * members — the Lloyd update step restricted to the dirty slice)
+    * and reassign ONLY those members over the updated centroid set
+    * (one [[VectorExpressions.centroidAssign]] pass over the slice).
+    * Returns (updated centroids, reassigned dirty members); the
+    * caller composes the refreshed serving table as
+    * `assigned.filter(!dirty) ∪ reassigned` — at 100 TB the clean
+    * rows are never rewritten, only the dirty slice upserts, which is
+    * also why the reassigned rows return SEPARATELY instead of
+    * re-unioned here (IvfRefreshSpec listener-asserts that no refresh
+    * job reads a clean-cell member).
+    *
+    * Accepted drift, stated: only dirty centroids move, but a dirty
+    * member reassigns against the FULL updated set (it may land in a
+    * clean cell); clean members keep their routing even if a moved
+    * centroid is now marginally nearer — stale-but-bounded
+    * assignments are inherent to incremental maintenance, and the
+    * next audit cycle flags any cell the drift degrades. A dirty
+    * cell with NO members keeps its old centroid (nothing to refit
+    * from — [[kmeansRefine]]'s empty-cell rule).
+    *
+    * Scale shape: the refit aggregate exchanges ≤ |dirty|·dims
+    * integer-unit rows; the driver materialization is |dirty|·dims
+    * doubles (model-sized); the reassignment is one native
+    * expression over the member slice. With the assignment table
+    * partitioned by cell, partition pruning makes both passes read
+    * only dirty files — refresh cost ∝ dirty fraction
+    * (DevNlistScale's refresh leg measures it).
+    */
+  def ivfRefreshDirtyCells(assigned: DataFrame,
+                           centroids: Seq[Array[Double]],
+                           dirtyCells: Seq[Int],
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding",
+                           quantDp: Int = 6)
+      : (Seq[Array[Double]], DataFrame) = {
+    import graft.functions.PortableRound.pround
+    require(centroids.nonEmpty,
+      "ivfRefreshDirtyCells: centroids required")
+    require(dirtyCells.forall(c => c >= 0 && c < centroids.size),
+      s"ivfRefreshDirtyCells: dirty cell out of range " +
+        s"(nlist=${centroids.size})")
+    if (dirtyCells.isEmpty)
+      return (centroids, assigned.filter(lit(false)))
+    val slice = assigned
+      .filter(col("cell").isin(dirtyCells.map(Int.box): _*))
+    val unit = math.pow(10.0, quantDp)
+    // Lloyd update on CURRENT membership: no assignment recompute in
+    // the refit pass — the cell column is the membership
+    val means = slice
+      .select(col("cell"), posexplode(col(vecCol)).as(Seq("dim", "__x")))
+      .select(col("cell"), col("dim"),
+        floor(col("__x").cast("double") * unit + lit(0.5)).cast("long")
+          .as("__u"))
+      .groupBy(col("cell"), col("dim"))
+      .agg(count(lit(1)).as("__n"), sum(col("__u")).as("__usum"))
+      .select(col("cell"), col("dim"),
+        pround(col("__usum").cast("double") / unit /
+          col("__n").cast("double"), quantDp).as("__m"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (cell, rows) =>
+        cell -> rows.map(r => r.getInt(1) -> r.getDouble(2))
+          .sortBy(_._1).map(_._2).toArray
+      }
+    val updated = centroids.zipWithIndex.map { case (c, i) =>
+      means.getOrElse(i, c)
+    }
+    val reassigned = slice
+      .withColumn("cell",
+        VectorExpressions.centroidAssign(col(vecCol), updated)
+          .getField("cell"))
+    (updated, reassigned)
   }
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame,

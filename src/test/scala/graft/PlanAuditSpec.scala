@@ -577,10 +577,31 @@ class PlanAuditSpec extends SparkSpec {
     // reference the text column above its md5 projection
     val p = plan("q172_release_diff")
     assert(p.contains("FullOuter"), p.take(3000))
-    // everything above the join must be fingerprint-only: md5 is
-    // projected below, so no text column survives into the join
-    val above = p.substring(0, p.indexOf("Join"))
-    assert(!above.contains("text#"),
-      s"q172 moves raw text above the join:\n${p.take(3000)}")
+    // structural assertion (r11 ADVICE item 1 — the string-prefix
+    // check only covered operators ABOVE the join): no Exchange
+    // anywhere in the plan may carry the text column — md5 projects
+    // under the scan, so every shuffle moves (id, source, fp) only
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    // AQE wraps the physical plan in AdaptiveSparkPlanExec (a leaf to
+    // collect()) — descend into it explicitly
+    def nodes(pl: SparkPlan): Seq[SparkPlan] = pl match {
+      case a: AdaptiveSparkPlanExec => pl +: nodes(a.executedPlan)
+      case _ => pl +: pl.children.flatMap(nodes)
+    }
+    val exec = nodes(SparkEntry.queries("q172_release_diff")(spark, dir)
+      .queryExecution.executedPlan)
+    val leaky = exec.collect {
+      case e: Exchange if e.output.exists(_.name == "text") => e
+    }
+    assert(leaky.isEmpty,
+      s"q172 shuffles raw text:\n${leaky.map(_.toString).mkString}")
+    // and the join's inputs themselves are fingerprint-only
+    val joinIn = exec.collect { case j: BaseJoinExec => j }
+      .flatMap(j => j.children.flatMap(_.output.map(_.name)))
+    assert(joinIn.nonEmpty && !joinIn.contains("text"),
+      s"q172 carries raw text into the join: $joinIn")
   }
 }

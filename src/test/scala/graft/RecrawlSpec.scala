@@ -168,6 +168,50 @@ class RecrawlSpec extends SparkSpec {
       s"ledger after cycle 2: $led2")
   }
 
+  test("crawl state persists: a restarted driver plans the next " +
+      "cycle identically to an uninterrupted loop") {
+    import graft.model.Artifacts
+    val fr2 = Seq[(String, String, Option[Long])](
+      ("u/b", "h", None), ("u/c", "h", None),
+      ("u/d", "h", None), ("u/e", "h", None)
+    ).toDF("loc", "host", "lastmod_day")
+    val h1 = Seq(("u/b", 90L, false), ("u/c", 90L, true))
+      .toDF("loc", "crawl_day", "changed")
+    val outcomes = Seq(("u/b", "unchanged"), ("u/c", "changed"),
+      ("u/e", "error")).toDF("loc", "status")
+    // cycle 1 closes: history folds outcomes, ledger records the
+    // error, quality priors come from downstream keep decisions
+    val h2 = Recrawl.ingestOutcomes(h1, outcomes, fetchDay = 100L)
+    val led = Recrawl.errorLedger(outcomes, fetchDay = 100L)
+    val quality = Seq(("h", 0.25)).toDF("host", "keep_rate")
+    // ... and the driver DIES here: state persists, the restarted
+    // JVM loads it back
+    val p = java.nio.file.Files
+      .createTempDirectory("graft_crawl").toString + "/state"
+    Artifacts.saveCrawlState(
+      Artifacts.CrawlState(h2, led, quality), p)
+    val loaded = Artifacts.loadCrawlState(spark, p)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    // cycle 2's plan from LOADED state == from the uninterrupted loop,
+    // for both the back-off and the quality-prior paths
+    val live1 = Recrawl.planWithBackoff(fr2, h2, nowDay = 101L,
+      slotsPerHost = 4, ledger = led)
+    val cold1 = Recrawl.planWithBackoff(fr2, loaded.history,
+      nowDay = 101L, slotsPerHost = 4, ledger = loaded.errorLedger)
+    assert(rows(cold1) == rows(live1) && rows(live1).nonEmpty)
+    val live2 = Recrawl.planWithQuality(fr2, h2, nowDay = 101L,
+      slotsPerHost = 4, hostQuality = quality)
+    val cold2 = Recrawl.planWithQuality(fr2, loaded.history,
+      nowDay = 101L, slotsPerHost = 4,
+      hostQuality = loaded.hostQuality)
+    assert(rows(cold2) == rows(live2) && rows(live2).nonEmpty)
+    // the loaded ledger still holds u/e out of the plan
+    val cold1m = cold1.collect()
+      .map(r => r.getString(1) -> r.getBoolean(12)).toMap
+    assert(cold1m("u/e"), "back-off survives the restart")
+  }
+
   test("zero/negative slot budgets clamp to 1 — a very polite host " +
       "still fetches, one URL per cycle, no NaN cycles") {
     // Crawl-delay 60s under a 20s cycle → floor(20/60) = 0 slots;

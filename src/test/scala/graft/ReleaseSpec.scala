@@ -68,6 +68,67 @@ class ReleaseSpec extends SparkSpec {
     assert(got.toSeq == Seq((0, true), (1, false)))
   }
 
+  test("root chains shard fps in bucket order; one flipped chunk " +
+      "hash flips the root") {
+    val r0 = Release.root(Release.manifest(packedOf(baseTexts)))
+      .collect().head
+    assert(r0.getAs[Long]("n_shards") == 2L)
+    assert(r0.getAs[Long]("n_sequences") == 2L)
+    assert(r0.getAs[Long]("n_chunks") == 4L)
+    assert(r0.getAs[Long]("n_tokens") == 8L)
+    // flipping ONE chunk hash (doc 2's text) must flip the root —
+    // the chain is sensitive to every leaf
+    val r1 = Release.root(
+      Release.manifest(packedOf(baseTexts + (2L -> "ee XX"))))
+      .collect().head
+    assert(r1.getAs[String]("release_fp") !=
+      r0.getAs[String]("release_fp"))
+    // and the root is a pure function of the manifest — identical
+    // content reproduces it bit-for-bit under any partitioning
+    val r2 = Release.root(Release.manifest(
+      packedOf(baseTexts).repartition(5))).collect().head
+    assert(r2.getAs[String]("release_fp") ==
+      r0.getAs[String]("release_fp"))
+  }
+
+  test("verifyShards: clean download verifies; a corrupted chunk " +
+      "fails its shard only; an unpublished bucket fails loudly") {
+    val packed = packedOf(baseTexts)
+    val manifest = Release.manifest(packed)
+    // clean, subset download (bucket 0 only): ok, and verifying one
+    // shard never needs the other's rows
+    val clean = Release.verifyShards(
+      packed.filter(col("bucket") === 0), manifest).collect()
+    assert(clean.length == 1 && clean.head.getAs[Boolean]("ok"))
+    // corrupt one downloaded chunk hash: that bucket fails, the
+    // clean one verifies
+    val corrupted = packed.withColumn("chunk_hash",
+      when(col("bucket") === 0 && col("seq_offset") === 0,
+        lit("tampered")).otherwise(col("chunk_hash")))
+    val got = Release.verifyShards(corrupted, manifest).collect()
+      .map(r => (r.getAs[Int]("bucket"), r.getAs[Boolean]("ok")))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq((0, false), (1, true)))
+    // a bucket the release never published: expected_fp null, ok false
+    val phantom = packed.withColumn("bucket",
+      when(col("bucket") === 1, lit(9)).otherwise(col("bucket")))
+    val ph = Release.verifyShards(phantom, manifest)
+      .filter(col("bucket") === 9).collect().head
+    assert(ph.isNullAt(ph.fieldIndex("expected_fp")))
+    assert(!ph.getAs[Boolean]("ok"))
+  }
+
+  test("diff srcCol parameter renames the provenance column end to " +
+      "end") {
+    val v0 = Seq((1L, "s3://a", "h1")).toDF("doc_id", "origin", "fp")
+    val v1 = Seq((2L, "s3://b", "h2")).toDF("doc_id", "origin", "fp")
+    val got = Release.diff(v0, v1, srcCol = "origin").collect()
+      .map(r => (r.getLong(0), r.getAs[String]("origin"),
+        r.getString(2))).sortBy(_._1)
+    assert(got.toSeq == Seq((1L, "s3://a", "removed"),
+      (2L, "s3://b", "added")))
+  }
+
   test("a shard present in only one version is dirty") {
     val m0 = Release.manifest(packedOf(baseTexts))
     val m1 = Release.manifest(
@@ -141,6 +202,31 @@ class ReleaseSpec extends SparkSpec {
       (10L, 1.0, 2L, true),     // hits both benchmarks
       (11L, 0.8, 1L, true),     // paraphrase-shaped: only b2
       (12L, -0.6, 0L, false)))  // max sim is -0.6 (vs b2)
+  }
+
+  test("benchContamination: empty suite fails loudly; the probe is " +
+      "memoized per bench plan (zero jobs on re-construction)") {
+    val corpus = Seq((10L, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val bench = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(4)
+    Similarity.clearBenchProbeCache()
+    val empty = bench.filter(col("vec_id") < -1)
+    intercept[IllegalArgumentException] {
+      Similarity.benchContamination(corpus, empty, threshold = 0.5)
+    }
+    // r11 ADVICE item 3: harness loops construct the query many
+    // times — only the FIRST construction pays the limit-1 probe job
+    val before = Similarity.benchProbeRunCount.get()
+    Similarity.benchContamination(corpus, bench, threshold = 0.5)
+    assert(Similarity.benchProbeRunCount.get() == before + 1)
+    (1 to 3).foreach { _ =>
+      Similarity.benchContamination(corpus, bench, threshold = 0.5)
+    }
+    assert(Similarity.benchProbeRunCount.get() == before + 1,
+      "re-constructions must ride the memoized verdict")
+    Similarity.clearBenchProbeCache()
   }
 
   test("ensemble closure merges chains split across detectors") {

@@ -154,6 +154,91 @@ class StreamBatchEquivSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("streaming dirty-shard delta == batch dirtyShards on the " +
+      "unioned input; untouched buckets provably clean and omitted") {
+    import graft.operators.Release
+    import graft.sampling.Packing
+    val canonical = Files.createTempDirectory("graft_dsd_c").toString
+    val delta = Files.createTempDirectory("graft_dsd_d").toString
+    val chunker: DataFrame => DataFrame = d => d.select(
+      col("doc_id"), lit(0).cast("int").as("chunk_idx"),
+      size(split(col("text"), " ")).cast("long")
+        .as("n_chunk_tokens"),
+      md5(col("text")).as("chunk_hash"))
+    def pack(d: DataFrame) =
+      Packing.packSequences(chunker(d), capacity = 4, buckets = 4)
+    val b0 = Seq((0L, "aa bb"), (1L, "cc dd"), (2L, "ee ff"),
+      (3L, "gg hh")).toDF("doc_id", "text")
+    val b1 = Seq((4L, "ii jj"), (5L, "kk ll")).toDF("doc_id", "text")
+    StreamingIngest.commitBatchWithDirtyShards(b0, canonical, 0L,
+      delta, chunker, capacity = 4, buckets = 4)
+    StreamingIngest.commitBatchWithDirtyShards(b1, canonical, 1L,
+      delta, chunker, capacity = 4, buckets = 4)
+    def key(df: DataFrame): Set[(Int, Boolean, String, String)] =
+      df.collect().map(r => (r.getAs[Int]("bucket"),
+        r.getAs[Boolean]("dirty"),
+        Option(r.getAs[String]("fp_v0")).getOrElse(""),
+        Option(r.getAs[String]("fp_v1")).getOrElse(""))).toSet
+    val deltas = StreamingIngest.readDirtyShardDeltas(spark, delta)
+    // batch 1 touched buckets 0 and 1 only — 2 and 3 never appear in
+    // its delta, and its rows equal the BATCH dirtyShards between the
+    // pre- and post-commit corpora restricted to the touched buckets
+    val d1 = deltas.filter(col("batch_id") === 1L)
+    assert(d1.select(col("bucket")).collect().map(_.getInt(0)).toSet
+      == Set(0, 1))
+    val batchD1 = Release.dirtyShards(
+      Release.manifest(pack(b0)),
+      Release.manifest(pack(b0.unionByName(b1))))
+    assert(key(d1) == key(batchD1.filter(col("bucket") < 2)))
+    // the omitted buckets are PROVABLY clean in the batch compute
+    assert(batchD1.filter(col("bucket") >= 2)
+      .collect().forall(!_.getAs[Boolean]("dirty")))
+    // cold start: batch 0's delta shows all four buckets added-dirty
+    val d0 = deltas.filter(col("batch_id") === 0L)
+    assert(key(d0) == key(Release.dirtyShards(
+      Release.manifest(pack(b0)).filter(lit(false)),
+      Release.manifest(pack(b0)))))
+    assert(d0.collect().forall(_.getAs[Boolean]("dirty")))
+  }
+
+  test("dirty-shard delta survives replay and a crash between the " +
+      "canonical marker and the delta write") {
+    import graft.operators.Release
+    val canonical = Files.createTempDirectory("graft_dsd_c2").toString
+    val delta = Files.createTempDirectory("graft_dsd_d2").toString
+    val chunker: DataFrame => DataFrame = d => d.select(
+      col("doc_id"), lit(0).cast("int").as("chunk_idx"),
+      size(split(col("text"), " ")).cast("long")
+        .as("n_chunk_tokens"),
+      md5(col("text")).as("chunk_hash"))
+    val b0 = Seq((0L, "aa bb"), (1L, "cc dd")).toDF("doc_id", "text")
+    val b1 = Seq((4L, "ii jj")).toDF("doc_id", "text")
+    StreamingIngest.commitBatchWithDirtyShards(b0, canonical, 0L,
+      delta, chunker, capacity = 4, buckets = 4)
+    // crash window: the canonical commit of batch 1 lands but the
+    // driver dies before the delta write...
+    StreamingIngest.commitBatch(b1, canonical, 1L)
+    // ...the replay must derive "before" as committed-minus-batch-1
+    // and publish the delta batch 1 would have produced
+    StreamingIngest.commitBatchWithDirtyShards(b1, canonical, 1L,
+      delta, chunker, capacity = 4, buckets = 4)
+    val d1 = StreamingIngest.readDirtyShardDeltas(spark, delta)
+      .filter(col("batch_id") === 1L).collect()
+    assert(d1.map(_.getAs[Int]("bucket")).toSet == Set(0))
+    assert(d1.forall(_.getAs[Boolean]("dirty")))
+    val before = d1.map(r =>
+      Option(r.getAs[String]("fp_v0"))).toSeq
+    assert(before.forall(_.isDefined),
+      "the replayed delta still sees the PRE-commit fingerprint")
+    // a full replay of an already-published delta is a no-op
+    val snap = StreamingIngest.readDirtyShardDeltas(spark, delta)
+      .collect().map(_.toString).toSet
+    StreamingIngest.commitBatchWithDirtyShards(b1, canonical, 1L,
+      delta, chunker, capacity = 4, buckets = 4)
+    assert(StreamingIngest.readDirtyShardDeltas(spark, delta)
+      .collect().map(_.toString).toSet == snap)
+  }
+
   test("crawl ingest: streaming WARC segmentation == batch parse") {
     // the crawl layer as a STREAM: containers arrive as files, the
     // partition-local record walk (mapPartitions — stateless, so it
