@@ -659,12 +659,12 @@ object QueriesScale {
     // "which row survives" step after pair detection; chained dups
     // (a~b, b~c) collapse into one cluster even when a~c was never a
     // candidate. DuckDB oracle: recursive-CTE reachability closure.
-    // The engine feeds CC the connectivity-preserving star edge set
-    // (r12: Dedup.simhashEdges) — identical components to the full
-    // pair graph at linear edge cardinality in exact-dup group size.
+    // The engine runs CC over the REPRESENTATIVE graph only (r12:
+    // Dedup.simhashClusters) — one node per distinct signature,
+    // members attach by one join — identical labels to the full pair
+    // graph at rep-graph iteration cost.
     "q50_dup_clusters" -> q { (spark, dir) =>
-      Dedup.duplicateClusters(
-        Dedup.simhashEdges(docs(spark, dir), maxHamming = 12))
+      Dedup.simhashClusters(docs(spark, dir), maxHamming = 12)
     },
 
     // Quality-aware survivor selection (r4 verdict item 4): the
@@ -679,8 +679,7 @@ object QueriesScale {
     "q88_quality_survivors" -> q { (spark, dir) =>
       import graft.text.TextStatsExpression.textStats
       val d = docs(spark, dir)
-      val clusters = Dedup.duplicateClusters(
-        Dedup.simhashEdges(d, maxHamming = 12))
+      val clusters = Dedup.simhashClusters(d, maxHamming = 12)
       val scored = d.withColumn("st", textStats(col("text")))
         .select(col("doc_id"), qualityScore.as("quality_score"))
       val labeled = scored.join(clusters, Seq("doc_id"), "left")
@@ -4591,8 +4590,7 @@ object QueriesScale {
     "q177_incremental_clusters" -> q { (spark, dir) =>
       val d = docs(spark, dir)
       val hist = d.filter(col("doc_id") % 5 =!= 0)
-      val labels = Dedup.duplicateClusters(
-        Dedup.simhashEdges(hist, maxHamming = 12))
+      val labels = Dedup.simhashClusters(hist, maxHamming = 12)
       val newEdges = Dedup.simhashPairs(d, maxHamming = 12)
         .filter(col("id_a") % 5 === 0 || col("id_b") % 5 === 0)
         .select(col("id_a"), col("id_b"))

@@ -96,20 +96,34 @@ object Dedup {
       .withColumn("band_hash", col("band.band_hash"))
       .drop("band")
     val ns = sigs(newDocs)
-    val nBand = banded(ns.groupBy(col("sig_fp"))
-        .agg(first(col("sig")).as("sig")))
-      .select(col("sig_fp").as("fp_n"), col("sig").as("sig_n"),
+    // fp-only band join + candidate-cardinality sig fetch + mandatory
+    // shuffle hint (the minhashPairs r12 discipline): the band
+    // exchange carries fingerprints, never the 16-hash arrays, and
+    // the collapse aggregates' tiny size estimates can never
+    // broadcast the corpus-proportional history side
+    val nGroups = ns.groupBy(col("sig_fp"))
+      .agg(first(col("sig")).as("sig"))
+    val hGroups = sigs(history).groupBy(col("sig_fp"))
+      .agg(min(col(idCol)).as("hist_rep"), first(col("sig")).as("sig"))
+    val nBand = banded(nGroups)
+      .select(col("sig_fp").as("fp_n"),
         col("band_idx"), col("band_hash"))
-    val hBand = banded(sigs(history).groupBy(col("sig_fp"))
-        .agg(min(col(idCol)).as("hist_rep"), first(col("sig")).as("sig")))
-      .select(col("hist_rep"), col("sig").as("sig_h"),
+    val hBand = banded(hGroups)
+      .select(col("sig_fp").as("fp_h"),
         col("band_idx"), col("band_hash"))
-    val cand = nBand.join(hBand, Seq("band_idx", "band_hash"))
+    val candFp = nBand.hint("shuffle_hash")
+      .join(hBand.hint("shuffle_hash"), Seq("band_idx", "band_hash"))
+      .select(col("fp_n"), col("fp_h"))
+      .distinct()
+    val cand = candFp
+      .join(nGroups.select(col("sig_fp").as("fp_n"),
+        col("sig").as("__sn")), Seq("fp_n"))
+      .join(hGroups.select(col("sig_fp").as("fp_h"),
+        col("hist_rep"), col("sig").as("__sh")), Seq("fp_h"))
       .select(col("fp_n"), col("hist_rep"),
-        (size(filter(zip_with(col("sig_n"), col("sig_h"),
+        (size(filter(zip_with(col("__sn"), col("__sh"),
           (x, y) => x === y), p => p)).cast("double") / k)
           .as("est_jaccard"))
-      .distinct()
       .filter(col("est_jaccard") >= threshold)
     val best = cand.groupBy(col("fp_n"))
       .agg(graft.functions.TopKAggregate.topK(col("est_jaccard"),
@@ -289,30 +303,47 @@ object Dedup {
     // first(sig) is deterministic in value
     val groups = sigs.groupBy(col("sig_fp"))
       .agg(min(col(idCol)).as("rep_id"), first(col("sig")).as("sig"))
+    // the band join carries (sig_fp, rep_id, band) ONLY — never the
+    // 16-hash signature array (r12: shuffling sig arrays bands× per
+    // group measured 17× the whole-query wall at sf1; and without
+    // that weight the join must still be HINTED to shuffle, because
+    // both sides descend from the collapse AGGREGATE whose size
+    // estimate would otherwise broadcast a corpus-proportional side
+    // — an OOM at 100 TB). Signatures join back below at candidate
+    // cardinality to score est_jaccard.
     val banded = groups
       .withColumn("band",
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band_idx"),
             md5(concat_ws("|", slice(col("sig"), b * r + 1, lit(r))))
               .as("band_hash")))))
-      .select(col("sig_fp"), col("rep_id"), col("sig"),
+      .select(col("sig_fp"), col("rep_id"),
         col("band.band_idx"), col("band.band_hash"))
     val a = banded.select(col("sig_fp").as("fp_a"),
-      col("rep_id").as("rid_a"), col("sig").as("sig_a"),
-      col("band_idx"), col("band_hash"))
+      col("rep_id").as("rid_a"), col("band_idx"), col("band_hash"))
     val b = banded.select(col("sig_fp").as("fp_b"),
-      col("rep_id").as("rid_b"), col("sig").as("sig_b"),
-      col("band_idx"), col("band_hash"))
+      col("rep_id").as("rid_b"), col("band_idx"), col("band_hash"))
     // rid_a < rid_b: each unordered pair of DISTINCT signature groups
     // once (rep ids are unique per group); same-group collisions are
-    // excluded here and handled exactly below
-    val repPairs = a.join(b, Seq("band_idx", "band_hash"))
+    // excluded here and handled exactly below. distinct() BEFORE the
+    // signature fetch: multi-band collisions dedupe at 32-char
+    // fingerprint-pair weight, so the sig arrays materialize once per
+    // candidate pair, not once per shared band.
+    val candFp = a.hint("shuffle_hash")
+      .join(b.hint("shuffle_hash"), Seq("band_idx", "band_hash"))
       .filter(col("rid_a") < col("rid_b"))
+      .select(col("fp_a"), col("fp_b"))
+      .distinct()
+    val sigOf = groups.select(col("sig_fp"), col("sig"))
+    val repPairs = candFp
+      .join(sigOf.select(col("sig_fp").as("fp_a"),
+        col("sig").as("__sa")), Seq("fp_a"))
+      .join(sigOf.select(col("sig_fp").as("fp_b"),
+        col("sig").as("__sb")), Seq("fp_b"))
       .select(col("fp_a"), col("fp_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"),
+        (size(filter(zip_with(col("__sa"), col("__sb"),
           (x, y) => x === y), p => p)).cast("double") / k)
           .as("est_jaccard"))
-      .distinct()
       .filter(col("est_jaccard") >= threshold)
     // cross-group expansion: every (member of A, member of B) combo,
     // oriented smaller-id-first — pure fan-out joins, output-sized
@@ -361,24 +392,35 @@ object Dedup {
     val groups = sigs.groupBy(col("sig_fp"))
       .agg(min(col(idCol)).as("rep_id"), first(col("sig")).as("sig"),
         count(lit(1)).as("__m"))
+    // fp-only band join + candidate-cardinality sig fetch + mandatory
+    // shuffle hint — the [[minhashPairs]] r12 discipline verbatim
     val banded = groups
       .withColumn("band",
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band_idx"),
             md5(concat_ws("|", slice(col("sig"), b * r + 1, lit(r))))
               .as("band_hash")))))
-      .select(col("rep_id"), col("sig"),
+      .select(col("sig_fp"), col("rep_id"),
         col("band.band_idx"), col("band.band_hash"))
-    val a = banded.select(col("rep_id").as("rid_a"),
-      col("sig").as("sig_a"), col("band_idx"), col("band_hash"))
-    val b = banded.select(col("rep_id").as("rid_b"),
-      col("sig").as("sig_b"), col("band_idx"), col("band_hash"))
-    val repEdges = a.join(b, Seq("band_idx", "band_hash"))
+    val a = banded.select(col("sig_fp").as("fp_a"),
+      col("rep_id").as("rid_a"), col("band_idx"), col("band_hash"))
+    val b = banded.select(col("sig_fp").as("fp_b"),
+      col("rep_id").as("rid_b"), col("band_idx"), col("band_hash"))
+    val candFp = a.hint("shuffle_hash")
+      .join(b.hint("shuffle_hash"), Seq("band_idx", "band_hash"))
       .filter(col("rid_a") < col("rid_b"))
-      .filter((size(filter(zip_with(col("sig_a"), col("sig_b"),
-        (x, y) => x === y), p => p)).cast("double") / k) >= threshold)
-      .select(col("rid_a").as("id_a"), col("rid_b").as("id_b"))
+      .select(col("fp_a"), col("fp_b"))
       .distinct()
+    val repOf = groups.select(col("sig_fp"), col("rep_id"), col("sig"))
+    val repEdges = candFp
+      .join(repOf.select(col("sig_fp").as("fp_a"),
+        col("rep_id").as("__ra"), col("sig").as("__sa")), Seq("fp_a"))
+      .join(repOf.select(col("sig_fp").as("fp_b"),
+        col("rep_id").as("__rb"), col("sig").as("__sb")), Seq("fp_b"))
+      .filter((size(filter(zip_with(col("__sa"), col("__sb"),
+        (x, y) => x === y), p => p)).cast("double") / k) >= threshold)
+      .select(least(col("__ra"), col("__rb")).as("id_a"),
+        greatest(col("__ra"), col("__rb")).as("id_b"))
     val starEdges = members
       .join(groups.filter(col("__m") > 1)
         .select(col("sig_fp"), col("rep_id")), Seq("sig_fp"))
@@ -493,8 +535,14 @@ object Dedup {
       col("rep_id").as("rid_b"), col("band_idx"), col("band_val"))
     // rid_a < rid_b: each unordered pair of DISTINCT signatures once;
     // same-signature collisions are excluded here and handled
-    // arithmetically by the callers
-    val repPairs = a.join(b, Seq("band_idx", "band_val"))
+    // arithmetically by the callers. shuffle_hash hint: the banded
+    // sides descend from an AGGREGATE (the signature collapse), whose
+    // size estimate is tiny — without the hint Spark broadcasts a
+    // corpus-proportional side (2M rows at sf1: a 6× wall regression
+    // measured by DevSimhashDiag, and an OOM at 100 TB). The band
+    // equi-join must stay a shuffle join at any corpus size.
+    val repPairs = a.hint("shuffle_hash")
+      .join(b.hint("shuffle_hash"), Seq("band_idx", "band_val"))
       .filter(col("rid_a") < col("rid_b"))
       .select(col("sh_a"), col("sh_b"),
         simhashHamming(col("sh_a"), col("sh_b")).as("hamming"))
@@ -707,6 +755,62 @@ object Dedup {
       s"duplicateClusters: not converged after $maxIter rounds — " +
         s"component diameter exceeds 2^$maxIter; raise maxIter")
     labels.select(col("u").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Duplicate clusters DIRECTLY from SimHash banding (r12): for
+    * pure-SimHash consumers (q50/q88), connected components run over
+    * the REPRESENTATIVE graph only — one node per distinct signature
+    * — and members attach by one join afterward. This dominates
+    * feeding [[simhashEdges]] to the generic [[duplicateClusters]]:
+    * the member layer never enters the iteration (every round's edge
+    * join shrinks to distinct-signature cardinality — on an
+    * exact-dup-heavy corpus, orders of magnitude), and the star
+    * edges' +2 component diameter (member→rep→rep→member) never
+    * exists, so no extra propagation rounds. Valid because members
+    * are label-equivalent to their representative BY CONSTRUCTION
+    * (identical signature ⇒ identical candidate set ⇒ same
+    * component), and reps are group minima, so the rep-graph min
+    * label IS the component's min doc id. Consumers that UNION edge
+    * sets across detectors (q174/q177) cannot use this two-layer
+    * shortcut — a doc can bridge two detectors' groups — and stay on
+    * [[simhashEdges]]/[[minhashEdges]].
+    *
+    * Output contract = `duplicateClusters(simhashPairs(docs))`:
+    * (doc_id, cluster_id = min doc id of the near-dup component),
+    * one row per doc with at least one near-dup pair — multi-member
+    * signature groups cluster even without cross-group candidates.
+    */
+  def simhashClusters(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text",
+                      maxHamming: Int = 3,
+                      maxIter: Int = 40,
+                      checkpointDir: Option[String] = None)
+      : DataFrame = {
+    val (members, repPairs) = simhashRepPairs(
+      docs, idCol, textCol, maxHamming)
+    val groups = members.groupBy(col("sh"))
+      .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("__m"))
+    val repEdges = repPairs
+      .join(groups.select(col("sh").as("sh_a"),
+        col("rep_id").as("__ra")), Seq("sh_a"))
+      .join(groups.select(col("sh").as("sh_b"),
+        col("rep_id").as("__rb")), Seq("sh_b"))
+      .select(least(col("__ra"), col("__rb")).as("id_a"),
+        greatest(col("__ra"), col("__rb")).as("id_b"))
+    val repLabels = duplicateClusters(repEdges, maxIter = maxIter,
+      checkpointDir = checkpointDir)
+      .select(col("doc_id").as("rep_id"),
+        col("cluster_id").as("__cl"))
+    // member attach: labeled rep → its label; unlabeled rep of a
+    // multi-member group → the group IS the cluster (rep id);
+    // unlabeled singleton → no pair at all, excluded
+    members
+      .join(groups.select(col("sh"), col("rep_id"), col("__m")),
+        Seq("sh"))
+      .join(repLabels, Seq("rep_id"), "left")
+      .filter(col("__cl").isNotNull || col("__m") > 1)
+      .select(col(idCol).as("doc_id"),
+        coalesce(col("__cl"), col("rep_id")).as("cluster_id"))
   }
 
   /** Incremental cluster maintenance (r12 — r11 verdict "Next" item

@@ -267,6 +267,42 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(e2 == p2 && e2.nonEmpty)
   }
 
+  test("simhashClusters: rep-graph CC + member attach equals the " +
+      "full pair-graph closure") {
+    val m = 1000L
+    val cluster = spark.range(1L, m + 1)
+      .select($"id".as("doc_id"),
+        lit("identical boilerplate navigation header repeated on every page")
+          .as("text"))
+    val extra = Seq(
+      (5000L, "identical boilerplate navigation footer repeated on every page"),
+      (6000L, "entirely unrelated document discussing spark physical plans")
+    ).toDF("doc_id", "text")
+    val corpus = cluster.union(extra)
+    def cl(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = cl(Dedup.simhashClusters(corpus, maxHamming = 20))
+    val viaPairs = cl(Dedup.duplicateClusters(
+      Dedup.simhashPairs(corpus, maxHamming = 20)))
+    assert(direct == viaPairs && direct.nonEmpty)
+    // and on the varied small corpus — including the multi-member
+    // group whose rep has no cross-group candidates
+    val d2 = cl(Dedup.simhashClusters(docs, maxHamming = 12))
+    val p2 = cl(Dedup.duplicateClusters(
+      Dedup.simhashPairs(docs, maxHamming = 12)))
+    assert(d2 == p2 && d2.nonEmpty)
+    // a corpus whose ONLY structure is one exact-dup group (no
+    // cross-group edges at a tight threshold): the group still
+    // clusters under its rep
+    val iso = Seq(
+      (7L, "alpha beta gamma delta epsilon"),
+      (9L, "alpha beta gamma delta epsilon"),
+      (4L, "alpha beta gamma delta epsilon")
+    ).toDF("doc_id", "text")
+    val got = cl(Dedup.simhashClusters(iso, maxHamming = 0))
+    assert(got == Set((4L, 4L), (7L, 4L), (9L, 4L)))
+  }
+
   test("minhashEdges: star edge set is linear and preserves " +
       "components exactly") {
     val m = 500L
