@@ -842,20 +842,64 @@ object Dedup {
     * corpus-edge re-propagation. Output: (doc_id, cluster_id) over
     * previously-labeled docs ∪ new-edge endpoints, identical to
     * `duplicateClusters(oldEdges ∪ newEdges)`.
+    *
+    * Input validation (r12 ADVICE item 4): the invariant is LOAD-
+    * BEARING, and the labels table is a persisted artifact that could
+    * arrive hand-edited or produced by another tool — so touched
+    * labels are guarded: `cluster_id > doc_id` fails inside the
+    * endpoint join (free), and each touched cluster_id must exist as
+    * its own self-labeled root row (one eager batch-sized probe of
+    * the label table; disable with `validate = false` inside loops
+    * that already trust their artifact chain).
     */
   def mergeClusters(labels: DataFrame, newEdges: DataFrame,
                     idA: String = "id_a", idB: String = "id_b",
-                    maxIter: Int = 40): DataFrame = {
+                    maxIter: Int = 40,
+                    validate: Boolean = true): DataFrame = {
     val lab = labels.select(col("doc_id"), col("cluster_id"))
     val e = newEdges.select(col(idA).as("u"), col(idB).as("v"))
       .filter(col("u") =!= col("v"))
     // endpoint → current label; an endpoint with no history labels
-    // itself (the duplicateClusters initialization for fresh docs)
+    // itself (the duplicateClusters initialization for fresh docs).
+    // Min-label guard, half 1 (r12 ADVICE item 4 — the labels table
+    // is a persisted artifact a user could hand-edit, and a violated
+    // invariant makes the merge SILENTLY wrong): a touched label
+    // above its doc id can never be a component-min, so it fails
+    // loudly inside the join that was happening anyway — zero extra
+    // scans.
     val ends = e.select(explode(array(col("u"), col("v"))).as("doc_id"))
       .distinct()
     val endLab = ends.join(lab, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        coalesce(col("cluster_id"), col("doc_id")).as("lbl"))
+        when(col("cluster_id") > col("doc_id"), raise_error(concat(
+          lit("mergeClusters: label table violates the min-label " +
+            "invariant - doc "), col("doc_id").cast("string"),
+          lit(" carries cluster_id "), col("cluster_id").cast("string"),
+          lit(" > its own id; labels must come from " +
+            "duplicateClusters/mergeClusters output"))))
+          .otherwise(coalesce(col("cluster_id"), col("doc_id")))
+          .as("lbl"))
+    // half 2: every touched cluster_id must itself exist as a
+    // self-labeled root row — one probe of the label table against
+    // the BATCH-sized touched-label set (the broadcast side), run
+    // eagerly so a corrupted artifact aborts the cycle instead of
+    // emitting merged-but-wrong labels.
+    if (validate) {
+      val touched = endLab.filter(col("lbl") =!= col("doc_id"))
+        .select(col("lbl")).distinct()
+      val broken = touched
+        .join(lab.select(col("doc_id").as("lbl"),
+          col("cluster_id").as("__rc")), Seq("lbl"), "left")
+        .filter(col("__rc").isNull || col("__rc") =!= col("lbl"))
+      if (!broken.isEmpty) {
+        val ex = broken.select(col("lbl")).head.get(0)
+        throw new IllegalStateException(
+          s"mergeClusters: label table violates the min-label " +
+            s"invariant - touched cluster_id $ex has no self-label " +
+            s"root row; labels must come from duplicateClusters/" +
+            s"mergeClusters output")
+      }
+    }
     // label-graph edges: only edges that actually bridge two distinct
     // labels survive — an in-cluster rediscovery costs nothing
     val labelEdges = e

@@ -77,19 +77,77 @@ object Release {
     * side is whatever subset of shards the consumer fetched — the
     * manifest side prunes to those buckets via the join, so verifying
     * one shard never touches the rest of the release.
+    *
+    * `expectedBuckets` (r12 ADVICE item 3): without it, a shard the
+    * consumer BELIEVES it fetched but that arrived completely empty
+    * produces no output row at all — 7/8 buckets report ok and the
+    * missing one is silent, the inverse of the fails-loudly contract.
+    * Pass the bucket list the download was supposed to cover and
+    * every expected-but-absent shard surfaces as ok = false with
+    * actual_fp null (downloaded buckets outside the list still
+    * verify normally — the list widens the output, never narrows it).
     */
-  def verifyShards(downloaded: DataFrame,
-                   manifest: DataFrame): DataFrame =
-    this.manifest(downloaded)
+  def verifyShards(downloaded: DataFrame, manifest: DataFrame,
+                   expectedBuckets: Option[Seq[Int]] = None)
+      : DataFrame = {
+    val actual = this.manifest(downloaded)
       .select(col("bucket"), col("shard_fp").as("actual_fp"),
         col("n_sequences").as("n_sequences"),
         col("n_tokens").as("n_tokens"))
+    val covered = expectedBuckets match {
+      case None => actual
+      case Some(bs) =>
+        val spark = downloaded.sparkSession
+        import spark.implicits._
+        // |expected| rows — release-shard-sized, never corpus-sized
+        val exp = bs.distinct.sorted.toDF("bucket")
+        exp.join(actual, Seq("bucket"), "full_outer")
+    }
+    covered
       .join(manifest.select(col("bucket"),
         col("shard_fp").as("expected_fp")), Seq("bucket"), "left")
       .select(col("bucket"), col("n_sequences"), col("n_tokens"),
         col("expected_fp"), col("actual_fp"),
         (col("expected_fp").isNotNull &&
+          col("actual_fp").isNotNull &&
           col("actual_fp") === col("expected_fp")).as("ok"))
+  }
+
+  /** Consumer-side ROOT verification (r12 verdict Next #6 — closes
+    * the root chain from the download side): recompute [[root]] over
+    * a DOWNLOADED manifest and compare it, fingerprint and totals,
+    * against the release's published root row. One boolean answers
+    * "is this manifest the one the release published" — a tampered
+    * or truncated manifest flips `ok` because every shard fingerprint
+    * participates in the chain. Both sides are single-row aggregates
+    * (≤|shards|-row inputs), so the compare is a 1×1 broadcast join —
+    * nothing corpus-sized moves, same as the rest of the release
+    * family.
+    */
+  def verifyRoot(manifest: DataFrame, published: DataFrame): DataFrame = {
+    val actual = root(manifest).select(
+      col("n_shards").as("n_shards"),
+      col("n_sequences").as("n_sequences"),
+      col("n_chunks").as("n_chunks"),
+      col("n_tokens").as("n_tokens"),
+      col("release_fp").as("actual_fp"))
+    val pub = published.select(
+      col("n_shards").as("pub_n_shards"),
+      col("n_sequences").as("pub_n_sequences"),
+      col("n_chunks").as("pub_n_chunks"),
+      col("n_tokens").as("pub_n_tokens"),
+      col("release_fp").as("expected_fp"))
+    actual.join(broadcast(pub),
+        org.apache.spark.sql.functions.lit(true), "left")
+      .select(col("n_shards"), col("n_sequences"), col("n_chunks"),
+        col("n_tokens"), col("expected_fp"), col("actual_fp"),
+        (col("expected_fp").isNotNull &&
+          col("actual_fp") === col("expected_fp") &&
+          col("pub_n_shards") === col("n_shards") &&
+          col("pub_n_sequences") === col("n_sequences") &&
+          col("pub_n_chunks") === col("n_chunks") &&
+          col("pub_n_tokens") === col("n_tokens")).as("ok"))
+  }
 
   /** Version diff between two corpus snapshots, each given as
     * (idCol, source, fpCol): every non-identical doc classified as

@@ -62,6 +62,58 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Verified-non-empty bench plans ([[benchContamination]]'s probe
+    * memo — bounded like every served-state cache).
+    */
+  private val benchProbeCache =
+    new graft.model.BoundedCache[java.lang.Boolean](
+      graft.model.NgramLm.MaxMemoEntries, _ => ())
+
+  /** Count of ACTUAL emptiness probes (memo hits leave it untouched)
+    * — the FitCacheSpec counter discipline.
+    */
+  private[graft] val benchProbeRunCount =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Drop the memoized bench-emptiness verdicts (now only needed for
+    * NON-file bench frames rewritten within one JVM — file-backed
+    * suites re-key on content automatically, see
+    * [[benchContentKey]]).
+    */
+  def clearBenchProbeCache(): Unit = benchProbeCache.clear()
+
+  /** CONTENT-SENSITIVE memo key for the bench emptiness probe (r12
+    * ADVICE item 1: a plan-only key let a bench table rewritten in
+    * place — now empty — silently keep its "non-empty" verdict, which
+    * converts an operational-safety guard into a stale cacheable
+    * result). For file-backed plans the key folds in a snapshot of
+    * the leaf file listing — (path, length, mtime) per input file —
+    * so an in-place rewrite changes the key and forces a re-probe;
+    * benchmark suites are bounded, so the driver-side listing is
+    * metadata-cheap. Non-file plans (local relations) carry their
+    * data in the plan itself, so the plan key alone is already
+    * content-sensitive there.
+    */
+  private[graft] def benchContentKey(bench: DataFrame): String = {
+    val plan = corpusPlanKey(bench)
+    val files = scala.util.Try(bench.inputFiles).getOrElse(Array.empty)
+    if (files.isEmpty) plan
+    else {
+      val hconf =
+        bench.sparkSession.sparkContext.hadoopConfiguration
+      val sig = files.sorted.map { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        val st = scala.util.Try(p.getFileSystem(hconf).getFileStatus(p))
+        st.map(s => s"$f:${s.getLen}:${s.getModificationTime}")
+          .getOrElse(s"$f:?")
+      }.mkString("|")
+      val md = java.security.MessageDigest.getInstance("MD5")
+      plan + ":" + md.digest(
+        sig.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+    }
+  }
+
   /** SEMANTIC decontamination (r11) — the embedding-space member of
     * the decontamination family (shingle/Bloom/span/Min-K live in
     * text/): a PARAPHRASED benchmark item shares no n-grams with the
@@ -79,24 +131,6 @@ object Similarity {
     * recall-bounded prescreen — the same two-stage shape as the text
     * rescore path.
     */
-  /** Verified-non-empty bench plans ([[benchContamination]]'s probe
-    * memo — bounded like every served-state cache).
-    */
-  private val benchProbeCache =
-    new graft.model.BoundedCache[java.lang.Boolean](
-      graft.model.NgramLm.MaxMemoEntries, _ => ())
-
-  /** Count of ACTUAL emptiness probes (memo hits leave it untouched)
-    * — the FitCacheSpec counter discipline.
-    */
-  private[graft] val benchProbeRunCount =
-    new java.util.concurrent.atomic.AtomicLong(0L)
-
-  /** Drop the memoized bench-emptiness verdicts (the in-place-rewrite
-    * staleness hatch, [[graft.dedup.Dedup.clearSigCache]]'s twin).
-    */
-  def clearBenchProbeCache(): Unit = benchProbeCache.clear()
-
   def benchContamination(corpus: DataFrame, bench: DataFrame,
                          threshold: Double,
                          idCol: String = "vec_id",
@@ -107,12 +141,12 @@ object Similarity {
     // emit ZERO rows, and "no contamination found" with no corpus
     // vector present is indistinguishable from an un-run audit.
     // The emptiness probe is one limit-1 job on the bounded side,
-    // MEMOIZED per bench plan (r11 ADVICE item 3): harness loops that
-    // construct the query repeatedly — the full-catalog plan audits —
-    // pay the probe once, not per construction. Same plan-key caveat
-    // as every served table: a bench file rewritten in place within
-    // one JVM keeps its verdict until [[clearBenchProbeCache]].
-    val benchKey = corpusPlanKey(bench)
+    // MEMOIZED per bench CONTENT key (r11 ADVICE item 3 + r12 ADVICE
+    // item 1): harness loops that construct the query repeatedly pay
+    // the probe once, while a bench FILE rewritten in place re-keys
+    // (the file-listing snapshot in [[benchContentKey]] changes) and
+    // re-probes — the guard stays operational, not just cacheable.
+    val benchKey = benchContentKey(bench)
     if (benchProbeCache.get(benchKey) == null) {
       benchProbeRunCount.incrementAndGet()
       require(!bench.isEmpty,

@@ -105,6 +105,31 @@ class ClusterMergeSpec extends SparkSpec {
       Set((3L, 3L), (4L, 3L), (8L, 3L), (9L, 3L)))
   }
 
+  test("a label table violating the min-label invariant fails " +
+      "loudly instead of merging silently wrong") {
+    // cluster_id above the doc id: impossible for duplicateClusters
+    // output — a hand-edited artifact shape (r12 ADVICE item 4)
+    val aboveId = Seq((2L, 9L), (9L, 9L)).toDF("doc_id", "cluster_id")
+    val ex1 = intercept[Exception] {
+      Dedup.mergeClusters(aboveId, edgesDF(Seq((2L, 5L)))).collect()
+    }
+    val chain1 = Iterator.iterate[Throwable](ex1)(_.getCause)
+      .takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("|")
+    assert(chain1.contains("min-label"))
+    // a touched cluster_id with NO self-labeled root row: the merged
+    // root min would be computed over a phantom label
+    val noRoot = Seq((7L, 3L)).toDF("doc_id", "cluster_id")
+    val ex2 = intercept[IllegalStateException] {
+      Dedup.mergeClusters(noRoot, edgesDF(Seq((7L, 8L))))
+    }
+    assert(ex2.getMessage.contains("self-label"))
+    // and a VALID table (root rows present) passes the same shapes
+    val ok = Seq((3L, 3L), (7L, 3L)).toDF("doc_id", "cluster_id")
+    val merged = Dedup.mergeClusters(ok, edgesDF(Seq((7L, 8L))))
+    assert(clustersOf(merged) == Set((3L, 3L), (7L, 3L), (8L, 3L)))
+  }
+
   test("the merge's closure runs on the batch-sized label graph, " +
       "not the corpus") {
     // corpus-scale history: 2000 docs in 1000 two-doc clusters; a

@@ -148,10 +148,18 @@ class IvfRefreshSpec extends SparkSpec {
       }
       // two passes over the dirty partition (refit + reassign) and
       // ZERO clean rows: partition pruning keeps every clean file
-      // out of both scans
-      assert(read.get() == 2 * sliceRows,
-        s"refresh read ${read.get()} records; expected exactly " +
-          s"2×$sliceRows dirty rows and no clean-cell members")
+      // out of both scans. Bounded, not exact (r12 ADVICE item 5): a
+      // retried/speculative task double-counts recordsRead, so allow
+      // up to one extra dirty-slice pass — the assertion still
+      // catches any clean-cell leak, which would add ≥ corpus-slice
+      // volume, far above the retry epsilon.
+      assert(read.get() >= 2 * sliceRows,
+        s"refresh read ${read.get()} records; expected at least " +
+          s"2×$sliceRows dirty rows")
+      assert(read.get() <= 3 * sliceRows && read.get() < corpusRows,
+        s"refresh read ${read.get()} records; bound is 3×$sliceRows " +
+          s"(two passes + one retry) and < $corpusRows — clean-cell " +
+          s"members must never enter a refresh scan")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 }

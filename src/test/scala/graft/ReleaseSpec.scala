@@ -118,6 +118,51 @@ class ReleaseSpec extends SparkSpec {
     assert(!ph.getAs[Boolean]("ok"))
   }
 
+  test("verifyShards with an expected-bucket list: an expected shard " +
+      "that never arrived surfaces as ok = false, not silence") {
+    val packed = packedOf(baseTexts)
+    val manifest = Release.manifest(packed)
+    // the consumer believes it fetched buckets 0 AND 1, but bucket 1
+    // arrived completely empty — without the list this is invisible
+    // (r12 ADVICE item 3)
+    val got = Release.verifyShards(packed.filter(col("bucket") === 0),
+        manifest, expectedBuckets = Some(Seq(0, 1))).collect()
+      .map(r => (r.getAs[Int]("bucket"), r.getAs[Boolean]("ok"),
+        r.isNullAt(r.fieldIndex("actual_fp"))))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq((0, true, false), (1, false, true)))
+    // a downloaded bucket OUTSIDE the list still verifies — the list
+    // widens the output, never narrows it
+    val wide = Release.verifyShards(packed, manifest,
+        expectedBuckets = Some(Seq(0))).collect()
+      .map(r => (r.getAs[Int]("bucket"), r.getAs[Boolean]("ok")))
+      .sortBy(_._1)
+    assert(wide.toSeq == Seq((0, true), (1, true)))
+  }
+
+  test("verifyRoot: an intact manifest reproduces the published " +
+      "root; one tampered shard fp flips the verdict") {
+    val manifest = Release.manifest(packedOf(baseTexts))
+    val published = Release.root(manifest)
+    val ok = Release.verifyRoot(manifest, published).collect().head
+    assert(ok.getAs[Boolean]("ok"))
+    assert(ok.getAs[String]("actual_fp") ==
+      ok.getAs[String]("expected_fp"))
+    // tamper ONE shard fingerprint in the downloaded manifest
+    val tampered = manifest.withColumn("shard_fp",
+      when(col("bucket") === 1, md5(lit("tamper")))
+        .otherwise(col("shard_fp")))
+    val bad = Release.verifyRoot(tampered, published).collect().head
+    assert(!bad.getAs[Boolean]("ok"))
+    assert(bad.getAs[String]("actual_fp") !=
+      bad.getAs[String]("expected_fp"))
+    // a TRUNCATED manifest (a dropped shard) also fails — the chain
+    // covers presence, not just per-shard bytes
+    val truncated = manifest.filter(col("bucket") === 0)
+    val trunc = Release.verifyRoot(truncated, published).collect().head
+    assert(!trunc.getAs[Boolean]("ok"))
+  }
+
   test("diff srcCol parameter renames the provenance column end to " +
       "end") {
     val v0 = Seq((1L, "s3://a", "h1")).toDF("doc_id", "origin", "fp")
@@ -226,6 +271,31 @@ class ReleaseSpec extends SparkSpec {
     }
     assert(Similarity.benchProbeRunCount.get() == before + 1,
       "re-constructions must ride the memoized verdict")
+    Similarity.clearBenchProbeCache()
+  }
+
+  test("benchContamination probe re-keys when the bench file is " +
+      "rewritten in place (content-sensitive memo, r12 ADVICE 1)") {
+    val corpus = Seq((10L, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bench").toString + "/b"
+    Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(dir)
+    Similarity.clearBenchProbeCache()
+    val before = Similarity.benchProbeRunCount.get()
+    Similarity.benchContamination(corpus, spark.read.parquet(dir),
+      threshold = 0.5)
+    assert(Similarity.benchProbeRunCount.get() == before + 1)
+    // rewrite the bench table IN PLACE to empty — the plan-only key
+    // would keep the stale non-empty verdict; the content key must
+    // re-probe and fail loudly
+    Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(dir)
+    intercept[IllegalArgumentException] {
+      Similarity.benchContamination(corpus, spark.read.parquet(dir),
+        threshold = 0.5)
+    }
     Similarity.clearBenchProbeCache()
   }
 
