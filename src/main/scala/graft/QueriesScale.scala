@@ -4628,6 +4628,51 @@ object QueriesScale {
               col("seq_offset") === 0,
             md5(lit("corrupt"))).otherwise(col("chunk_hash")))
       Release.verifyShards(downloaded, Release.manifest(packed))
+    },
+
+    // BATCH-PROPORTIONAL incremental dedup cycle (r13 — r12 verdict
+    // Next #1): q177 proved the MERGE is batch-sized, but its edge
+    // source still ran a full-corpus simhashPairs. Here the cycle's
+    // edge discovery is the batch-vs-served band probe
+    // (simhashBatchEdges): the arriving batch's signature
+    // representatives band against the SERVED signature table
+    // (simhashTable(hist) — one linear signature pass here standing
+    // in for the loaded parquet artifact the production loop
+    // maintains) and against themselves, so edge discovery never
+    // bands history-vs-history and never rescans history documents —
+    // the per-cycle detector cost is |batch|·bands plus the served
+    // (id, sh) probe, where q177's was a full-corpus pair build.
+    // labels = the served cluster state (the q177 stand-in). The
+    // oracle is the FULL recompute over the union — identical
+    // contract to q177, so a hash match proves batch probe + merge
+    // ≡ full closure. IncrementalDetectorSpec adds the chained-cycles
+    // differential and the scans-only-batch-and-served plan audit.
+    "q180_incremental_cycle" -> q { (spark, dir) =>
+      val d = docs(spark, dir)
+      val hist = d.filter(col("doc_id") % 5 =!= 0)
+      val batch = d.filter(col("doc_id") % 5 === 0)
+      val labels = Dedup.simhashClusters(hist, maxHamming = 12)
+      val edges = Dedup.simhashBatchEdges(batch,
+        Dedup.simhashTable(hist), maxHamming = 12)
+      Dedup.mergeClusters(labels, edges)
+    },
+
+    // q180's MinHash twin (the other detector the ensemble loop
+    // runs): incrementalNearDup's batch-vs-served probe extended to
+    // emit EDGES (minhashBatchEdges) — batch reps band against the
+    // served signature table (the same fit-once table q25/q70 ride),
+    // est_jaccard rescores at candidate cardinality, and the merge
+    // absorbs the result into the served labels. Oracle = full
+    // MinHash-edge closure over the union.
+    "q181_minhash_cycle" -> q { (spark, dir) =>
+      val d = docs(spark, dir)
+      val hist = d.filter(col("doc_id") % 5 =!= 0)
+      val batch = d.filter(col("doc_id") % 5 === 0)
+      val labels = Dedup.duplicateClusters(
+        Dedup.minhashEdges(hist, threshold = 0.5, serveSigs = true))
+      val edges = Dedup.minhashBatchEdges(batch,
+        Dedup.signatureTable(hist), threshold = 0.5)
+      Dedup.mergeClusters(labels, edges)
     }
   )
 
@@ -10002,6 +10047,54 @@ object QueriesScale {
          |       e.expected_fp, a.actual_fp,
          |       (e.expected_fp IS NOT NULL
          |         AND a.actual_fp = e.expected_fp) AS ok
-         |FROM actual a LEFT JOIN expected e USING (bucket)""".stripMargin
+         |FROM actual a LEFT JOIN expected e USING (bucket)""".stripMargin,
+
+    // q180: identical contract to q177 — the batch-probe + merge must
+    // equal the FULL closure over the union's complete SimHash pair
+    // set; the history/batch split and the served signature table
+    // exist only on the engine side.
+    "q180_incremental_cycle" ->
+      s"""WITH RECURSIVE $simhashPairsSql,
+         |e AS (
+         |  SELECT id_a AS u, id_b AS v FROM pairs WHERE hamming <= 12
+         |  UNION
+         |  SELECT id_b, id_a FROM pairs WHERE hamming <= 12),
+         |r(u, v) AS (
+         |  SELECT u, v FROM e
+         |  UNION
+         |  SELECT r.u, e.v FROM r JOIN e ON r.v = e.u),
+         |m AS (SELECT u, MIN(v) AS mv FROM r GROUP BY u)
+         |SELECT u AS doc_id, LEAST(u, mv) AS cluster_id FROM m""".stripMargin,
+
+    // q181: the q25 MinHash banding chain at est_jaccard >= 0.5,
+    // closed with the same reachability CC — the full recompute the
+    // engine-side batch probe + merge must reproduce.
+    "q181_minhash_cycle" ->
+      s"""WITH RECURSIVE $sigsSql,
+         |bands AS (
+         |  SELECT doc_id, sig, b.b AS band_idx,
+         |         md5(array_to_string(sig[b.b*4+1:b.b*4+4], '|'))
+         |           AS band_hash
+         |  FROM sigs CROSS JOIN (SELECT unnest([0,1,2,3]) AS b) b),
+         |mp AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b
+         |  FROM bands a
+         |  JOIN bands bb ON a.band_idx = bb.band_idx
+         |               AND a.band_hash = bb.band_hash
+         |               AND a.doc_id < bb.doc_id
+         |  WHERE CAST(list_sum(list_transform(generate_series(1, 16),
+         |          i -> CASE WHEN a.sig[i] = bb.sig[i]
+         |                    THEN 1 ELSE 0 END)) AS DOUBLE) / 16.0
+         |        >= 0.5),
+         |e AS (
+         |  SELECT id_a AS u, id_b AS v FROM mp
+         |  UNION
+         |  SELECT id_b, id_a FROM mp),
+         |r(u, v) AS (
+         |  SELECT u, v FROM e
+         |  UNION
+         |  SELECT r.u, e.v FROM r JOIN e ON r.v = e.u),
+         |m AS (SELECT u, MIN(v) AS mv FROM r GROUP BY u)
+         |SELECT u AS doc_id, LEAST(u, mv) AS cluster_id FROM m""".stripMargin
   )
 }

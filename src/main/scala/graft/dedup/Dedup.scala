@@ -384,10 +384,16 @@ object Dedup {
                    threshold: Double = 0.5,
                    serveSigs: Boolean = false): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
-    val r = k / bands
     val sigs =
       if (serveSigs) cachedSigs(docs, idCol, textCol, k, shingleSize)
       else sigFrame(docs, idCol, textCol, k, shingleSize)
+    minhashEdgesFromSigs(sigs, idCol, k, bands, threshold)
+  }
+
+  private def minhashEdgesFromSigs(sigs: DataFrame, idCol: String,
+                                   k: Int, bands: Int,
+                                   threshold: Double): DataFrame = {
+    val r = k / bands
     val members = sigs.select(col("sig_fp"), col(idCol))
     val groups = sigs.groupBy(col("sig_fp"))
       .agg(min(col(idCol)).as("rep_id"), first(col("sig")).as("sig"),
@@ -427,6 +433,66 @@ object Dedup {
       .filter(col(idCol) =!= col("rep_id"))
       .select(col("rep_id").as("id_a"), col(idCol).as("id_b"))
     repEdges.union(starEdges)
+  }
+
+  /** BATCH-PROPORTIONAL MinHash edge discovery (r13 —
+    * [[simhashBatchEdges]]'s MinHash twin, extending
+    * [[incrementalNearDup]]'s batch-vs-served probe from a gate
+    * verdict to EDGES the cluster loop can merge): batch signature
+    * representatives band-join the SERVED signature table's
+    * representatives ([[signatureTable]] /
+    * [[graft.model.Artifacts.loadSigs]] — (idCol, sig, sig_fp) rows),
+    * est_jaccard rescores at candidate cardinality, plus
+    * [[minhashEdges]] over the batch's own signature frame. Identical
+    * signatures across the two sides collide in every band and score
+    * est_jaccard = 1.0, so exact re-crawls attach to their served
+    * group's representative. Same exchange discipline as the full
+    * detector: the band join carries fingerprints only (never the
+    * k-hash arrays), is pinned shuffle-shaped against the
+    * aggregate-descended broadcast hazard, and signatures join back
+    * at candidate cardinality. `mergeClusters(labels, these edges)`
+    * equals `duplicateClusters(minhashEdges(history ∪ batch))` when
+    * `labels` is the served cluster table over the same history —
+    * IncrementalDetectorSpec carries the differential.
+    */
+  def minhashBatchEdges(batch: DataFrame, served: DataFrame,
+                        idCol: String = "doc_id",
+                        textCol: String = "text", k: Int = 16,
+                        bands: Int = 4, shingleSize: Int = 3,
+                        threshold: Double = 0.5): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val r = k / bands
+    val bSigs = sigFrame(batch, idCol, textCol, k, shingleSize)
+    val bGroups = bSigs.groupBy(col("sig_fp"))
+      .agg(min(col(idCol)).as("rep_b"), first(col("sig")).as("sig"))
+    val hGroups = served.select(col(idCol), col("sig"), col("sig_fp"))
+      .groupBy(col("sig_fp"))
+      .agg(min(col(idCol)).as("rep_h"), first(col("sig")).as("sig"))
+    def bandsOf(g: DataFrame, fpAs: String): DataFrame = g
+      .withColumn("band",
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band_idx"),
+            md5(concat_ws("|", slice(col("sig"), b * r + 1, lit(r))))
+              .as("band_hash")))))
+      .select(col("sig_fp").as(fpAs),
+        col("band.band_idx").as("band_idx"),
+        col("band.band_hash").as("band_hash"))
+    val candFp = bandsOf(bGroups, "fp_b").hint("shuffle_hash")
+      .join(bandsOf(hGroups, "fp_h").hint("shuffle_hash"),
+        Seq("band_idx", "band_hash"))
+      .select(col("fp_b"), col("fp_h"))
+      .distinct()
+    val crossEdges = candFp
+      .join(bGroups.select(col("sig_fp").as("fp_b"), col("rep_b"),
+        col("sig").as("__sb")), Seq("fp_b"))
+      .join(hGroups.select(col("sig_fp").as("fp_h"), col("rep_h"),
+        col("sig").as("__sh")), Seq("fp_h"))
+      .filter((size(filter(zip_with(col("__sb"), col("__sh"),
+        (x, y) => x === y), p => p)).cast("double") / k) >= threshold)
+      .select(least(col("rep_b"), col("rep_h")).as("id_a"),
+        greatest(col("rep_b"), col("rep_h")).as("id_b"))
+    crossEdges.union(
+      minhashEdgesFromSigs(bSigs, idCol, k, bands, threshold))
   }
 
   /** 64-bit SimHash as a 16-hex-char string. Per token: 64 bits from
@@ -500,6 +566,64 @@ object Dedup {
     cross.union(within)
   }
 
+  /** The per-doc SimHash signature frame (id, sh), partitioned by
+    * signature. First repartition: parallelize signature hashing
+    * (input may arrive as few splits). Second: a materialization
+    * barrier keyed on sh — grouped collapses downstream need no
+    * further shuffle, and the members/groups consumers read the SAME
+    * exchange, so the signature is computed once per doc. Text is
+    * dropped before the barrier: the exchange carries (id, sh) only.
+    */
+  private def simhashSigsOf(docs: DataFrame, idCol: String,
+                            textCol: String): DataFrame = docs
+    .select(col(idCol), col(textCol))
+    .repartition(col(idCol))
+    .withColumn("sh", simhash(col(textCol)))
+    .select(col(idCol), col("sh"))
+    .repartition(col("sh"))
+
+  /** The SimHash signature table as FIT-ONCE SERVED STATE —
+    * [[signatureTable]]'s twin for the SimHash detector (r13: the
+    * batch-vs-served probe [[simhashBatchEdges]] needs a servable
+    * history side, exactly like [[incrementalNearDup]] rides the
+    * MinHash table). Same opt-in plan-key caveat as every served
+    * table; persist/restore with
+    * [[graft.model.Artifacts.saveSimhashSigs]]/`loadSimhashSigs` +
+    * [[installSimhashSigs]].
+    */
+  def simhashTable(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val key = "simhashsigs:" +
+      s"${graft.model.PlanKey.of(docs)}:$idCol:$textCol"
+    val hit = sigCache.get(key)
+    if (hit != null && !hit.sparkSession.sparkContext.isStopped) hit
+    else {
+      sigCache.forEach { (kk, v) =>
+        if (v.sparkSession.sparkContext.isStopped) sigCache.remove(kk)
+      }
+      simhashBuildCount.incrementAndGet()
+      val built = graft.model.Checkpoints.materialize(
+        simhashSigsOf(docs, idCol, textCol))
+      sigCache.put(key, built)
+      built
+    }
+  }
+
+  /** Count of ACTUAL SimHash table builds (cache hits leave it
+    * untouched) — the FitCacheSpec counter discipline.
+    */
+  private[graft] val simhashBuildCount =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Install a LOADED SimHash signature table as the served entry for
+    * (corpus plan, params) — [[installSigs]]'s twin.
+    */
+  def installSimhashSigs(docs: DataFrame, sigs: DataFrame,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): Unit =
+    sigCache.put("simhashsigs:" +
+      s"${graft.model.PlanKey.of(docs)}:$idCol:$textCol", sigs)
+
   /** Shared collapse stage of [[simhashPairs]]/[[simhashEdges]]:
     * (member table (sh, id), representative pairs (sh_a, sh_b,
     * hamming) — one row per unordered pair of DISTINCT signatures
@@ -507,19 +631,13 @@ object Dedup {
     */
   private def simhashRepPairs(docs: DataFrame, idCol: String,
                               textCol: String, maxHamming: Int)
+      : (DataFrame, DataFrame) =
+    simhashRepPairsFromSigs(simhashSigsOf(docs, idCol, textCol),
+      idCol, maxHamming)
+
+  private def simhashRepPairsFromSigs(sigs: DataFrame, idCol: String,
+                                      maxHamming: Int)
       : (DataFrame, DataFrame) = {
-    // First repartition: parallelize signature hashing (input may
-    // arrive as few splits). Second: a materialization barrier keyed
-    // on sh — the grouped collapse below then needs no further
-    // shuffle, and the members/groups consumers read the SAME
-    // exchange, so the signature is computed once per doc. Text is
-    // dropped before the barrier: the exchange carries (id, sh) only.
-    val sigs = docs
-      .select(col(idCol), col(textCol))
-      .repartition(col(idCol))
-      .withColumn("sh", simhash(col(textCol)))
-      .select(col(idCol), col("sh"))
-      .repartition(col("sh"))
     val members = sigs.select(col("sh"), col(idCol))
     // one row per DISTINCT signature; rep ids are unique per group
     val groups = sigs.groupBy(col("sh"))
@@ -571,9 +689,14 @@ object Dedup {
     */
   def simhashEdges(docs: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text",
-                   maxHamming: Int = 3): DataFrame = {
-    val (members, repPairs) = simhashRepPairs(
-      docs, idCol, textCol, maxHamming)
+                   maxHamming: Int = 3): DataFrame =
+    simhashEdgesFromSigs(simhashSigsOf(docs, idCol, textCol),
+      idCol, maxHamming)
+
+  private def simhashEdgesFromSigs(sigs: DataFrame, idCol: String,
+                                   maxHamming: Int): DataFrame = {
+    val (members, repPairs) = simhashRepPairsFromSigs(
+      sigs, idCol, maxHamming)
     val groups = members.groupBy(col("sh"))
       .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("__m"))
     val repEdges = repPairs
@@ -589,6 +712,72 @@ object Dedup {
       .filter(col(idCol) =!= col("rep_id"))
       .select(col("rep_id").as("id_a"), col(idCol).as("id_b"))
     repEdges.union(starEdges)
+  }
+
+  /** BATCH-PROPORTIONAL SimHash edge discovery for the incremental
+    * dedup loop (r13 — r12 verdict Next #1: q177's cycle demonstrated
+    * the MERGE's asymptotics while its edge source still ran a
+    * full-corpus `simhashPairs`; this is the missing batch-vs-served
+    * band probe). Given an arriving batch and the corpus's SERVED
+    * signature table ([[simhashTable]] /
+    * [[graft.model.Artifacts.loadSimhashSigs]] — (idCol, sh) rows),
+    * emit a connectivity-preserving edge set touching ONLY the batch:
+    *
+    *  1. cross edges — batch signature representatives band-join the
+    *     served signature representatives (collapse discipline on
+    *     BOTH sides; identical signatures across sides meet at
+    *     hamming 0 because equal signatures share every band);
+    *  2. within-batch edges — [[simhashEdges]] over the batch's own
+    *     signature frame (rep pairs + exact-dup stars);
+    *
+    * so nothing here scans corpus documents, bands history against
+    * itself, or grows with corpus size beyond the served table's
+    * (id, sh) probe — the exchange volume is |batch|·bands plus the
+    * served-rep band lists, and the band join is pinned shuffle-
+    * shaped like every dedup-family band join.
+    *
+    * Feeding `mergeClusters(labels, these edges)` equals the full
+    * recompute `duplicateClusters(simhashEdges(history ∪ batch))`
+    * PROVIDED `labels` is the served cluster table over the same
+    * history (the [[simhashClusters]]/[[simhashEdges]] output, which
+    * labels every multi-member signature group): history-history
+    * connectivity is already absorbed in the labels, a served group
+    * touched by the batch is reachable through its representative
+    * (identical signatures are clustered in the labels), and every
+    * other union edge is batch-incident and present here —
+    * IncrementalDetectorSpec carries the differential.
+    */
+  def simhashBatchEdges(batch: DataFrame, served: DataFrame,
+                        idCol: String = "doc_id",
+                        textCol: String = "text",
+                        maxHamming: Int = 3): DataFrame = {
+    val bs = simhashSigsOf(batch, idCol, textCol)
+    val bGroups = bs.groupBy(col("sh"))
+      .agg(min(col(idCol)).as("rep_b"))
+    val hGroups = served.select(col(idCol), col("sh"))
+      .groupBy(col("sh")).agg(min(col(idCol)).as("rep_h"))
+    def bandsOf(g: DataFrame, tag: String, rep: String): DataFrame = g
+      .select(col("sh"), col(rep),
+        posexplode(array((0 until 4).map(b =>
+          col("sh").substr(b * 4 + 1, 4)): _*))
+          .as(Seq("band_idx", "band_val")))
+      .select(col("sh").as(s"sh_$tag"), col(rep),
+        col("band_idx"), col("band_val"))
+    // both sides descend from collapse AGGREGATES — the r12 broadcast
+    // hazard — so the band join is pinned shuffle-shaped; the carry
+    // is (16-char sh, one long rep) per row, fingerprint-weight
+    val crossEdges = bandsOf(bGroups, "b", "rep_b")
+      .hint("shuffle_hash")
+      .join(bandsOf(hGroups, "h", "rep_h").hint("shuffle_hash"),
+        Seq("band_idx", "band_val"))
+      // threshold BEFORE the dedup exchange (the simhashRepPairs
+      // discipline): far-apart band collisions never shuffle twice
+      .filter(simhashHamming(col("sh_b"), col("sh_h")) <= maxHamming)
+      .select(col("rep_b"), col("rep_h"))
+      .distinct()
+      .select(least(col("rep_b"), col("rep_h")).as("id_a"),
+        greatest(col("rep_b"), col("rep_h")).as("id_b"))
+    crossEdges.union(simhashEdgesFromSigs(bs, idCol, maxHamming))
   }
 
   /** Exact word n-gram Jaccard similarity between two shingle-set

@@ -202,6 +202,25 @@ object Artifacts {
     Checkpoints.materialize(
       spark.read.parquet(path).repartition(col("sig_fp")))
 
+  /** The served SimHash signature table (id, sh) —
+    * [[graft.dedup.Dedup.simhashTable]]'s fit-once state, the history
+    * side of the batch-vs-served probe
+    * ([[graft.dedup.Dedup.simhashBatchEdges]]). Corpus-sized → one
+    * row per doc, distributed write; [[loadSimhashSigs]] restores the
+    * `sh` partitioning the collapse consumers expect and
+    * materializes, so a loaded table serves with zero signature-hash
+    * jobs. Wire it back with
+    * [[graft.dedup.Dedup.installSimhashSigs]].
+    */
+  def saveSimhashSigs(sigs: org.apache.spark.sql.DataFrame,
+                      path: String): Unit =
+    sigs.write.mode("overwrite").parquet(path)
+
+  def loadSimhashSigs(spark: SparkSession,
+                      path: String): org.apache.spark.sql.DataFrame =
+    Checkpoints.materialize(
+      spark.read.parquet(path).repartition(col("sh")))
+
   /** The served near-dup pair table (id_a, id_b, jaccard) —
     * [[graft.dedup.Dedup.nearDuplicates]]'s `servePairs` index
     * ([[saveSigs]]'s twin one stage later). Pair-sliver-sized but
