@@ -4673,6 +4673,31 @@ object QueriesScale {
       val edges = Dedup.minhashBatchEdges(batch,
         Dedup.signatureTable(hist), threshold = 0.5)
       Dedup.mergeClusters(labels, edges)
+    },
+
+    // INCREMENTAL suffix-index maintenance (r13 — r12 verdict Next
+    // #3): the q134 corpus split into a served history and an
+    // arriving batch (doc_id % 200 == 100 — boilerplated docs, so
+    // cross-corpus verbatim repeats exist by construction); the
+    // cycle loads the (span table, gram index) pair a prior build
+    // persisted, gram-probes the batch, re-ranks ONLY batch +
+    // candidate docs, and interval-merges — never re-running the
+    // prefix-octupling over history. The oracle is q134's full
+    // suffix-sort recompute over the whole corpus: a hash match
+    // proves probe + sub-rank + merge ≡ full rebuild.
+    "q182_incremental_spans" -> q { (spark, dir) =>
+      import graft.dedup.SuffixRepeats
+      val aug = saCorpus(spark, dir)
+      val hist = aug.filter(col("doc_id") % 200 =!= 100)
+      val batch = aug.filter(col("doc_id") % 200 === 100)
+      val (spans, _) = SuffixRepeats.mergeSpanList(
+        SuffixRepeats.repeatedSpanList(hist, minLen = 25),
+        SuffixRepeats.gramIndex(hist, minLen = 25),
+        hist, batch, minLen = 25)
+      spans.groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_spans"),
+          sum(col("e") - col("s")).cast("long").as("covered_tokens"),
+          max(col("span_max_ell")).cast("long").as("max_repeat_len"))
     }
   )
 
@@ -10095,6 +10120,20 @@ object QueriesScale {
          |  UNION
          |  SELECT r.u, e.v FROM r JOIN e ON r.v = e.u),
          |m AS (SELECT u, MIN(v) AS mv FROM r GROUP BY u)
-         |SELECT u AS doc_id, LEAST(u, mv) AS cluster_id FROM m""".stripMargin
+         |SELECT u AS doc_id, LEAST(u, mv) AS cluster_id FROM m""".stripMargin,
+
+    // q182: the q134 oracle verbatim — the full suffix-sort recompute
+    // over the whole corpus; the history/batch split and the served
+    // (spans, grams) index exist only on the engine side.
+    "q182_incremental_spans" ->
+      s"""WITH $saSpanChainSql
+         |SELECT sp.doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_spans,
+         |       CAST(sum(sp.e - sp.s) AS BIGINT) AS covered_tokens,
+         |       CAST(mx.m AS BIGINT) AS max_repeat_len
+         |FROM sp
+         |JOIN (SELECT doc_id, max(ell) AS m FROM q GROUP BY doc_id) mx
+         |  ON mx.doc_id = sp.doc_id
+         |GROUP BY sp.doc_id, mx.m""".stripMargin
   )
 }

@@ -148,16 +148,114 @@ object SuffixRepeats {
       indexCache.forEach { (k, v) =>
         if (v.sparkSession.sparkContext.isStopped) indexCache.remove(k)
       }
-      val scratch = ListBuffer.empty[DataFrame]
-      val built = Checkpoints.materialize(
-        buildSpanList(docsTok, minLen, parts, scratch))
-      // the span table is materialized — every per-round checkpoint
-      // behind it is now garbage; release instead of waiting on
-      // ContextCleaner GC (r7 ADVICE item 2)
-      scratch.foreach(Checkpoints.release)
+      val built = spanListUncached(docsTok, minLen, parts)
       indexCache.put(key, built)
       built
     }
+  }
+
+  /** Uncached span-list build (the [[repeatedSpanList]] body without
+    * the memo) — the incremental merge ([[mergeSpanList]]) ranks
+    * ad-hoc sub-corpora that must not pollute the fit-once cache.
+    * The span table is materialized, then every per-round checkpoint
+    * behind it is garbage and releases eagerly (r7 ADVICE item 2).
+    */
+  private def spanListUncached(docsTok: DataFrame, minLen: Int,
+                               parts: Int): DataFrame = {
+    val scratch = ListBuffer.empty[DataFrame]
+    val built = Checkpoints.materialize(
+      buildSpanList(docsTok, minLen, parts, scratch))
+    scratch.foreach(Checkpoints.release)
+    built
+  }
+
+  /** Per-position `minLen`-gram hash index (d, p, g) over a
+    * (doc_id, tokens) frame — the PROBE side of the incremental
+    * suffix-index merge. g = xxhash64 of the space-joined gram
+    * starting at 1-based position p (positions with fewer than
+    * minLen tokens remaining cannot start a qualifying repeat and
+    * are skipped). Tokens are whitespace-split, so the space join is
+    * injective on token sequences; hash collisions only ever ADD
+    * candidate documents (the merge re-compares real tokens), never
+    * drop one — the probe is recall-exact.
+    */
+  def gramIndex(docsTok: DataFrame, minLen: Int): DataFrame =
+    docsTok
+      .select(col("doc_id").cast("long").as("d"), col("tokens").as("tk"))
+      .filter(size(col("tk")) >= minLen)
+      .select(col("d"), explode(transform(
+        sequence(lit(1), size(col("tk")) - minLen + 1),
+        p => struct(p.cast("long").as("p"),
+          xxhash64(concat_ws(" ", slice(col("tk"), p, lit(minLen))))
+            .as("g")))).as("x"))
+      .select(col("d"), col("x.p").as("p"), col("x.g").as("g"))
+
+  /** INCREMENTAL suffix-index maintenance (r13 — r12 verdict Next
+    * #3: the exact-substring family was the last fit-once artifact
+    * without an incremental twin). Merge a batch of NEW documents
+    * into a served (span table, gram index) pair without re-running
+    * the prefix-octupling over the whole corpus:
+    *
+    *  1. probe — corpus documents holding ≥ 1 position whose
+    *     minLen-gram occurs anywhere in the batch become CANDIDATE
+    *     docs (one semi-join of the persisted gram index against the
+    *     batch's distinct gram set; every cross-corpus repeat of
+    *     length ≥ minLen starts at such a position on both sides, so
+    *     the probe is recall-exact);
+    *  2. rank — the full span-list build runs over batch ∪ candidate
+    *     docs ONLY (whole docs, so every octupling shift resolves);
+    *  3. merge — the sub-build's spans interval-union into the old
+    *     span table per doc (gaps-and-islands), max-ell per merged
+    *     island.
+    *
+    * Merged ≡ full rebuild over (corpus ∪ batch), exactly: adding
+    * documents never changes corpus-internal LCPs, a corpus position
+    * whose ℓ grows past minLen is a candidate by construction, the
+    * sub-build's ℓ values are true-pair LCPs bounded by the full
+    * rebuild's, and wherever the full value exceeds a sub value the
+    * old span table already carries the difference —
+    * SuffixMergeSpec holds the differential on seeded splits and
+    * chained batches.
+    *
+    * Scale shape: the expensive stages — the O(log max_doc_len)
+    * global sort rounds — now run over batch + candidates instead of
+    * the corpus; what remains corpus-sized is two PROBE passes (the
+    * gram-index semi-join, whose batch side broadcasts, and the
+    * candidate-doc token fetch, a semi-join-pruned scan), both
+    * single linear scans with no sort. Batch doc ids must be fresh
+    * (new documents, the append-only corpus contract). Returns
+    * (merged span table, merged gram index — old ∪ batch, the next
+    * cycle's probe side).
+    */
+  def mergeSpanList(oldSpans: DataFrame, oldGrams: DataFrame,
+                    corpusTok: DataFrame, batchTok: DataFrame,
+                    minLen: Int, parts: Int = 8)
+      : (DataFrame, DataFrame) = {
+    val bGrams = gramIndex(batchTok, minLen)
+    val bGramSet = bGrams.select(col("g")).distinct()
+    val candDocs = oldGrams.join(bGramSet, Seq("g"), "left_semi")
+      .select(col("d").as("doc_id")).distinct()
+    val candTok = corpusTok.join(candDocs, Seq("doc_id"), "left_semi")
+    val subSpans = spanListUncached(
+      batchTok.select(col("doc_id"), col("tokens"))
+        .unionByName(candTok.select(col("doc_id"), col("tokens"))),
+      minLen, parts)
+    val all = oldSpans.select(col("doc_id"), col("s"), col("e"),
+        col("span_max_ell"))
+      .unionByName(subSpans)
+    val wD = Window.partitionBy(col("doc_id"))
+      .orderBy(col("s"), col("e"))
+    val runMax = max(col("e")).over(
+      wD.rowsBetween(Window.unboundedPreceding, -1))
+    val merged = all
+      .withColumn("__new",
+        when(runMax.isNull || col("s") > runMax, 1).otherwise(0))
+      .withColumn("__isl", sum(col("__new")).over(wD))
+      .groupBy(col("doc_id"), col("__isl"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"),
+        max(col("span_max_ell")).as("span_max_ell"))
+      .select(col("doc_id"), col("s"), col("e"), col("span_max_ell"))
+    (merged, oldGrams.unionByName(bGrams))
   }
 
   /** Per-doc maximal repeated spans of ≥ `minLen` tokens over a

@@ -202,6 +202,31 @@ object Artifacts {
     Checkpoints.materialize(
       spark.read.parquet(path).repartition(col("sig_fp")))
 
+  /** The INCREMENTAL suffix index (r13) — the q134 span table plus
+    * the per-position gram index
+    * ([[graft.dedup.SuffixRepeats.gramIndex]]) persisted as ONE
+    * versioned unit, so each ingest cycle loads the pair, runs
+    * [[graft.dedup.SuffixRepeats.mergeSpanList]] over the arriving
+    * batch, and persists the next version — the exact-substring
+    * family's crawl-state-style loop. Spans are doc-count-sized
+    * (materialized on load); the gram index is corpus-token-sized
+    * and stays a PLAIN SCAN — it is read once per cycle as the probe
+    * side of a semi-join, and pinning it in executor storage would
+    * trade the cluster's memory for nothing.
+    */
+  def saveSuffixIndex(spans: org.apache.spark.sql.DataFrame,
+                      grams: org.apache.spark.sql.DataFrame,
+                      path: String): Unit = {
+    spans.write.mode("overwrite").parquet(s"$path/spans")
+    grams.write.mode("overwrite").parquet(s"$path/grams")
+  }
+
+  def loadSuffixIndex(spark: SparkSession, path: String)
+      : (org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame) =
+    (Checkpoints.materialize(spark.read.parquet(s"$path/spans")),
+      spark.read.parquet(s"$path/grams"))
+
   /** The served SimHash signature table (id, sh) —
     * [[graft.dedup.Dedup.simhashTable]]'s fit-once state, the history
     * side of the batch-vs-served probe
