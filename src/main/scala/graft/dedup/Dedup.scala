@@ -624,6 +624,18 @@ object Dedup {
     sigCache.put("simhashsigs:" +
       s"${graft.model.PlanKey.of(docs)}:$idCol:$textCol", sigs)
 
+  /** The plain per-doc SimHash signature frame (id, sh) — the
+    * UNCACHED building block ([[simhashTable]] is its fit-once
+    * serving twin): streaming loops persist each micro-batch's
+    * signature DELTA as a committed side output
+    * ([[graft.streaming.StreamingIngest]]'s label maintenance), so
+    * later cycles probe parquet signatures instead of re-hashing
+    * history text.
+    */
+  def simhashSignatures(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame =
+    simhashSigsOf(docs, idCol, textCol)
+
   /** Shared collapse stage of [[simhashPairs]]/[[simhashEdges]]:
     * (member table (sh, id), representative pairs (sh_a, sh_b,
     * hamming) — one row per unordered pair of DISTINCT signatures

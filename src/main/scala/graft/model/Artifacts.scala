@@ -202,6 +202,32 @@ object Artifacts {
     Checkpoints.materialize(
       spark.read.parquet(path).repartition(col("sig_fp")))
 
+  /** The VERSIONED IVF index (r13 — r12 verdict Next #4): (centroids,
+    * cell assignments) persisted as ONE unit, so the maintenance loop
+    * — audit ([[graft.sim.Similarity.ivfCellStats]] →
+    * `dirtyCellsFromStats`) → dirty-cell refresh
+    * (`ivfRefreshDirtyCells`) → persist → reload → re-audit —
+    * survives the JVM the way crawl state does. Assignments write
+    * PARTITIONED BY CELL: that is the physical property the
+    * refresh's partition pruning rides (IvfRefreshSpec's listener
+    * case reads ZERO clean-cell rows), so the layout is part of the
+    * artifact contract, not an optimization a caller may skip.
+    * Centroids reuse the exact [[saveCentroids]] round-trip
+    * (bit-exact doubles, cell_id-pinned order).
+    */
+  def saveIvfIndex(spark: SparkSession, path: String,
+                   centroids: Seq[Array[Double]],
+                   assigned: org.apache.spark.sql.DataFrame): Unit = {
+    saveCentroids(spark, s"$path/centroids", centroids)
+    assigned.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/assignments")
+  }
+
+  def loadIvfIndex(spark: SparkSession, path: String)
+      : (Seq[Array[Double]], org.apache.spark.sql.DataFrame) =
+    (loadCentroids(spark, s"$path/centroids"),
+      spark.read.parquet(s"$path/assignments"))
+
   /** The INCREMENTAL suffix index (r13) — the q134 span table plus
     * the per-position gram index
     * ([[graft.dedup.SuffixRepeats.gramIndex]]) persisted as ONE

@@ -263,6 +263,115 @@ object StreamingIngest {
     fs.create(done, true).close()
   }
 
+  /** Streaming cluster-label maintenance (r13 — r12 verdict Next #5):
+    * the exactly-once canonical sink composed with the
+    * BATCH-PROPORTIONAL dedup cycle, closing streaming ingest →
+    * incremental dedup clusters. Per micro-batch:
+    *   1. publish the batch through [[commitBatch]]'s tmp → rename →
+    *      marker transaction;
+    *   2. persist the batch's SimHash signature DELTA
+    *      (`labelsPath/sigs/batch=<id>`) — the committed side output
+    *      the gate scaladoc promised: later cycles probe parquet
+    *      signatures, never re-hash history text;
+    *   3. discover edges with
+    *      [[graft.dedup.Dedup.simhashBatchEdges]] — the batch against
+    *      the UNION of prior committed signature deltas (and itself);
+    *   4. [[graft.dedup.Dedup.mergeClusters]] the edges into the
+    *      prior cycle's published label table and publish
+    *      `labelsPath/batch=<id>`;
+    * steps 2–4 sit under ONE `_done/<id>` marker: "before" derives
+    * from the canonical `_txn` listing minus this batch id, so a
+    * replay after any crash window recomputes the identical delta and
+    * labels from identical inputs. Per-cycle cost is the
+    * batch-proportional probe (DevCycleScale's measured flat leg)
+    * plus one label-table relabel join — never a full-corpus detector
+    * pass. Production refinement, stated: each cycle republishes the
+    * full label table (corpus-sized at 100 TB); the delta-publication
+    * variant (changed labels only, compacted periodically) is the
+    * same marker discipline over smaller files.
+    */
+  def toCanonicalWithClusterLabels(df: DataFrame, canonicalPath: String,
+                                   checkpoint: String,
+                                   labelsPath: String,
+                                   idCol: String = "doc_id",
+                                   textCol: String = "text",
+                                   maxHamming: Int = 3)
+      : DataStreamWriter[Row] =
+    df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        commitBatchWithClusterLabels(batch, canonicalPath, batchId,
+          labelsPath, idCol, textCol, maxHamming)
+      }
+
+  private[graft] def commitBatchWithClusterLabels(
+      batch: DataFrame, canonicalPath: String, batchId: Long,
+      labelsPath: String, idCol: String, textCol: String,
+      maxHamming: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    import graft.dedup.Dedup
+    val spark = batch.sparkSession
+    commitBatch(batch, canonicalPath, batchId) // idempotent
+    val root = new Path(labelsPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val done = new Path(root, s"_done/$batchId")
+    if (fs.exists(done)) return // labels published on a prior attempt
+    val canon = new Path(canonicalPath)
+    val cfs = canon.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val beforeIds = cfs.listStatus(new Path(canon, "_txn"))
+      .map(_.getPath.getName)
+      .flatMap(n => scala.util.Try(n.toLong).toOption)
+      .filter(_ != batchId).sorted
+    val batchDf = spark.read
+      .parquet(s"$canonicalPath/batch=$batchId")
+      .select(col(idCol), col(textCol))
+    Dedup.simhashSignatures(batchDf, idCol, textCol)
+      .write.mode("overwrite")
+      .parquet(s"$labelsPath/sigs/batch=$batchId")
+    val servedSigs =
+      if (beforeIds.isEmpty)
+        spark.read.parquet(s"$labelsPath/sigs/batch=$batchId")
+          .filter(lit(false)) // cold start: empty served table
+      else spark.read.parquet(
+        beforeIds.map(i => s"$labelsPath/sigs/batch=$i").toSeq: _*)
+    val prior =
+      if (beforeIds.isEmpty)
+        batchDf.select(col(idCol).as("doc_id"),
+          col(idCol).as("cluster_id")).filter(lit(false))
+      else spark.read.parquet(s"$labelsPath/batch=${beforeIds.max}")
+    val edges = Dedup.simhashBatchEdges(batchDf, servedSigs,
+      idCol, textCol, maxHamming)
+    // prior labels are this loop's OWN committed output — the
+    // min-label invariant holds by construction; skip the per-cycle
+    // validation probe (mergeClusters' documented trusted-chain hatch)
+    Dedup.mergeClusters(prior, edges, validate = false)
+      .write.mode("overwrite").parquet(s"$labelsPath/batch=$batchId")
+    fs.mkdirs(new Path(root, "_done"))
+    fs.create(done, true).close()
+  }
+
+  /** The served duplicate-cluster label table: the highest committed
+    * cycle's published labels (fails loudly before the first commit —
+    * [[readCanonicalCommitted]]'s discipline).
+    */
+  def readClusterLabels(spark: SparkSession,
+                        labelsPath: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(labelsPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val doneDir = new Path(root, "_done")
+    val ids =
+      if (!fs.exists(doneDir)) Array.empty[Long]
+      else fs.listStatus(doneDir).map(_.getPath.getName)
+        .flatMap(n => scala.util.Try(n.toLong).toOption).sorted
+    require(ids.nonEmpty,
+      s"readClusterLabels: no published label cycles under $labelsPath")
+    spark.read.parquet(s"$labelsPath/batch=${ids.max}")
+  }
+
   /** The dirty-shard deltas published so far — one row per (batch,
     * touched bucket) with the dirty verdict, the incremental-release
     * work list a downstream shipper consumes.

@@ -106,6 +106,63 @@ class IvfRefreshSpec extends SparkSpec {
     assert(cleanAfter == cleanBefore)
   }
 
+  test("the maintenance loop survives the JVM: audit → refresh → " +
+      "persist → reload → re-audit over the versioned index artifact") {
+    import graft.model.Artifacts
+    val rnd = new scala.util.Random(23)
+    val cents = Similarity.gridCentroids(6, 8)
+    val vecs = (0 until 600).map { i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val assigned0 = vecs.withColumn("cell",
+      VectorExpressions.centroidAssign(col("embedding"), cents)
+        .getField("cell"))
+    val root = Files.createTempDirectory("graft_ivfidx").toString
+    Artifacts.saveIvfIndex(spark, s"$root/v0", cents, assigned0)
+    // "new driver": the loaded pair is bit-exact
+    val (c0, a0) = Artifacts.loadIvfIndex(spark, s"$root/v0")
+    assert(c0.map(_.toSeq) == cents.map(_.toSeq))
+    assert(a0.count() == 600L)
+    assert(a0.collect().map(r =>
+        r.getLong(0) -> r.getAs[Int]("cell")).toMap ==
+      assigned0.collect().map(r =>
+        r.getLong(0) -> r.getAs[Int]("cell")).toMap)
+    // audit the LOADED index; force at least one dirty cell by
+    // flagging anything above the second-largest occupancy
+    val stats = Similarity.ivfCellStats(
+      a0.select(col("vec_id"), col("embedding")), c0)
+    val maxOcc = stats.agg(max(col("n_vecs"))).head.getLong(0) - 1
+    val dirty = Similarity.dirtyCellsFromStats(stats, maxOcc,
+      minMeanAffinity = -1.0)
+    assert(dirty.nonEmpty)
+    // refresh over the LOADED pair equals refresh over the in-memory
+    // original — the artifact boundary changes nothing
+    val (updated, reassigned) = Similarity.ivfRefreshDirtyCells(
+      a0, c0, dirty)
+    val (updatedMem, reassignedMem) = Similarity.ivfRefreshDirtyCells(
+      assigned0, cents, dirty)
+    assert(updated.map(_.toSeq) == updatedMem.map(_.toSeq))
+    assert(reassigned.collect().map(r =>
+        r.getLong(0) -> r.getAs[Int]("cell")).toMap ==
+      reassignedMem.collect().map(r =>
+        r.getLong(0) -> r.getAs[Int]("cell")).toMap)
+    // compose the refreshed serving table, persist v1, reload in a
+    // "third driver", and re-audit — the loop closes across JVMs
+    val serving = a0
+      .filter(!col("cell").isin(dirty.map(Int.box): _*))
+      .unionByName(reassigned)
+    Artifacts.saveIvfIndex(spark, s"$root/v1", updated, serving)
+    val (c1, a1) = Artifacts.loadIvfIndex(spark, s"$root/v1")
+    assert(c1.map(_.toSeq) == updated.map(_.toSeq))
+    assert(a1.collect().map(r =>
+        r.getLong(0) -> r.getAs[Int]("cell")).toMap ==
+      serving.collect().map(r =>
+        r.getLong(0) -> r.getAs[Int]("cell")).toMap)
+    val stats1 = Similarity.ivfCellStats(
+      a1.select(col("vec_id"), col("embedding")), c1)
+    assert(stats1.agg(sum(col("n_vecs"))).head.getLong(0) == 600L)
+  }
+
   test("refresh jobs read ONLY dirty-cell members on a " +
       "cell-partitioned table (listener-asserted)") {
     val rnd = new scala.util.Random(11)

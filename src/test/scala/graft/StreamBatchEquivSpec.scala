@@ -239,6 +239,86 @@ class StreamBatchEquivSpec extends SparkSpec {
       .collect().map(_.toString).toSet == snap)
   }
 
+  test("streaming cluster-label maintenance == batch simhashClusters " +
+      "over the unioned corpus, under ANY micro-batch split") {
+    import graft.dedup.Dedup
+    // near-dup structured docs (8 base texts; exact copies + one-token
+    // mutations) staged as FOUR files, streamed one file per trigger —
+    // the equivalence must hold whatever the trigger batching
+    val words = Vector("alpha", "bravo", "charlie", "delta", "echo",
+      "foxtrot", "golf", "hotel", "india", "juliet", "kilo", "lima")
+    val rnd = new scala.util.Random(29)
+    val all = (0 until 48).map { i =>
+      val g = i % 8
+      val base = (0 until 24).map(j =>
+        words((g * 7 + j * 3 + g * j) % words.length))
+      val txt = if (i % 3 == 0) base
+        else base.updated(rnd.nextInt(24),
+          words(rnd.nextInt(words.length)))
+      (i.toLong, txt.mkString(" "))
+    }
+    val landing = Files.createTempDirectory("graft_lbl_land").toString
+    all.grouped(12).zipWithIndex.foreach { case (slice, i) =>
+      slice.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$landing/f$i")
+    }
+    val canonical = Files.createTempDirectory("graft_lbl_c").toString
+    val labels = Files.createTempDirectory("graft_lbl_l").toString
+    val checkpoint = Files.createTempDirectory("graft_lbl_ck").toString
+    val stream = spark.readStream
+      .schema("doc_id bigint, text string")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$landing/f*")
+    StreamingIngest.runAvailable(
+      StreamingIngest.toCanonicalWithClusterLabels(stream, canonical,
+        checkpoint, labels, maxHamming = 12))
+    val got = StreamingIngest.readClusterLabels(spark, labels)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Dedup.simhashClusters(all.toDF("doc_id", "text"),
+        maxHamming = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty)
+    assert(got == want)
+  }
+
+  test("cluster-label maintenance survives replay and the torn " +
+      "window between the label write and its marker") {
+    import graft.dedup.Dedup
+    import org.apache.hadoop.fs.Path
+    val canonical = Files.createTempDirectory("graft_lblr_c").toString
+    val labels = Files.createTempDirectory("graft_lblr_l").toString
+    val b0 = Seq((0L, "same text here"), (1L, "same text here"),
+      (2L, "other words entirely")).toDF("doc_id", "text")
+    val b1 = Seq((10L, "same text here"), (11L, "unrelated again"))
+      .toDF("doc_id", "text")
+    StreamingIngest.commitBatchWithClusterLabels(b0, canonical, 0L,
+      labels, "doc_id", "text", 3)
+    StreamingIngest.commitBatchWithClusterLabels(b1, canonical, 1L,
+      labels, "doc_id", "text", 3)
+    val snap = StreamingIngest.readClusterLabels(spark, labels)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(snap == Set((0L, 0L), (1L, 0L), (10L, 0L)))
+    // full replay of a committed cycle is a no-op (marker short-circuit)
+    StreamingIngest.commitBatchWithClusterLabels(b1, canonical, 1L,
+      labels, "doc_id", "text", 3)
+    assert(StreamingIngest.readClusterLabels(spark, labels)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == snap)
+    // torn window: the label table landed but the driver died before
+    // the marker — the replay recomputes the IDENTICAL labels from
+    // "committed canonical minus this batch"
+    val fs = new Path(labels)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(labels, "_done/1"), false)
+    StreamingIngest.commitBatchWithClusterLabels(b1, canonical, 1L,
+      labels, "doc_id", "text", 3)
+    assert(StreamingIngest.readClusterLabels(spark, labels)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == snap)
+    // and the streamed result equals the batch recompute
+    assert(snap == Dedup.simhashClusters(b0.unionByName(b1),
+        maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+
   test("crawl ingest: streaming WARC segmentation == batch parse") {
     // the crawl layer as a STREAM: containers arrive as files, the
     // partition-local record walk (mapPartitions — stateless, so it
