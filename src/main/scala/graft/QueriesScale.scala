@@ -389,12 +389,20 @@ object QueriesScale {
     * it twice (suffix explode + per-doc token counts), and DuckDB
     * inlines multiply-referenced CTEs.
     */
-  private lazy val saSpanChainSql: String = {
+  private lazy val saSpanChainSql: String = saSpanChainSqlWhere("")
+
+  /** The q134 suffix-sort chain with an optional doc filter applied
+    * AFTER the aug construction (so the planted boilerplate text is
+    * identical, only document ROWS drop) — the retraction oracle's
+    * corpus-minus-removed recompute (q186).
+    */
+  private def saSpanChainSqlWhere(posPred: String): String = {
     def lcp(a: String, b: String) =
       s"CASE WHEN $b IS NULL THEN 0 ELSE COALESCE(" +
         s"list_min(list_filter(generate_series(1, " +
         s"LEAST(len($a), len($b))), k -> $a[k] <> $b[k])) - 1, " +
         s"LEAST(len($a), len($b))) END"
+    val posWhere = if (posPred.isEmpty) "" else s"\n  WHERE $posPred"
     s"""$toksSql,
        |sample AS (
        |  SELECT doc_id, tk FROM toks WHERE doc_id % 20 = 0),
@@ -410,7 +418,7 @@ object QueriesScale {
        |pos AS (
        |  SELECT doc_id, u.p, tk[u.p:] AS suf
        |  FROM aug, LATERAL (SELECT unnest(generate_series(1,
-       |    len(tk))) AS p) u),
+       |    len(tk))) AS p) u$posWhere),
        |srt AS (
        |  SELECT doc_id, p, suf,
        |         lag(suf) OVER w AS prevs,
@@ -4694,6 +4702,95 @@ object QueriesScale {
         SuffixRepeats.repeatedSpanList(hist, minLen = 25),
         SuffixRepeats.gramIndex(hist, minLen = 25),
         hist, batch, minLen = 25)
+      spans.groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_spans"),
+          sum(col("e") - col("s")).cast("long").as("covered_tokens"),
+          max(col("span_max_ell")).cast("long").as("max_repeat_len"))
+    },
+
+    // LABEL DELTA of the incremental cycle (r13): what a cycle
+    // PUBLISHES under the delta scheme — only the label rows the
+    // batch creates or changes (mergeClustersDelta), touched-cluster-
+    // sized where q180's full table is corpus-sized. The served
+    // overlay (prior labels + this delta, latest-wins) reproduces the
+    // full merge exactly, so the oracle is set arithmetic over two
+    // full closures: (union closure) EXCEPT (history closure) —
+    // every row the full recompute assigns that the served history
+    // didn't already hold. Streaming rides this via
+    // toCanonicalWithClusterLabelDeltas + compactClusterLabels.
+    "q183_label_delta" -> q { (spark, dir) =>
+      val d = docs(spark, dir)
+      val hist = d.filter(col("doc_id") % 5 =!= 0)
+      val batch = d.filter(col("doc_id") % 5 === 0)
+      val labels = Dedup.simhashClusters(hist, maxHamming = 12)
+      val edges = Dedup.simhashBatchEdges(batch,
+        Dedup.simhashTable(hist), maxHamming = 12)
+      Dedup.mergeClustersDelta(labels, edges)
+    },
+
+    // EMBEDDING leg of the incremental dedup loop (r13): q180/q181
+    // made edge discovery batch-proportional for the text detectors;
+    // this is the semantic-dedup twin — the batch's vector
+    // representatives (collapse keyed on the EXACT embedding, since
+    // cosine is a function of the vectors, not the SRP signature)
+    // band against the SERVED SRP table (srpTable(hist) — standing in
+    // for the loaded parquet artifact), exact cosine rescores at
+    // candidate cardinality, and the merge absorbs the edges into the
+    // served semantic-cluster labels. History vectors are never
+    // re-banded against each other and never re-projected. Oracle =
+    // the q29 SRP banding chain over the UNION closed with the same
+    // reachability CC — the full recompute the cycle must reproduce.
+    "q184_semantic_cycle" -> q { (spark, dir) =>
+      val v = vecs(spark, dir)
+      val hist = v.filter(col("vec_id") % 5 =!= 0)
+      val batch = v.filter(col("vec_id") % 5 === 0)
+      val labels = Dedup.duplicateClusters(Similarity.nearDuplicates(
+        hist, threshold = 0.35, planes = 16, bands = 4,
+        roundSim = Some(6)))
+      val edges = Similarity.srpBatchEdges(batch,
+        Similarity.srpTable(hist, planes = 16), threshold = 0.35,
+        planes = 16, bands = 4, roundSim = Some(6))
+      Dedup.mergeClusters(labels, edges)
+    },
+
+    // TAKEDOWN-SIDE cluster maintenance (r13 — the delete path of the
+    // q177/q180 loop): a removal batch can SPLIT clusters (a removed
+    // doc may be the only bridge), so the served labels re-check
+    // connectivity — but ONLY inside the clusters that actually
+    // contain a removed doc. Survivor signatures come from the SERVED
+    // table (no text rescan); untouched clusters pass through by
+    // anti-join. Oracle = the full SimHash closure over the SURVIVING
+    // corpus: pairs are per-doc signature functions, so the survivor
+    // pair set is the full pair set restricted to survivor endpoints.
+    "q185_cluster_retract" -> q { (spark, dir) =>
+      val d = docs(spark, dir)
+      val removed = d.filter(col("doc_id") % 7 === 3)
+        .select(col("doc_id"))
+      val labels = Dedup.simhashClusters(d, maxHamming = 12)
+      Dedup.simhashRetractClusters(labels, Dedup.simhashTable(d),
+        removed, maxHamming = 12)
+    },
+
+    // TAKEDOWN-SIDE suffix-index maintenance (r13 — the delete path
+    // of the q182 loop): removing docs can shrink or erase OTHER
+    // docs' spans (their repeat evidence may have lived only in the
+    // removed docs), so the served (spans, grams) pair re-derives
+    // spans for the gram-probe-affected docs only and drops the
+    // removed rows — history's sort rounds are never re-paid for
+    // unaffected docs. The removal slice (doc_id % 60 == 40) includes
+    // boilerplated docs, so evidence-shrink cases exist by
+    // construction. Oracle = the q134 full suffix-sort recompute over
+    // the SURVIVING corpus (aug rows filtered after the boilerplate
+    // planting, exactly as the engine-side corpus keeps its text).
+    "q186_span_retract" -> q { (spark, dir) =>
+      import graft.dedup.SuffixRepeats
+      val aug = saCorpus(spark, dir)
+      val removed = aug.filter(col("doc_id") % 60 === 40)
+        .select(col("doc_id"))
+      val (spans, _) = SuffixRepeats.retractSpanList(
+        SuffixRepeats.repeatedSpanList(aug, minLen = 25),
+        SuffixRepeats.gramIndex(aug, minLen = 25),
+        aug, removed, minLen = 25)
       spans.groupBy(col("doc_id"))
         .agg(count(lit(1)).cast("long").as("n_spans"),
           sum(col("e") - col("s")).cast("long").as("covered_tokens"),
@@ -10127,6 +10224,114 @@ object QueriesScale {
     // (spans, grams) index exist only on the engine side.
     "q182_incremental_spans" ->
       s"""WITH $saSpanChainSql
+         |SELECT sp.doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_spans,
+         |       CAST(sum(sp.e - sp.s) AS BIGINT) AS covered_tokens,
+         |       CAST(mx.m AS BIGINT) AS max_repeat_len
+         |FROM sp
+         |JOIN (SELECT doc_id, max(ell) AS m FROM q GROUP BY doc_id) mx
+         |  ON mx.doc_id = sp.doc_id
+         |GROUP BY sp.doc_id, mx.m""".stripMargin,
+
+    // q183: the delta IS full-closure-over-union minus the served
+    // history closure — both recomputed from scratch here (the
+    // history/batch split, served signature table, and batch-sized
+    // relabel exist only on the engine side). History pairs are the
+    // full pair set restricted to history endpoints (signatures are
+    // per-doc, so subsetting docs subsets pairs).
+    "q183_label_delta" ->
+      s"""WITH RECURSIVE $simhashPairsSql,
+         |e AS (
+         |  SELECT id_a AS u, id_b AS v FROM pairs WHERE hamming <= 12
+         |  UNION
+         |  SELECT id_b, id_a FROM pairs WHERE hamming <= 12),
+         |r(u, v) AS (
+         |  SELECT u, v FROM e
+         |  UNION
+         |  SELECT r.u, e.v FROM r JOIN e ON r.v = e.u),
+         |m AS (SELECT u, MIN(v) AS mv FROM r GROUP BY u),
+         |full_lab AS (
+         |  SELECT u AS doc_id, LEAST(u, mv) AS cluster_id FROM m),
+         |he AS (
+         |  SELECT id_a AS u, id_b AS v FROM pairs
+         |  WHERE hamming <= 12 AND id_a % 5 != 0 AND id_b % 5 != 0
+         |  UNION
+         |  SELECT id_b, id_a FROM pairs
+         |  WHERE hamming <= 12 AND id_a % 5 != 0 AND id_b % 5 != 0),
+         |hr(u, v) AS (
+         |  SELECT u, v FROM he
+         |  UNION
+         |  SELECT hr.u, he.v FROM hr JOIN he ON hr.v = he.u),
+         |hm AS (SELECT u, MIN(v) AS mv FROM hr GROUP BY u),
+         |hist_lab AS (
+         |  SELECT u AS doc_id, LEAST(u, mv) AS cluster_id FROM hm)
+         |SELECT doc_id, cluster_id FROM full_lab
+         |EXCEPT
+         |SELECT doc_id, cluster_id FROM hist_lab""".stripMargin,
+
+    // q184: the q29 SRP banding + exact-cosine chain over ALL vectors,
+    // closed with the q180 reachability CC — the full semantic-dedup
+    // recompute; the history/batch split, the served SRP table, and
+    // the exact-embedding collapse exist only on the engine side.
+    "q184_semantic_cycle" ->
+      s"""WITH RECURSIVE ${planesSql(16)},
+         |$srpSigsSql,
+         |banded AS (
+         |  SELECT s.vec_id, b.b AS band_idx,
+         |         substr(s.sig, b.b * 4 + 1, 4) AS band_val
+         |  FROM srp s CROSS JOIN (SELECT unnest([0,1,2,3]) AS b) b),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, bb.vec_id AS id_b
+         |  FROM banded a
+         |  JOIN banded bb ON a.band_idx = bb.band_idx
+         |               AND a.band_val = bb.band_val
+         |               AND a.vec_id < bb.vec_id),
+         |$vNormSql,
+         |p AS (
+         |  SELECT c.id_a, c.id_b
+         |  FROM cand c
+         |  JOIN v a ON a.vec_id = c.id_a
+         |  JOIN v b ON b.vec_id = c.id_b
+         |  WHERE round(list_sum(list_transform(generate_series(1, 64),
+         |          i -> CAST(a.embedding[i] AS DOUBLE)
+         |               * CAST(b.embedding[i] AS DOUBLE)))
+         |        / (a.nrm * b.nrm), 6) >= 0.35),
+         |e AS (
+         |  SELECT id_a AS u, id_b AS v FROM p
+         |  UNION
+         |  SELECT id_b, id_a FROM p),
+         |r(u, v) AS (
+         |  SELECT u, v FROM e
+         |  UNION
+         |  SELECT r.u, e.v FROM r JOIN e ON r.v = e.u),
+         |m AS (SELECT u, MIN(v) AS mv FROM r GROUP BY u)
+         |SELECT u AS doc_id, LEAST(u, mv) AS cluster_id FROM m""".stripMargin,
+
+    // q185: the full SimHash closure over the SURVIVING corpus —
+    // signatures are per-doc, so restricting the full pair set to
+    // survivor endpoints IS the survivor pair set; the touched-cluster
+    // scoping exists only on the engine side.
+    "q185_cluster_retract" ->
+      s"""WITH RECURSIVE $simhashPairsSql,
+         |e AS (
+         |  SELECT id_a AS u, id_b AS v FROM pairs
+         |  WHERE hamming <= 12 AND id_a % 7 != 3 AND id_b % 7 != 3
+         |  UNION
+         |  SELECT id_b, id_a FROM pairs
+         |  WHERE hamming <= 12 AND id_a % 7 != 3 AND id_b % 7 != 3),
+         |r(u, v) AS (
+         |  SELECT u, v FROM e
+         |  UNION
+         |  SELECT r.u, e.v FROM r JOIN e ON r.v = e.u),
+         |m AS (SELECT u, MIN(v) AS mv FROM r GROUP BY u)
+         |SELECT u AS doc_id, LEAST(u, mv) AS cluster_id FROM m""".stripMargin,
+
+    // q186: the q134 suffix-sort recompute over the surviving corpus
+    // — aug keeps the planted text, removed docs' ROWS drop before
+    // the position explode; the gram-probe scoping exists only on the
+    // engine side.
+    "q186_span_retract" ->
+      s"""WITH ${saSpanChainSqlWhere("doc_id % 60 != 40")}
          |SELECT sp.doc_id,
          |       CAST(count(*) AS BIGINT) AS n_spans,
          |       CAST(sum(sp.e - sp.s) AS BIGINT) AS covered_tokens,

@@ -898,10 +898,19 @@ object Dedup {
       pairs.sparkSession.sparkContext.setCheckpointDir)
     // explicit checkpointDir wins; otherwise Checkpoints.materialize
     // honors the session-wide graft.checkpoint.dir conf (reliable
-    // mode on real clusters) and falls back to localCheckpoint
+    // mode on real clusters) and falls back to localCheckpoint.
+    // Both paths DROP the checkpoint leaf's inherited statistics
+    // (Checkpoints.materializeFresh): each round's shortcut self-join
+    // raises the inherited size estimate to the 4th power, so by
+    // round ~10 of a long-diameter graph the driver spends minutes in
+    // BigInteger arithmetic "estimating" a few thousand rows — the
+    // q184 sf0.1 closure planned >25 min before this, and executes in
+    // seconds after
     def barrier(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint()
-      else graft.model.Checkpoints.materialize(df)
+      if (checkpointDir.isDefined)
+        org.apache.spark.sql.graftshim.SqlShims
+          .dropInheritedStats(df.checkpoint())
+      else graft.model.Checkpoints.materializeFresh(df)
     // no distinct(): the two union branches are disjoint (u<v vs u>v
     // from the pair convention), and even a caller passing duplicated
     // pairs cannot change a MIN aggregation — a distinct here would
@@ -1057,6 +1066,59 @@ object Dedup {
                     idA: String = "id_a", idB: String = "id_b",
                     maxIter: Int = 40,
                     validate: Boolean = true): DataFrame = {
+    val (lab, rootMap, prevUnlabeled) =
+      mergeClustersCore(labels, newEdges, idA, idB, maxIter, validate)
+    val all = lab.select(col("doc_id"), col("cluster_id").as("lbl"))
+      .unionByName(prevUnlabeled.select(col("doc_id"), col("lbl")))
+    all.join(rootMap, Seq("lbl"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__root"), col("lbl")).as("cluster_id"))
+  }
+
+  /** The DELTA of [[mergeClusters]]: only the label rows this batch
+    * of edges CREATES or CHANGES — fresh endpoints (docs with no
+    * prior label) plus previously-labeled docs whose cluster root
+    * moved. Overlaying this delta onto the prior label table
+    * (latest-wins per doc_id) reproduces [[mergeClusters]]' full
+    * output exactly; untouched components contribute NO rows.
+    *
+    * Scale shape — the reason this exists (r13): the full-table
+    * variant makes every cycle's PUBLISH corpus-sized even when the
+    * batch touches three clusters. Here the relabel map (`rootMap`,
+    * ≤ 2·|newEdges| rows) joins the label table on `cluster_id` as a
+    * broadcast-able INNER join, so the changed-row scan emits only
+    * touched-cluster members and the published artifact is
+    * touched-cluster-sized. The streaming label maintainer's
+    * delta-publication path
+    * ([[graft.streaming.StreamingIngest.toCanonicalWithClusterLabelDeltas]])
+    * and its compaction ride this.
+    */
+  def mergeClustersDelta(labels: DataFrame, newEdges: DataFrame,
+                         idA: String = "id_a", idB: String = "id_b",
+                         maxIter: Int = 40,
+                         validate: Boolean = true): DataFrame = {
+    val (lab, rootMap, prevUnlabeled) =
+      mergeClustersCore(labels, newEdges, idA, idB, maxIter, validate)
+    // existing rows change iff their current label is a non-root node
+    // of the label graph — an INNER join against the batch-sized
+    // rootMap, filtered to actual moves, never a corpus-wide rewrite
+    val changedExisting = lab
+      .select(col("doc_id"), col("cluster_id").as("lbl"))
+      .join(rootMap, Seq("lbl"))
+      .filter(col("__root") =!= col("lbl"))
+      .select(col("doc_id"), col("__root").as("cluster_id"))
+    // fresh endpoints are new rows by definition (left join: a fresh
+    // doc whose every edge lands in-cluster keeps its self-label)
+    val fresh = prevUnlabeled.join(rootMap, Seq("lbl"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__root"), col("lbl")).as("cluster_id"))
+    changedExisting.unionByName(fresh)
+  }
+
+  private def mergeClustersCore(labels: DataFrame, newEdges: DataFrame,
+                                idA: String, idB: String, maxIter: Int,
+                                validate: Boolean)
+      : (DataFrame, DataFrame, DataFrame) = {
     val lab = labels.select(col("doc_id"), col("cluster_id"))
     val e = newEdges.select(col(idA).as("u"), col(idB).as("v"))
       .filter(col("u") =!= col("v"))
@@ -1117,12 +1179,84 @@ object Dedup {
       .select(col("cluster_id").as("__root"), col("doc_id").as("lbl"))
     val prevUnlabeled = endLab
       .join(lab.select(col("doc_id")), Seq("doc_id"), "left_anti")
-    val all = lab.select(col("doc_id"), col("cluster_id").as("lbl"))
-      .unionByName(prevUnlabeled.select(col("doc_id"), col("lbl")))
-    all.join(rootMap, Seq("lbl"), "left")
-      .select(col("doc_id"),
-        coalesce(col("__root"), col("lbl")).as("cluster_id"))
+    (lab, rootMap, prevUnlabeled)
   }
+
+  /** Survivor members of the clusters a removal batch touches — the
+    * scope of [[retractClusters]]' recompute: every doc sharing a
+    * cluster with a removed doc, minus the removed docs themselves.
+    * Everything is a semi-join on the label table, so the scope costs
+    * label-table probes, never a corpus scan.
+    */
+  def retractionSurvivors(labels: DataFrame,
+                          removed: DataFrame,
+                          idCol: String = "doc_id"): DataFrame = {
+    val rem = removed.select(col(idCol).as("doc_id"))
+    val lab = labels.select(col("doc_id"), col("cluster_id"))
+    val touched = lab.join(rem, Seq("doc_id"), "left_semi")
+      .select(col("cluster_id")).distinct()
+    lab.join(touched, Seq("cluster_id"), "left_semi")
+      .join(rem, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"))
+  }
+
+  /** TAKEDOWN-SIDE incremental cluster maintenance (r13 — the delete
+    * path of the r12/r13 ingest loop): removing documents can SPLIT a
+    * cluster (the removed doc may be the only bridge between two
+    * near-dup neighborhoods), so unlike [[mergeClusters]] — where new
+    * edges only ever merge — retraction must re-check connectivity.
+    * It re-checks ONLY where it can change: the clusters that
+    * actually contain a removed doc. `edgesOf(survivors)` supplies
+    * the detector edges among the touched clusters' surviving members
+    * (detector-agnostic — compute them from a SERVED signature table
+    * so no document text is rescanned; [[simhashRetractClusters]]
+    * wires the SimHash table). Untouched clusters pass through
+    * by anti-join; touched survivors re-cluster from their own edges.
+    *
+    * Result ≡ the full recompute over (corpus ∖ removed), exactly:
+    * components only ever split under node removal, so an untouched
+    * cluster is a component of the survivor graph verbatim (its min
+    * id survives — a removed member would make it touched), and a
+    * touched cluster's survivor edges cannot reach outside the
+    * touched scope (an edge is a same-component witness). Survivors
+    * left with no edge drop from the table — the label contract
+    * covers paired docs only. Scale shape: label-probe semi-joins +
+    * a detector pass over the touched slice — cost ∝ touched-cluster
+    * membership, never corpus size. RetractionSpec holds the
+    * differential, including a bridge-removal split.
+    */
+  def retractClusters(labels: DataFrame, removed: DataFrame,
+                      edgesOf: DataFrame => DataFrame,
+                      idCol: String = "doc_id",
+                      maxIter: Int = 40): DataFrame = {
+    val rem = removed.select(col(idCol).as("doc_id"))
+    val lab = labels.select(col("doc_id"), col("cluster_id"))
+    val touched = lab.join(rem, Seq("doc_id"), "left_semi")
+      .select(col("cluster_id")).distinct()
+    val survivors = retractionSurvivors(labels, removed, idCol)
+    val recc = duplicateClusters(edgesOf(survivors), maxIter = maxIter)
+    lab.join(touched, Seq("cluster_id"), "left_anti")
+      .select(col("doc_id"), col("cluster_id")) // join key led the row
+      .unionByName(recc)
+  }
+
+  /** [[retractClusters]] wired to the served SimHash signature table
+    * ([[simhashTable]] / [[graft.model.Artifacts.loadSimhashSigs]]):
+    * the survivor slice's signatures re-band against themselves (the
+    * collapse + shuffle-pin discipline of [[simhashEdges]], at
+    * touched-slice size) — document text is never rescanned.
+    */
+  def simhashRetractClusters(labels: DataFrame, servedSigs: DataFrame,
+                             removed: DataFrame,
+                             idCol: String = "doc_id",
+                             maxHamming: Int = 3,
+                             maxIter: Int = 40): DataFrame =
+    retractClusters(labels, removed, survivors =>
+      simhashEdgesFromSigs(
+        servedSigs.select(col(idCol).as("doc_id"), col("sh"))
+          .join(survivors, Seq("doc_id"), "left_semi"),
+        "doc_id", maxHamming),
+      idCol, maxIter)
 
   /** Verified near-dup pairs: LSH candidates re-scored with exact
     * n-gram Jaccard (the LSH estimate prunes, the exact score decides).

@@ -92,7 +92,7 @@ object SuffixRepeats {
                               width: Int,
                               scratch: ListBuffer[DataFrame]): DataFrame = {
     val ks = (1 to width).map(i => col(s"k$i"))
-    val ranked = Checkpoints.materialize(tuples.select(ks: _*)
+    val ranked = Checkpoints.materializeFresh(tuples.select(ks: _*)
       .distinct()
       .repartitionByRange(parts, ks: _*)
       .sortWithinPartitions(ks: _*))
@@ -258,6 +258,67 @@ object SuffixRepeats {
     (merged, oldGrams.unionByName(bGrams))
   }
 
+  /** TAKEDOWN-SIDE incremental suffix-index maintenance (r13 — the
+    * delete path of [[mergeSpanList]]'s loop): removing documents can
+    * SHRINK or ERASE other documents' spans — a span survives only if
+    * its repeat evidence survives — so retraction re-derives spans
+    * where they can change and nowhere else:
+    *
+    *  1. scope — a surviving doc's spans can change ONLY if it holds
+    *     a position whose minLen-gram occurs in a removed doc (a
+    *     ≥ minLen match with a removed doc implies the first-minLen
+    *     gram matches, so the gram probe is recall-exact; every other
+    *     doc's match multiset loses nothing). One semi-join of the
+    *     surviving gram index against the removed docs' gram set
+    *     finds the AFFECTED docs;
+    *  2. rank — the span build runs over affected ∪ candidate docs
+    *     only, where candidates are surviving docs sharing a gram
+    *     with an affected doc (an affected doc's surviving evidence
+    *     partners all sit in its gram-candidate set, so its sub-built
+    *     spans are exact);
+    *  3. replace — affected docs' span rows are REPLACED by the
+    *     sub-build's (unlike the merge path's interval-union: ℓ
+    *     values can only shrink here, so old spans must not win);
+    *     removed docs' rows and gram entries drop.
+    *
+    * Retracted ≡ full rebuild over (corpus ∖ removed), exactly —
+    * RetractionSpec holds the differential, including an
+    * evidence-erased span and a shrink-in-place. Scale shape: the
+    * sort rounds run over affected + candidates; corpus-sized work is
+    * the gram-index probes (broadcast-able removed/affected gram
+    * sets) and the semi-join-pruned token fetch — linear scans, no
+    * sort. Returns (retracted span table, retracted gram index).
+    */
+  def retractSpanList(oldSpans: DataFrame, oldGrams: DataFrame,
+                      corpusTok: DataFrame, removed: DataFrame,
+                      minLen: Int, parts: Int = 8)
+      : (DataFrame, DataFrame) = {
+    val rem = removed.select(col("doc_id"))
+    val remD = rem.select(col("doc_id").as("d"))
+    val survGrams = oldGrams.join(remD, Seq("d"), "left_anti")
+    val rGramSet = oldGrams.join(remD, Seq("d"), "left_semi")
+      .select(col("g")).distinct()
+    val affected = survGrams.join(rGramSet, Seq("g"), "left_semi")
+      .select(col("d").as("doc_id")).distinct()
+    val aGramSet = survGrams
+      .join(affected.select(col("doc_id").as("d")), Seq("d"),
+        "left_semi")
+      .select(col("g")).distinct()
+    val candDocs = survGrams.join(aGramSet, Seq("g"), "left_semi")
+      .select(col("d").as("doc_id")).distinct()
+    val survTok = corpusTok.join(rem, Seq("doc_id"), "left_anti")
+    val subTok = survTok.join(candDocs, Seq("doc_id"), "left_semi")
+    val subSpans = spanListUncached(
+      subTok.select(col("doc_id"), col("tokens")), minLen, parts)
+    val keptSpans = oldSpans
+      .select(col("doc_id"), col("s"), col("e"), col("span_max_ell"))
+      .join(rem, Seq("doc_id"), "left_anti")
+      .join(affected, Seq("doc_id"), "left_anti")
+    val newAffected = subSpans
+      .join(affected, Seq("doc_id"), "left_semi")
+    (keptSpans.unionByName(newAffected), survGrams)
+  }
+
   /** Per-doc maximal repeated spans of ≥ `minLen` tokens over a
     * (doc_id, tokens: array<string>) frame. One row per document
     * containing at least one qualifying span:
@@ -317,7 +378,7 @@ object SuffixRepeats {
     // NB no repartition before the checkpoints: the next round
     // joins on (d, p), so any pre-partitioning by d alone would be
     // an exchange bought for nothing
-    var cur = Checkpoints.materialize(gB
+    var cur = Checkpoints.materializeFresh(gB
       .join(denseRankTuples(gB, parts, B, scratch),
         (1 to B).map(k => s"k$k"))
       .select(col("d"), col("p"), col("dl"), col("rank")))
@@ -345,7 +406,7 @@ object SuffixRepeats {
           col("d") * (maxLen.toLong + 1L) + col("p"))
       val width = if (isLast) 9 else 8
       val prev = cur
-      cur = Checkpoints.materialize(paired
+      cur = Checkpoints.materializeFresh(paired
         .join(denseRankTuples(paired, parts, width, scratch),
           (1 to width).map(k => s"k$k"))
         .select(col("d"), col("p"), col("dl"), col("rank")))

@@ -272,6 +272,25 @@ object Artifacts {
     Checkpoints.materialize(
       spark.read.parquet(path).repartition(col("sh")))
 
+  /** The served SRP signature table (id, embedding, sig) —
+    * [[graft.sim.Similarity.srpTable]]'s fit-once state, the history
+    * side of the embedding batch probe
+    * ([[graft.sim.Similarity.srpBatchEdges]]). Corpus-sized → one row
+    * per vector, distributed write; [[loadSrpTable]] restores the id
+    * partitioning the banding consumers expect (the CollapseProject
+    * barrier) and materializes, so a loaded table serves with zero
+    * plane-projection jobs.
+    */
+  def saveSrpTable(table: org.apache.spark.sql.DataFrame,
+                   path: String): Unit =
+    table.write.mode("overwrite").parquet(path)
+
+  def loadSrpTable(spark: SparkSession, path: String,
+                   idCol: String = "vec_id")
+      : org.apache.spark.sql.DataFrame =
+    Checkpoints.materialize(
+      spark.read.parquet(path).repartition(col(idCol)))
+
   /** The served near-dup pair table (id_a, id_b, jaccard) —
     * [[graft.dedup.Dedup.nearDuplicates]]'s `servePairs` index
     * ([[saveSigs]]'s twin one stage later). Pair-sliver-sized but

@@ -72,6 +72,22 @@ object Checkpoints extends org.apache.spark.internal.Logging {
     }
   }
 
+  /** [[materialize]] for ITERATIVE-LOOP rounds: additionally drops
+    * the statistics the checkpoint leaf inherits from the
+    * pre-checkpoint plan (r13 —
+    * [[org.apache.spark.sql.graftshim.SqlShims.dropInheritedStats]]
+    * documents the double-exponential planning blowup those inherited
+    * values feed in a fixpoint loop). Fit-once artifacts keep plain
+    * [[materialize]]: their inherited estimates descend from real
+    * scans and stay useful to downstream join planning; a loop
+    * round's estimate is garbage by round 2 and lethal by round 10.
+    * [[release]] works identically on frames from either variant
+    * (the stats-free copy shares the checkpointed RDD).
+    */
+  def materializeFresh(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graftshim.SqlShims
+      .dropInheritedStats(materialize(df))
+
   /** Free the storage behind a frame returned by [[materialize]]:
     * unpersists the local-checkpoint blocks, and in reliable mode
     * also DELETES the checkpoint files (r8 ADVICE item 5:

@@ -500,6 +500,38 @@ object Similarity {
         sum(units).as("affinity_units"))
   }
 
+  /** [[ivfCellStats]] over a SERVED assignment table (r13 — the
+    * streaming maintenance loop's audit): occupancy and affinity
+    * aggregate by the STORED `cell` column — the routing queries
+    * actually follow — instead of recomputing the nearest cell,
+    * because between refreshes stale-but-bounded assignments are the
+    * norm and the audit must see the index as served, not as it
+    * would be if rebuilt. Affinity of a member is its cosine to the
+    * centroid that OWNS it (6-dp integer micro-units, the
+    * [[ivfCellStats]] contract), so [[dirtyCellsFromStats]] consumes
+    * either audit unchanged. Scale shape: one scan of the assignment
+    * table, ≤ nlist counter rows past the map-side partial.
+    */
+  def ivfAssignedCellStats(assigned: DataFrame,
+                           centroids: Seq[Array[Double]],
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.PortableRound.pround
+    require(centroids.nonEmpty,
+      "ivfAssignedCellStats: centroids required")
+    val score = element_at(centroidScores(col(vecCol), centroids),
+      col("cell") + 1)
+    val cosR = pround(score / l2Norm(col(vecCol)), 6)
+    val units = when(cosR >= 0,
+      floor(cosR * 1e6 + lit(0.5)))
+      .otherwise(ceil(cosR * 1e6 - lit(0.5))).cast("long")
+    assigned
+      .select(col("cell"), units.as("__u"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("__u")).as("affinity_units"))
+  }
+
   /** Dirty-cell decision from an [[ivfCellStats]] audit (r12 — r11
     * verdict Next #5 wires the q127 monitor to an ACTION): a cell is
     * dirty when its occupancy breaches `maxOccupancy` (mega-cell —
@@ -918,6 +950,127 @@ object Similarity {
         roundSim.fold(sim)(pround(sim, _)).as("cosine_sim"))
       .filter(col("cosine_sim") >= threshold)
       .distinct()
+  }
+
+  /** The served SRP signature table — (idCol, vecCol, sig) rows, the
+    * embedding family's fit-once state and the history side of
+    * [[srpBatchEdges]]' batch-vs-served probe (the
+    * [[graft.dedup.Dedup.simhashTable]] discipline applied to
+    * vectors). The repartition is the same CollapseProject barrier
+    * [[nearDuplicates]] documents: the signature feeds per-band
+    * substring references downstream, and without the exchange the
+    * planes-dot-product would re-inline once PER BAND. Persist/load
+    * with [[graft.model.Artifacts.saveSrpTable]].
+    */
+  def srpTable(vectors: DataFrame, planes: Int = 16,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame =
+    vectors.select(col(idCol), col(vecCol),
+        srpSignature(col(vecCol), planes).as("sig"))
+      .repartition(col(idCol))
+
+  /** BATCH-PROPORTIONAL embedding near-dup edge discovery (r13 — the
+    * EMBEDDING leg of the incremental dedup loop, completing the
+    * detector family: exact/MinHash/SimHash batch probes exist, this
+    * is [[nearDuplicates]]' batch-vs-served twin). Given an arriving
+    * vector batch and the corpus's SERVED SRP table ([[srpTable]] /
+    * [[graft.model.Artifacts.loadSrpTable]]), emit a
+    * connectivity-preserving edge set touching ONLY the batch:
+    *
+    *  1. cross edges — batch vector representatives band-join the
+    *     served representatives on SRP band equality, then exact
+    *     cosine rescores at candidate cardinality;
+    *  2. within-batch edges — the same rep-level banding over the
+    *     batch against itself, plus rep→member stars inside
+    *     multi-member groups.
+    *
+    * The collapse discipline here keys on the EXACT EMBEDDING (not
+    * the signature): cosine is a function of the vectors, so
+    * collapsing equal signatures would be lossy, while equal vectors
+    * share both the signature (hence every band) and every cosine —
+    * identical re-embedded content meets its served group's
+    * representative at cosine 1.0. Exchange discipline matches the
+    * text detectors: band exchanges carry (rep id, band) only —
+    * never the vectors — and embeddings join back at candidate
+    * cardinality; both banded sides descend from aggregates (the r12
+    * broadcast hazard), so the band joins are pinned shuffle-shaped.
+    * Star edges re-check the self-cosine through the same rounding,
+    * so zero-norm vectors (NaN cosine) drop exactly as the full
+    * recompute drops them.
+    *
+    * Feeding `mergeClusters(labels, these edges)` equals
+    * `duplicateClusters(nearDuplicates(history ∪ batch))` PROVIDED
+    * `labels` is the served cluster table over the same history:
+    * history-history connectivity is absorbed in the labels,
+    * identical-vector groups are clustered there (their pairs score
+    * cosine 1.0), and every other union pair is batch-incident and
+    * representative-reachable here — IncrementalDetectorSpec carries
+    * the differential.
+    */
+  def srpBatchEdges(batch: DataFrame, served: DataFrame,
+                    threshold: Double = 0.95,
+                    planes: Int = 16, bands: Int = 4,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding",
+                    roundSim: Option[Int] = None): DataFrame = {
+    import graft.functions.PortableRound.pround
+    import org.apache.spark.sql.expressions.Window
+    require(planes % bands == 0,
+      s"srpBatchEdges: planes=$planes not divisible by bands=$bands")
+    val bandBits = planes / bands
+    def rounded(c: Column): Column = roundSim.fold(c)(pround(c, _))
+    // batch side: signature once behind the srpTable barrier, then
+    // ONE (vector, sig) window computes the exact-embedding collapse
+    // (rep = group-min id) and the group size the stars need
+    val w = Window.partitionBy(col(vecCol), col("sig"))
+    val bAll = srpTable(batch, planes, idCol, vecCol)
+      .withColumn("__rep", min(col(idCol)).over(w))
+      .withColumn("__m", count(lit(1)).over(w))
+    val bGroups = bAll.filter(col(idCol) === col("__rep"))
+      .select(col(idCol).as("rep"), col(vecCol), col("sig"))
+    val hGroups = served
+      .select(col(idCol), col(vecCol), col("sig"))
+      .groupBy(col(vecCol), col("sig"))
+      .agg(min(col(idCol)).as("rep"))
+      .select(col("rep"), col(vecCol), col("sig"))
+    // band exchanges carry (rep, band) — vectors join back below at
+    // candidate cardinality
+    def bandsOf(g: DataFrame, repAs: String): DataFrame = g
+      .select(col("rep").as(repAs),
+        posexplode(array((0 until bands).map(b =>
+          substring(col("sig"), b * bandBits + 1, bandBits)): _*))
+          .as(Seq("band_idx", "band_val")))
+    def rescored(cands: DataFrame, aFrom: DataFrame,
+                 bFrom: DataFrame): DataFrame = cands
+      .join(aFrom.select(col("rep").as("rep_a"),
+        col(vecCol).as("__va")), Seq("rep_a"))
+      .join(bFrom.select(col("rep").as("rep_b"),
+        col(vecCol).as("__vb")), Seq("rep_b"))
+      .filter(rounded(cosine(col("__va"), col("__vb"))) >= threshold)
+      .select(least(col("rep_a"), col("rep_b")).as("id_a"),
+        greatest(col("rep_a"), col("rep_b")).as("id_b"))
+    // both banded sides descend from aggregates — pin shuffle-shaped
+    val crossCands = bandsOf(bGroups, "rep_a").hint("shuffle_hash")
+      .join(bandsOf(hGroups, "rep_b").hint("shuffle_hash"),
+        Seq("band_idx", "band_val"))
+      .select(col("rep_a"), col("rep_b")).distinct()
+    val crossEdges = rescored(crossCands, bGroups, hGroups)
+    val bBands = bandsOf(bGroups, "rep")
+    val withinCands = bBands.select(col("rep").as("rep_a"),
+        col("band_idx"), col("band_val")).hint("shuffle_hash")
+      .join(bBands.select(col("rep").as("rep_b"),
+        col("band_idx"), col("band_val")).hint("shuffle_hash"),
+        Seq("band_idx", "band_val"))
+      .filter(col("rep_a") < col("rep_b"))
+      .select(col("rep_a"), col("rep_b")).distinct()
+    val withinEdges = rescored(withinCands, bGroups, bGroups)
+    // rep→member stars: the self-cosine re-check makes zero-norm
+    // groups drop exactly as the full pair build drops them
+    val starEdges = bAll
+      .filter(col("__m") > 1 && col(idCol) =!= col("__rep"))
+      .filter(rounded(cosine(col(vecCol), col(vecCol))) >= threshold)
+      .select(col("__rep").as("id_a"), col(idCol).as("id_b"))
+    crossEdges.union(withinEdges).union(starEdges)
   }
 
   /** Cluster-balanced (diversity-preserving) downsample: route every

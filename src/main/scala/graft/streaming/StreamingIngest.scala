@@ -372,6 +372,441 @@ object StreamingIngest {
     spark.read.parquet(s"$labelsPath/batch=${ids.max}")
   }
 
+  /** DELTA-publication cluster-label maintenance (r13 — the scale
+    * refinement [[toCanonicalWithClusterLabels]]' scaladoc states):
+    * same cycle (publish canonical → persist signature delta →
+    * batch-vs-served edge probe → label merge) under the same ONE
+    * `_done/<id>` marker, but each cycle publishes ONLY the label
+    * rows it creates or changes
+    * ([[graft.dedup.Dedup.mergeClustersDelta]]) to
+    * `labelsPath/delta/batch=<id>` — touched-cluster-sized, never
+    * corpus-sized. The served table is the latest-wins overlay
+    * ([[readClusterLabelsOverlay]]); [[compactClusterLabels]]
+    * periodically folds committed deltas into a versioned base so
+    * the overlay's delta list stays short. A `labelsPath` belongs to
+    * exactly one variant — full-republish and delta cycles don't mix
+    * under one root.
+    */
+  def toCanonicalWithClusterLabelDeltas(df: DataFrame,
+                                        canonicalPath: String,
+                                        checkpoint: String,
+                                        labelsPath: String,
+                                        idCol: String = "doc_id",
+                                        textCol: String = "text",
+                                        maxHamming: Int = 3)
+      : DataStreamWriter[Row] =
+    df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        commitBatchWithClusterLabelDeltas(batch, canonicalPath,
+          batchId, labelsPath, idCol, textCol, maxHamming)
+      }
+
+  private[graft] def commitBatchWithClusterLabelDeltas(
+      batch: DataFrame, canonicalPath: String, batchId: Long,
+      labelsPath: String, idCol: String, textCol: String,
+      maxHamming: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    import graft.dedup.Dedup
+    val spark = batch.sparkSession
+    commitBatch(batch, canonicalPath, batchId) // idempotent
+    val root = new Path(labelsPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val done = new Path(root, s"_done/$batchId")
+    if (fs.exists(done)) return // delta published on a prior attempt
+    val canon = new Path(canonicalPath)
+    val cfs = canon.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // "before" derives from the canonical _txn listing minus this
+    // batch id — identical on any replay, so the recomputed delta is
+    // bit-identical across every crash window
+    val beforeIds = cfs.listStatus(new Path(canon, "_txn"))
+      .map(_.getPath.getName)
+      .flatMap(n => scala.util.Try(n.toLong).toOption)
+      .filter(_ != batchId).sorted
+    val batchDf = spark.read
+      .parquet(s"$canonicalPath/batch=$batchId")
+      .select(col(idCol), col(textCol))
+    Dedup.simhashSignatures(batchDf, idCol, textCol)
+      .write.mode("overwrite")
+      .parquet(s"$labelsPath/sigs/batch=$batchId")
+    val servedSigs =
+      if (beforeIds.isEmpty)
+        spark.read.parquet(s"$labelsPath/sigs/batch=$batchId")
+          .filter(lit(false)) // cold start: empty served table
+      else spark.read.parquet(
+        beforeIds.map(i => s"$labelsPath/sigs/batch=$i").toSeq: _*)
+    // prior labels = the overlay of base + deltas committed BEFORE
+    // this batch (never this cycle's own torn output)
+    val prior =
+      if (beforeIds.isEmpty)
+        batchDf.select(col(idCol).as("doc_id"),
+          col(idCol).as("cluster_id")).filter(lit(false))
+      else labelsOverlay(spark, labelsPath, beforeIds)
+    val edges = Dedup.simhashBatchEdges(batchDf, servedSigs,
+      idCol, textCol, maxHamming)
+    // prior labels are this loop's OWN committed output — min-label
+    // invariant holds by construction (mergeClusters' trusted-chain
+    // hatch)
+    Dedup.mergeClustersDelta(prior, edges, validate = false)
+      .write.mode("overwrite")
+      .parquet(s"$labelsPath/delta/batch=$batchId")
+    fs.mkdirs(new Path(root, "_done"))
+    fs.create(done, true).close()
+  }
+
+  /** Marker-committed cycle ids under a delta-label root. */
+  private def committedLabelIds(spark: SparkSession,
+                                labelsPath: String): Array[Long] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(labelsPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val doneDir = new Path(root, "_done")
+    if (!fs.exists(doneDir)) Array.empty[Long]
+    else fs.listStatus(doneDir).map(_.getPath.getName)
+      .flatMap(n => scala.util.Try(n.toLong).toOption).sorted
+  }
+
+  /** Highest committed compaction version under a delta-label root,
+    * if any ([[compactClusterLabels]] output).
+    */
+  private def committedBaseVersion(spark: SparkSession,
+                                   labelsPath: String): Option[Long] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(labelsPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val baseDone = new Path(root, "_basedone")
+    if (!fs.exists(baseDone)) None
+    else fs.listStatus(baseDone).map(_.getPath.getName)
+      .flatMap(n => scala.util.Try(n.toLong).toOption)
+      .sorted.lastOption
+  }
+
+  /** The latest-wins overlay over `ids`' committed deltas, starting
+    * from the highest compacted base that does not exceed them: one
+    * row per doc, the row written by the highest cycle that touched
+    * it (relabels only ever move a doc's cluster root down-merge, so
+    * latest-wins IS the merged table). The overlay window shuffles
+    * doc-keyed label rows — corpus-sized, like any full read of the
+    * served table; the point of the delta scheme is that each cycle's
+    * WRITE (and the shipper's diff) is touched-cluster-sized.
+    */
+  private def labelsOverlay(spark: SparkSession, labelsPath: String,
+                            ids: Seq[Long]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = committedBaseVersion(spark, labelsPath)
+      .filter(v => ids.contains(v))
+    val deltaIds = base match {
+      case Some(v) => ids.filter(_ > v)
+      case None => ids
+    }
+    val parts =
+      base.map(v => spark.read
+          .parquet(s"$labelsPath/base/version=$v")
+          .withColumn("__ord", lit(v))).toSeq ++
+        deltaIds.map(i => spark.read
+          .parquet(s"$labelsPath/delta/batch=$i")
+          .withColumn("__ord", lit(i)))
+    require(parts.nonEmpty,
+      s"labelsOverlay: no committed label cycles under $labelsPath")
+    val all = parts.reduce(_ unionByName _)
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("__ord").desc)
+    all.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("doc_id"), col("cluster_id"))
+  }
+
+  /** The served label table under the DELTA scheme: base (if
+    * compacted) overlaid with every committed delta, latest-wins per
+    * doc. Fails loudly before the first committed cycle.
+    */
+  def readClusterLabelsOverlay(spark: SparkSession,
+                               labelsPath: String): DataFrame = {
+    val ids = committedLabelIds(spark, labelsPath)
+    require(ids.nonEmpty, s"readClusterLabelsOverlay: no published " +
+      s"label cycles under $labelsPath")
+    labelsOverlay(spark, labelsPath, ids)
+  }
+
+  /** Fold every committed delta (and any prior base) into ONE
+    * versioned base — `base/version=<maxCycle>` committed by a
+    * `_basedone/<maxCycle>` marker — so [[readClusterLabelsOverlay]]'s
+    * delta list resets to the cycles that arrive afterwards. Same
+    * tmp → rename → marker transaction as [[commitBatch]]: a torn
+    * compaction is invisible (no marker) and a re-run republishes it;
+    * compacting twice at the same high-water mark short-circuits.
+    * Old deltas/bases are left in place (readers pin to the HIGHEST
+    * committed base), so compaction never races a concurrent reader;
+    * pruning superseded files is an offline GC decision.
+    */
+  def compactClusterLabels(spark: SparkSession,
+                           labelsPath: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val ids = committedLabelIds(spark, labelsPath)
+    require(ids.nonEmpty,
+      s"compactClusterLabels: no published label cycles under " +
+        s"$labelsPath")
+    val version = ids.max
+    val root = new Path(labelsPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(root, s"_basedone/$version")
+    if (fs.exists(marker)) return // already compacted at this mark
+    val tmp = new Path(root, s"base/__tmp_version_$version")
+    fs.delete(tmp, true)
+    labelsOverlay(spark, labelsPath, ids)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val dest = new Path(root, s"base/version=$version")
+    fs.delete(dest, true)
+    require(fs.rename(tmp, dest),
+      s"compactClusterLabels: rename $tmp -> $dest failed")
+    fs.mkdirs(new Path(root, "_basedone"))
+    fs.create(marker, true).close()
+  }
+
+  /** Prune label deltas and bases SUPERSEDED by the highest committed
+    * compaction — the offline GC [[compactClusterLabels]]' scaladoc
+    * defers: every delta with id ≤ base version (its rows are folded
+    * into the base) and every older base. Safe under the stated
+    * single-writer/pinned-reader discipline (readers resolve the
+    * HIGHEST committed base first, so nothing reads the pruned
+    * files); `_done` markers stay — they are the committed-cycle
+    * ledger replay short-circuits and sig listings key on, not data.
+    * No-op before the first compaction. Returns the pruned paths.
+    */
+  def gcClusterLabels(spark: SparkSession,
+                      labelsPath: String): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(labelsPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    committedBaseVersion(spark, labelsPath) match {
+      case None => Seq.empty
+      case Some(v) =>
+        val supersededDeltas = committedLabelIds(spark, labelsPath)
+          .filter(_ <= v)
+          .map(i => new Path(root, s"delta/batch=$i"))
+        val baseDir = new Path(root, "base")
+        val supersededBases =
+          if (!fs.exists(baseDir)) Array.empty[Path]
+          else fs.listStatus(baseDir).map(_.getPath).filter { p =>
+            val n = p.getName
+            n.startsWith("version=") &&
+              scala.util.Try(n.stripPrefix("version=").toLong)
+                .toOption.exists(_ < v) ||
+              n.startsWith("__tmp_") // torn compactions
+          }
+        (supersededDeltas ++ supersededBases).filter(fs.exists)
+          .map { p => fs.delete(p, true); p.toString }.toSeq
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Streaming IVF index maintenance (r13): streaming embedding ingest
+  // → incremental ANN serving, the vector twin of the cluster-label
+  // loop. Layout under indexPath:
+  //   base/upto=<b>    versioned (centroids, assignments) pair
+  //                    (Artifacts.saveIvfIndex format) absorbing every
+  //                    delta with id ≤ b; committed by _ivfbase/<b>
+  //   delta/batch=<id> cell-partitioned assignment delta per
+  //                    micro-batch; committed by _done/<id>
+  // Single-writer discipline, stated: one maintenance loop owns an
+  // indexPath — refreshes run between stream runs (AvailableNow makes
+  // that natural), never concurrently with an in-flight micro-batch.
+  // ------------------------------------------------------------------
+
+  /** Publish the initial index version (fitted centroids, no members
+    * yet) — the cold-start artifact the streaming assigner routes
+    * against. Must run once before the first micro-batch.
+    */
+  def seedIvfIndex(spark: SparkSession, indexPath: String,
+                   centroids: Seq[Array[Double]]): Unit = {
+    import org.apache.hadoop.fs.Path
+    require(centroids.nonEmpty, "seedIvfIndex: centroids required")
+    val root = new Path(indexPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(root, "_ivfbase/-1")
+    if (fs.exists(marker)) return
+    graft.model.Artifacts.saveCentroids(spark,
+      s"$indexPath/base/upto=-1/centroids", centroids)
+    fs.mkdirs(new Path(root, "_ivfbase"))
+    fs.create(marker, true).close()
+  }
+
+  private def committedIvfBase(spark: SparkSession,
+                               indexPath: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(indexPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new Path(root, "_ivfbase")
+    val vs =
+      if (!fs.exists(dir)) Array.empty[Long]
+      else fs.listStatus(dir).map(_.getPath.getName)
+        .flatMap(n => scala.util.Try(n.toLong).toOption)
+    require(vs.nonEmpty, s"streaming IVF: no committed index base " +
+      s"under $indexPath — run seedIvfIndex first")
+    vs.max
+  }
+
+  /** Exactly-once canonical vector sink + per-micro-batch IVF
+    * assignment delta: each batch publishes through [[commitBatch]],
+    * then routes its vectors against the CURRENT served centroids
+    * (the highest committed base — so a refresh between stream runs
+    * takes effect on the next batch) and publishes the
+    * cell-partitioned assignment delta under its own `_done/<id>`
+    * marker. Assignment is stateless given the centroids, so a
+    * replayed batch recomputes a consistent delta whichever base is
+    * current at replay time.
+    */
+  def toCanonicalWithIvfAssignments(df: DataFrame,
+                                    canonicalPath: String,
+                                    checkpoint: String,
+                                    indexPath: String,
+                                    idCol: String = "vec_id",
+                                    vecCol: String = "embedding")
+      : DataStreamWriter[Row] =
+    df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        commitBatchWithIvfAssignments(batch, canonicalPath, batchId,
+          indexPath, idCol, vecCol)
+      }
+
+  private[graft] def commitBatchWithIvfAssignments(
+      batch: DataFrame, canonicalPath: String, batchId: Long,
+      indexPath: String, idCol: String, vecCol: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = batch.sparkSession
+    commitBatch(batch, canonicalPath, batchId) // idempotent
+    val root = new Path(indexPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val done = new Path(root, s"_done/$batchId")
+    if (fs.exists(done)) return // delta published on a prior attempt
+    val base = committedIvfBase(spark, indexPath)
+    val cents = graft.model.Artifacts.loadCentroids(spark,
+      s"$indexPath/base/upto=$base/centroids")
+    spark.read.parquet(s"$canonicalPath/batch=$batchId")
+      .select(col(idCol), col(vecCol))
+      .withColumn("cell", graft.sim.VectorExpressions
+        .centroidAssign(col(vecCol), cents).getField("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexPath/delta/batch=$batchId")
+    fs.mkdirs(new Path(root, "_done"))
+    fs.create(done, true).close()
+  }
+
+  /** The served IVF index under the streaming loop: the highest
+    * committed base's centroids, and its assignments unioned with
+    * every committed delta it has not absorbed. Fails loudly before
+    * any vectors have been ingested or folded.
+    */
+  def readIvfServing(spark: SparkSession, indexPath: String)
+      : (Seq[Array[Double]], DataFrame) = {
+    import org.apache.hadoop.fs.Path
+    val base = committedIvfBase(spark, indexPath)
+    val cents = graft.model.Artifacts.loadCentroids(spark,
+      s"$indexPath/base/upto=$base/centroids")
+    val root = new Path(indexPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val deltaIds = committedLabelIds(spark, indexPath).filter(_ > base)
+    val parts =
+      (if (fs.exists(new Path(root, s"base/upto=$base/assignments")))
+        Seq(spark.read
+          .parquet(s"$indexPath/base/upto=$base/assignments"))
+      else Seq.empty) ++
+        deltaIds.map(i =>
+          spark.read.parquet(s"$indexPath/delta/batch=$i"))
+    require(parts.nonEmpty, s"readIvfServing: no assignments under " +
+      s"$indexPath (no vectors ingested yet)")
+    val cols = parts.head.columns.sorted.map(col)
+    (cents, parts.map(_.select(cols.toSeq: _*)).reduce(_ unionByName _))
+  }
+
+  /** One maintenance cycle over the streaming index: audit the SERVED
+    * assignments ([[graft.sim.Similarity.ivfAssignedCellStats]] — the
+    * routing as served, not as rebuilt), refresh the dirty cells
+    * ([[graft.sim.Similarity.ivfRefreshDirtyCells]]: refit from
+    * current members, reassign only the dirty slice), and publish the
+    * composed serving table as the next versioned base absorbing
+    * every committed delta — tmp → rename → `_ivfbase/<b>` marker, so
+    * a torn refresh is invisible and a re-run at the same high-water
+    * mark short-circuits. Even a zero-dirty cycle folds the deltas
+    * (the compaction benefit); the next micro-batch routes against
+    * the refreshed centroids.
+    */
+  def refreshIvfServing(spark: SparkSession, indexPath: String,
+                        maxOccupancy: Long, minMeanAffinity: Double,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): Unit = {
+    import org.apache.hadoop.fs.Path
+    import graft.sim.Similarity
+    val root = new Path(indexPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ids = committedLabelIds(spark, indexPath)
+    val prevBase = committedIvfBase(spark, indexPath)
+    val b = (ids :+ prevBase).max
+    val marker = new Path(root, s"_ivfbase/$b")
+    if (fs.exists(marker)) return // already refreshed at this mark
+    val (cents, assigned0) = readIvfServing(spark, indexPath)
+    val assigned = assigned0
+      .select(col(idCol), col(vecCol), col("cell"))
+    val stats = Similarity.ivfAssignedCellStats(assigned, cents,
+      idCol, vecCol)
+    val dirty = Similarity.dirtyCellsFromStats(stats, maxOccupancy,
+      minMeanAffinity)
+    val (updated, reassigned) = Similarity.ivfRefreshDirtyCells(
+      assigned, cents, dirty, idCol, vecCol)
+    val serving =
+      if (dirty.isEmpty) assigned
+      else assigned
+        .filter(!col("cell").isin(dirty.map(Int.box): _*))
+        .unionByName(reassigned)
+    val tmp = new Path(root, s"base/__tmp_upto_$b")
+    fs.delete(tmp, true)
+    graft.model.Artifacts.saveCentroids(spark,
+      s"$tmp/centroids", updated)
+    serving.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$tmp/assignments")
+    val dest = new Path(root, s"base/upto=$b")
+    fs.delete(dest, true)
+    require(fs.rename(tmp, dest),
+      s"refreshIvfServing: rename $tmp -> $dest failed")
+    fs.mkdirs(new Path(root, "_ivfbase"))
+    fs.create(marker, true).close()
+  }
+
+  /** [[gcClusterLabels]]' IVF twin: prune assignment deltas absorbed
+    * by the highest committed base (id ≤ base) and every older base
+    * — including the seed (`upto=-1`) once a real base exists. Same
+    * safety argument: readers pin to the highest committed base, the
+    * maintenance loop is single-writer, `_done` markers stay. Returns
+    * the pruned paths.
+    */
+  def gcIvfIndex(spark: SparkSession, indexPath: String): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(indexPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val b = committedIvfBase(spark, indexPath)
+    val supersededDeltas = committedLabelIds(spark, indexPath)
+      .filter(_ <= b)
+      .map(i => new Path(root, s"delta/batch=$i"))
+    val baseDir = new Path(root, "base")
+    val supersededBases =
+      if (!fs.exists(baseDir)) Array.empty[Path]
+      else fs.listStatus(baseDir).map(_.getPath).filter { p =>
+        val n = p.getName
+        n.startsWith("upto=") &&
+          scala.util.Try(n.stripPrefix("upto=").toLong)
+            .toOption.exists(_ < b) ||
+          n.startsWith("__tmp_") // torn refreshes
+      }
+    (supersededDeltas ++ supersededBases).filter(fs.exists)
+      .map { p => fs.delete(p, true); p.toString }.toSeq
+  }
+
   /** The dirty-shard deltas published so far — one row per (batch,
     * touched bucket) with the dirty verdict, the incremental-release
     * work list a downstream shipper consumes.

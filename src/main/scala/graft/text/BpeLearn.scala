@@ -134,7 +134,7 @@ object BpeLearn {
           val row = top.head
           val (a, b) = (row.getString(0), row.getString(1))
           out += Merge(r, a, b, a + b, row.getLong(2))
-          val next = graft.model.Checkpoints.materialize(vocab
+          val next = graft.model.Checkpoints.materializeFresh(vocab
             .withColumn("syms", applyMerge(col("syms"), a, b)))
           // release the superseded round's checkpoint blocks (a plain
           // Dataset.unpersist goes through the CacheManager and never
@@ -213,7 +213,7 @@ object BpeLearn {
             out += Merge(rank, a, b, a + b, cnt)
             rank += 1
           }
-          val next = graft.model.Checkpoints.materialize(vocab
+          val next = graft.model.Checkpoints.materializeFresh(vocab
             .withColumn("syms", applyMergeBatch(col("syms"),
               batch.map { case (a, b, _) => (a, b) })))
           if (vocab ne vocab0) graft.model.Checkpoints.release(vocab)

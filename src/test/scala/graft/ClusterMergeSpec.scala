@@ -91,6 +91,60 @@ class ClusterMergeSpec extends SparkSpec {
     assert(clustersOf(labels).forall(_._2 == 1L))
   }
 
+  test("mergeClustersDelta: overlaying the delta onto the prior " +
+      "labels reproduces the full merge on every seeded split") {
+    val rnd = new scala.util.Random(77)
+    val all = (0 until 140).map { _ =>
+      val a = rnd.nextInt(70).toLong
+      val b = rnd.nextInt(70).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2).distinct
+    for (frac <- Seq(0.2, 0.5, 0.9)) {
+      val cut = (all.length * frac).toInt
+      val (oldE, newE) = all.splitAt(cut)
+      val labels = Dedup.duplicateClusters(edgesDF(oldE))
+      val prior = clustersOf(labels)
+      val fullMerge =
+        clustersOf(Dedup.mergeClusters(labels, edgesDF(newE)))
+      val delta =
+        clustersOf(Dedup.mergeClustersDelta(labels, edgesDF(newE)))
+      // the delta is exactly the changed/created rows...
+      assert(delta == fullMerge -- prior,
+        s"split at $frac: delta != full \\ prior")
+      // ...it never repeats an unchanged prior row...
+      assert(delta.forall(r => !prior.contains(r)))
+      // ...and latest-wins overlay (delta docs override prior docs)
+      // reconstructs the full table
+      val deltaDocs = delta.map(_._1)
+      val overlay = prior.filterNot(r => deltaDocs.contains(r._1)) ++
+        delta
+      assert(overlay == fullMerge, s"split at $frac: overlay diverged")
+    }
+  }
+
+  test("mergeClustersDelta: rediscoveries and empty batches publish " +
+      "an EMPTY delta — the cycle ships nothing when nothing moved") {
+    val labels = Dedup.duplicateClusters(
+      edgesDF(Seq((1L, 2L), (2L, 3L), (7L, 8L))))
+    assert(clustersOf(
+      Dedup.mergeClustersDelta(labels, edgesDF(Seq((1L, 3L))))).isEmpty)
+    assert(clustersOf(Dedup.mergeClustersDelta(labels,
+      edgesDF(Seq.empty[(Long, Long)]))).isEmpty)
+  }
+
+  test("mergeClustersDelta is touched-cluster-sized: a one-edge " +
+      "batch against a wide history publishes only the merged pair " +
+      "of clusters") {
+    val hist = (0 until 500).flatMap(i =>
+      Seq((2L * i, 2L * i + 1L)))
+    val labels = Dedup.duplicateClusters(edgesDF(hist))
+    // bridge clusters {100,101} and {200,201}: exactly the two
+    // touched clusters' rows whose labels move appear in the delta
+    val delta = clustersOf(
+      Dedup.mergeClustersDelta(labels, edgesDF(Seq((101L, 200L)))))
+    assert(delta == Set((200L, 100L), (201L, 100L)))
+  }
+
   test("labels persist and merge across a save/load boundary") {
     val p = Files.createTempDirectory("graft_labels").toString + "/l"
     val labels = Dedup.duplicateClusters(

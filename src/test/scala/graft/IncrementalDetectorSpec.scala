@@ -149,6 +149,108 @@ class IncrementalDetectorSpec extends SparkSpec {
     assert(clustersOf(cycle) == full)
   }
 
+  /** Near-dup-structured embeddings: 6 base directions, each member
+    * either an exact copy (i % 3 == 0) or a small perturbation of its
+    * group's base (cosine ≈ 0.99 within a group; random 64-dim
+    * gaussian bases are near-orthogonal across groups, cosine ≈ 0).
+    */
+  private def vecCorpus(n: Int): DataFrame = {
+    val rnd = new scala.util.Random(29)
+    val bases = (0 until 6).map(_ =>
+      Array.fill(64)(rnd.nextGaussian().toFloat))
+    (0 until n).map { i =>
+      val base = bases(i % 6)
+      val v =
+        if (i % 3 == 0) base.clone()
+        else base.map(x => x + (rnd.nextGaussian() * 0.05).toFloat)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+  }
+
+  private def srpFull(d: DataFrame): Set[(Long, Long)] =
+    clustersOf(Dedup.duplicateClusters(
+      graft.sim.Similarity.nearDuplicates(d, threshold = 0.35,
+        planes = 16, bands = 4, roundSim = Some(6))))
+
+  test("srp embeddings: batch probe + merge equals the full " +
+      "closure over the union, on every history/batch split") {
+    import graft.sim.Similarity
+    val d = vecCorpus(48)
+    val full = srpFull(d)
+    assert(full.nonEmpty)
+    for (m <- Seq(3L, 5L)) {
+      val hist = d.filter(col("vec_id") % m =!= 0)
+      val batch = d.filter(col("vec_id") % m === 0)
+      val labels = Dedup.duplicateClusters(Similarity.nearDuplicates(
+        hist, threshold = 0.35, planes = 16, bands = 4,
+        roundSim = Some(6)))
+      val edges = Similarity.srpBatchEdges(batch,
+        Similarity.srpTable(hist), threshold = 0.35,
+        planes = 16, bands = 4, roundSim = Some(6))
+      val merged = Dedup.mergeClusters(labels, edges)
+      assert(clustersOf(merged) == full,
+        s"split %$m diverged from the full recompute")
+    }
+  }
+
+  test("srp: a batch vector matching a large identical-embedding " +
+      "served group emits ONE representative cross edge; zero-norm " +
+      "vectors never edge (NaN cosine, as the full pair build)") {
+    import graft.sim.Similarity
+    val rnd = new scala.util.Random(41)
+    val base = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val served = (1L to 400L).map(i => (i, base.clone()))
+      .toDF("vec_id", "embedding")
+    val batch = Seq((1000L, base.clone())).toDF("vec_id", "embedding")
+    val edges = Similarity.srpBatchEdges(batch,
+      Similarity.srpTable(served), threshold = 0.35,
+      planes = 16, bands = 4, roundSim = Some(6))
+    val got = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 1000L)),
+      s"expected the single rep edge (1,1000), got ${got.length} edges")
+    // zero vectors: identical signatures and bands, but NaN cosine —
+    // the batch probe must drop them exactly as nearDuplicates does
+    val zeros = (1L to 3L).map(i => (i, Array.fill(64)(0.0f)))
+      .toDF("vec_id", "embedding")
+    val zBatch = Seq((9L, Array.fill(64)(0.0f)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.srpBatchEdges(zBatch, Similarity.srpTable(zeros),
+      threshold = 0.35, planes = 16, bands = 4,
+      roundSim = Some(6)).isEmpty)
+    assert(Similarity.nearDuplicates(zeros.unionByName(zBatch),
+      threshold = 0.35, planes = 16, bands = 4,
+      roundSim = Some(6)).isEmpty)
+  }
+
+  test("the srp cycle plan reads the batch and the served artifacts " +
+      "ONLY — history vectors are never re-scanned") {
+    import graft.sim.Similarity
+    val root = Files.createTempDirectory("graft_srpcycle").toString
+    val d = vecCorpus(48)
+    val hist = d.filter(col("vec_id") % 5 =!= 0)
+    val batch = d.filter(col("vec_id") % 5 === 0)
+    d.write.mode("overwrite").parquet(s"$root/corpus")
+    batch.write.mode("overwrite").parquet(s"$root/batch")
+    Artifacts.saveSrpTable(Similarity.srpTable(hist), s"$root/srp")
+    Artifacts.saveLabels(Dedup.duplicateClusters(
+      Similarity.nearDuplicates(hist, threshold = 0.35, planes = 16,
+        bands = 4, roundSim = Some(6))), s"$root/labels")
+    val loadedSrp = Artifacts.loadSrpTable(spark, s"$root/srp")
+    val loadedLabels = Artifacts.loadLabels(spark, s"$root/labels")
+    val batchDf = spark.read.parquet(s"$root/batch")
+    val cycle = Dedup.mergeClusters(loadedLabels,
+      Similarity.srpBatchEdges(batchDf, loadedSrp, threshold = 0.35,
+        planes = 16, bands = 4, roundSim = Some(6)))
+    val files = cycle.inputFiles
+    assert(files.nonEmpty && files.forall(_.contains("/batch")),
+      s"cycle plan reads outside the batch: " +
+        files.filterNot(_.contains("/batch")).mkString(", "))
+    assert(!files.exists(_.contains("/corpus")),
+      "cycle plan scans the corpus vectors")
+    assert(clustersOf(cycle) ==
+      srpFull(spark.read.parquet(s"$root/corpus")))
+  }
+
   test("simhash signature table round-trips and serves with zero " +
       "rebuild jobs (installSimhashSigs)") {
     val d = corpus(30)
