@@ -4795,6 +4795,25 @@ object QueriesScale {
         .agg(count(lit(1)).cast("long").as("n_spans"),
           sum(col("e") - col("s")).cast("long").as("covered_tokens"),
           max(col("span_max_ell")).cast("long").as("max_repeat_len"))
+    },
+
+    // TAKEDOWN-SIDE model maintenance (r13 — the q136/q151 served
+    // LM's delete path, mergeCounts' inverse): subtract the removed
+    // docs' bigram counts from the SERVED model (the q136-shared
+    // fit-once cache entry) and drop zeroed pairs — bit-identical to
+    // a refit over the survivors, at removed-batch cost, with the
+    // surviving corpus never re-scanned and negative counts failing
+    // loudly (retracting never-ingested docs would silently corrupt
+    // every survivor probability). Output = the full retracted pair
+    // table; oracle = bigram counts over the survivor corpus.
+    "q187_lm_retract" -> q { (spark, dir) =>
+      import graft.model.NgramLm
+      val base = docs(spark, dir).select(col("doc_id"), col("lang"),
+        TextAnalysis.tokens(col("text")).as("tk"))
+      val removed = base.filter(col("doc_id") % 9 === 2)
+      val m = NgramLm.cachedBigram(base)
+      NgramLm.retractCounts(m, removed)
+        .c12.select(col("w1"), col("w2"), col("c12").cast("long"))
     }
   )
 
@@ -10339,6 +10358,21 @@ object QueriesScale {
          |FROM sp
          |JOIN (SELECT doc_id, max(ell) AS m FROM q GROUP BY doc_id) mx
          |  ON mx.doc_id = sp.doc_id
-         |GROUP BY sp.doc_id, mx.m""".stripMargin
+         |GROUP BY sp.doc_id, mx.m""".stripMargin,
+
+    // q187: bigram counts over the SURVIVING trusted slice — the
+    // model the engine must serve after subtracting the removed
+    // batch; the served-model/delta mechanics exist only on the
+    // engine side.
+    "q187_lm_retract" ->
+      s"""WITH $toksSql,
+         |bg AS (
+         |  SELECT unnest(list_transform(range(1, len(tk)),
+         |           i -> [tk[i], tk[i + 1]])) AS pr
+         |  FROM toks
+         |  WHERE len(tk) >= 2 AND lang = 'en' AND doc_id % 9 != 2)
+         |SELECT pr[1] AS w1, pr[2] AS w2,
+         |       CAST(count(*) AS BIGINT) AS c12
+         |FROM bg GROUP BY 1, 2""".stripMargin
   )
 }

@@ -440,6 +440,98 @@ object NgramLm {
     merged
   }
 
+  /** TAKEDOWN-SIDE model maintenance (r13 — [[mergeCounts]]' delete
+    * path, completing the lifecycle the cluster/suffix/IVF indexes
+    * got this round): subtract a REMOVED batch's counts from the
+    * served model without re-scanning the surviving corpus. Counts
+    * are associative integers, so summing the negated batch delta
+    * into the served c12 and DROPPING zeroed rows is bit-identical
+    * to a refit over the survivors — including the derived
+    * vocabulary/type totals, because a zeroed pair leaves the type
+    * sets exactly as the survivor refit builds them
+    * (MergeCountsSpec asserts the differential). A count driven
+    * NEGATIVE fails loudly: it means the "removed" batch was never
+    * (fully) ingested — retracting twice, or retracting pre-ingest
+    * edits — and subtracting it would silently corrupt every
+    * survivor probability.
+    */
+  def retractCounts(m: BigramLm, removedBatch: DataFrame,
+                    trustedLang: String = "en"): BigramLm = {
+    val bg = removedBatch.filter(col("lang") === trustedLang)
+      .select(explode(when(size(col("tk")) >= 2,
+        sequence(lit(1), size(col("tk")) - 1))
+        .otherwise(array().cast("array<int>"))).as("p"),
+        col("tk"))
+      .select(element_at(col("tk"), col("p")).as("w1"),
+        element_at(col("tk"), col("p") + 1).as("w2"))
+    val delta = bg.groupBy(col("w1"), col("w2"))
+      .agg((-count(lit(1))).as("c12"))
+    val summed = Checkpoints.materialize(
+      m.c12.unionByName(delta)
+        .groupBy(col("w1"), col("w2"))
+        .agg(sum(col("c12")).as("c12")))
+    val neg = summed.filter(col("c12") < 0)
+    if (!neg.isEmpty) {
+      val r = neg.select(col("w1"), col("w2"), col("c12")).head()
+      throw new IllegalStateException(
+        s"retractCounts: bigram (${r.get(0)}, ${r.get(1)}) would go " +
+          s"to ${r.get(2)} — the removed batch was never (fully) " +
+          "ingested into this model")
+    }
+    val c12 = Checkpoints.materialize(summed.filter(col("c12") > 0))
+    Checkpoints.release(summed)
+    val (ctx, cont, nall, v) = deriveTables(c12)
+    val mx = broadcastMaxPairs(removedBatch)
+    val out = BigramLm(localized(c12, nall, mx),
+      localized(ctx, nall, mx), localized(cont, nall, mx), nall, v)
+    if (nall <= mx)
+      Seq(c12, ctx, cont).foreach(Checkpoints.release)
+    out
+  }
+
+  /** Order-3 twin of [[retractCounts]]: subtracts the removed
+    * batch's trigram counts AND delegates the bigram order — one
+    * call retracts the whole backoff chain at batch cost,
+    * bit-identical to a survivor refit, with the same
+    * negative-count loud-fail.
+    */
+  def retractCounts(m: TrigramLm, removedBatch: DataFrame,
+                    trustedLang: String): TrigramLm = {
+    val tg = removedBatch.filter(col("lang") === trustedLang)
+      .select(explode(when(size(col("tk")) >= 3,
+        sequence(lit(1), size(col("tk")) - 2))
+        .otherwise(array().cast("array<int>"))).as("p"),
+        col("tk"))
+      .select(element_at(col("tk"), col("p")).as("w1"),
+        element_at(col("tk"), col("p") + 1).as("w2"),
+        element_at(col("tk"), col("p") + 2).as("w3"))
+    val delta = tg.groupBy(col("w1"), col("w2"), col("w3"))
+      .agg((-count(lit(1))).as("c123"))
+    val summed = Checkpoints.materialize(
+      m.c123.unionByName(delta)
+        .groupBy(col("w1"), col("w2"), col("w3"))
+        .agg(sum(col("c123")).as("c123")))
+    val neg = summed.filter(col("c123") < 0)
+    if (!neg.isEmpty) {
+      val r = neg.select(col("w1"), col("w2"), col("w3"),
+        col("c123")).head()
+      throw new IllegalStateException(
+        s"retractCounts: trigram (${r.get(0)}, ${r.get(1)}, " +
+          s"${r.get(2)}) would go to ${r.get(3)} — the removed " +
+          "batch was never (fully) ingested into this model")
+    }
+    val c123 = Checkpoints.materialize(summed.filter(col("c123") > 0))
+    Checkpoints.release(summed)
+    val (ctx12, n3) = deriveTrigramTables(c123)
+    val mx = broadcastMaxPairs(removedBatch)
+    val out = TrigramLm(localized(c123, n3, mx),
+      localized(ctx12, n3, mx), n3,
+      retractCounts(m.bigram, removedBatch, trustedLang))
+    if (n3 <= mx)
+      Seq(c123, ctx12).foreach(Checkpoints.release)
+    out
+  }
+
   /** Derive the context/continuation tables and scalar totals from a
     * pair-count table — ONE implementation shared by the fitter and
     * [[Artifacts.loadNgram]], so a loaded artifact can never drift

@@ -78,4 +78,50 @@ class MergeCountsSpec extends SparkSpec {
       full.ctx12.collect().toSet, full.n3, tables(full.bigram))),
       "merged trigram model must be bit-identical to the refit")
   }
+
+  test("retractCounts == survivor refit bit-for-bit, zero survivor " +
+      "re-reads; a never-ingested batch fails loudly") {
+    val all = histRows ++ newRows
+    val removed = Seq(newRows(0), newRows(1)) // docs 10, 11
+    val kept = all.filterNot(r => removed.exists(_.doc_id == r.doc_id))
+    val acc = spark.sparkContext.longAccumulator("corpusRowReads")
+    val corpus = all.toDS().map { r => acc.add(1); r }.toDF()
+    val m = NgramLm.cachedBigram(corpus)
+    val readsAfterFit = acc.value.longValue
+    val retracted = NgramLm.retractCounts(m, removed.toDS().toDF())
+    val retractedT = tables(retracted)
+    assert(acc.value.longValue == readsAfterFit,
+      "retractCounts must touch ONLY the served model tables and " +
+        "the removed batch — zero survivor re-reads")
+    assert(retractedT == tables(NgramLm.cachedBigram(
+      kept.toDS().toDF())),
+      "retracted model must be bit-identical to the survivor refit")
+    // (d,d) existed ONLY in removed doc 11: the pair, its context
+    // row, and its vocabulary contribution all vanish
+    val c12 = retracted.c12.collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(!c12.contains(("d", "d")) && !c12.contains(("b", "d")))
+    // retracting the same batch AGAIN drives counts negative → loud
+    val ex = intercept[IllegalStateException] {
+      NgramLm.retractCounts(retracted, removed.toDS().toDF())
+    }
+    assert(ex.getMessage.contains("never (fully) ingested"))
+  }
+
+  test("trigram retract == survivor refit across the whole backoff " +
+      "chain") {
+    val all = histRows ++ newRows
+    val removed = Seq(newRows(0))
+    val kept = all.filterNot(_.doc_id == removed.head.doc_id)
+    val m = NgramLm.cachedTrigram(all.toDS().toDF())
+    val retracted = NgramLm.retractCounts(m, removed.toDS().toDF(),
+      "en")
+    val full = NgramLm.cachedTrigram(kept.toDS().toDF())
+    assert((retracted.c123.collect().toSet,
+      retracted.ctx12.collect().toSet, retracted.n3,
+      tables(retracted.bigram)) ==
+      ((full.c123.collect().toSet, full.ctx12.collect().toSet,
+        full.n3, tables(full.bigram))),
+      "retracted trigram model must equal the survivor refit")
+  }
 }
