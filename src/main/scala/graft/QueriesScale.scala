@@ -1616,12 +1616,18 @@ object QueriesScale {
     // two sides one ReusedExchange: text is shingle-hashed once.
     "q86_cross_source_overlap" -> q { (spark, dir) =>
       import graft.dedup.HashExpressions
+      // repartition BEFORE the distinct (r13 opt round 1, guide
+      // §2.4): HashPartitioning(h) satisfies the dedup aggregate's
+      // ClusteredDistribution(source, h) — h is a subset of the keys
+      // — so one exchange serves the distinct AND the self-join
+      // (2 full shingle-set shuffles → 1); the old shape shuffled
+      // once on (source, h) for distinct and again on h for the join
       val sh = docs(spark, dir)
         .select(col("source"),
           explode(HashExpressions.distinctShingleHashes(col("text"), 3))
             .as("h"))
-        .distinct()
         .repartition(col("h"))
+        .dropDuplicates("source", "h")
       sh.join(sh.select(col("h"), col("source").as("source_b")),
           Seq("h"))
         .filter(col("source") < col("source_b"))

@@ -295,7 +295,15 @@ object SuffixRepeats {
       : (DataFrame, DataFrame) = {
     val rem = removed.select(col("doc_id"))
     val remD = rem.select(col("doc_id").as("d"))
-    val survGrams = oldGrams.join(remD, Seq("d"), "left_anti")
+    // materialized once (r13 opt round 1): the surviving gram index
+    // feeds the affected-doc probe, the candidate-gram set, the
+    // candidate-doc probe AND the returned next-cycle artifact — as a
+    // lazy plan over an in-query gram build each consumer re-ran the
+    // corpus-wide gram explode (~4 full explodes per cycle measured);
+    // production persists exactly this frame between cycles anyway,
+    // so the one-copy cost is the artifact write it already pays
+    val survGrams = Checkpoints.materialize(
+      oldGrams.join(remD, Seq("d"), "left_anti"))
     val rGramSet = oldGrams.join(remD, Seq("d"), "left_semi")
       .select(col("g")).distinct()
     val affected = survGrams.join(rGramSet, Seq("g"), "left_semi")

@@ -88,6 +88,31 @@ object Checkpoints extends org.apache.spark.internal.Logging {
     org.apache.spark.sql.graftshim.SqlShims
       .dropInheritedStats(materialize(df))
 
+  /** [[materializeFresh]] ONLY when the frame's plan is worth
+    * materializing (r13 opt round 1): incremental-maintenance
+    * operators ([[graft.dedup.Dedup.mergeClusters]] /
+    * `retractClusters`) read their label/edge inputs from several
+    * internal actions, so an input that is itself an expensive plan
+    * (a detector chain, a closure) re-runs per action unless
+    * truncated — but an input that is already a cheap leaf scan (a
+    * loaded parquet artifact, a prior checkpoint: the PRODUCTION
+    * shape, where labels/signatures arrive from served state) would
+    * only pay a pointless extra copy. The test is structural: any
+    * Join/Aggregate/Window/Generate in the analyzed plan marks it
+    * expensive; bare scans, projections and filters pass through.
+    */
+  def materializeIfComplex(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val complex = df.queryExecution.analyzed.collectFirst {
+      case j: Join => j
+      case a: Aggregate => a
+      case w: Window => w
+      case g: Generate => g
+      case d: Deduplicate => d
+    }.isDefined
+    if (complex) materializeFresh(df) else df
+  }
+
   /** Free the storage behind a frame returned by [[materialize]]:
     * unpersists the local-checkpoint blocks, and in reliable mode
     * also DELETES the checkpoint files (r8 ADVICE item 5:

@@ -267,6 +267,35 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(e2 == p2 && e2.nonEmpty)
   }
 
+  test("duplicateClusters: single-task union-find path equals the " +
+      "distributed min-label loop (r13 size-adaptive closure)") {
+    // a chain (diameter > shortcut window), a triangle with a
+    // redundant edge, a 2-clique, and an isolated pair — exercises
+    // pointer jumping, duplicate edges, and both orientations
+    val edges = Seq(
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), (14L, 15L),
+      (15L, 16L), (16L, 17L), (17L, 18L), (18L, 19L),
+      (30L, 31L), (31L, 32L), (30L, 32L), (30L, 31L),
+      (40L, 41L), (50L, 51L)).toDF("id_a", "id_b")
+    def cl(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaDsu = cl(Dedup.duplicateClusters(edges))
+    assert(Dedup.lastCcRounds.get() == 1L,
+      "small edge list must take the union-find path")
+    // force the distributed loop by zeroing the size threshold
+    spark.conf.set("graft.cc.localEdgeMax", "0")
+    try {
+      val viaLoop = cl(Dedup.duplicateClusters(edges))
+      assert(Dedup.lastCcRounds.get() > 1L,
+        "threshold 0 must take the distributed loop")
+      assert(viaDsu == viaLoop && viaDsu.nonEmpty)
+      val expected = ((10L to 19L).map(i => (i, 10L)) ++
+        Seq((30L, 30L), (31L, 30L), (32L, 30L),
+          (40L, 40L), (41L, 40L), (50L, 50L), (51L, 50L))).toSet
+      assert(viaDsu == expected)
+    } finally spark.conf.unset("graft.cc.localEdgeMax")
+  }
+
   test("simhashClusters: rep-graph CC + member attach equals the " +
       "full pair-graph closure") {
     val m = 1000L

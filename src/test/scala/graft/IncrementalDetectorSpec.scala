@@ -132,20 +132,31 @@ class IncrementalDetectorSpec extends SparkSpec {
     val loadedSigs = Artifacts.loadSimhashSigs(spark, s"$root/sigs")
     val loadedLabels = Artifacts.loadLabels(spark, s"$root/labels")
     val batchDf = spark.read.parquet(s"$root/batch")
-    val cycle = Dedup.mergeClusters(loadedLabels,
-      Dedup.simhashBatchEdges(batchDf, loadedSigs, maxHamming = 12))
-    // every file the cycle plan can read must live under batch/ —
-    // the loaded artifacts are materialized served state, and the
-    // corpus parquet must be untouchable from the cycle
-    val files = cycle.inputFiles
-    assert(files.nonEmpty && files.forall(_.contains("/batch")),
-      s"cycle plan reads outside the batch: " +
-        files.filterNot(_.contains("/batch")).mkString(", "))
-    assert(!files.exists(_.contains("/corpus")),
-      "cycle plan scans the corpus documents")
-    // and the loaded-artifact cycle matches the full recompute
+    val edges = Dedup.simhashBatchEdges(batchDf, loadedSigs,
+      maxHamming = 12)
+    // every file the edge-discovery plan can read must live under
+    // batch/ — the loaded artifacts are materialized served state
+    val eFiles = edges.inputFiles
+    assert(eFiles.nonEmpty && eFiles.forall(_.contains("/batch")),
+      s"edge discovery reads outside the batch: " +
+        eFiles.filterNot(_.contains("/batch")).mkString(", "))
+    // the full-recompute expectation, read BEFORE the corpus parquet
+    // is destroyed below
     val full = clustersOf(Dedup.simhashClusters(
       spark.read.parquet(s"$root/corpus"), maxHamming = 12))
+    // HARD no-corpus-scan guarantee (r13 — mergeClusters now
+    // materializes its inputs eagerly, so the returned frame's
+    // inputFiles can no longer witness the scans): delete the corpus
+    // parquet outright; any cycle-side corpus read now fails loudly
+    // instead of passing a lineage inspection
+    val corpusDir = new java.io.File(s"$root/corpus")
+    def rmr(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmr)); f.delete()
+    }
+    rmr(corpusDir)
+    assert(!corpusDir.exists())
+    val cycle = Dedup.mergeClusters(loadedLabels, edges)
+    // and the loaded-artifact cycle matches the full recompute
     assert(clustersOf(cycle) == full)
   }
 
@@ -238,17 +249,25 @@ class IncrementalDetectorSpec extends SparkSpec {
     val loadedSrp = Artifacts.loadSrpTable(spark, s"$root/srp")
     val loadedLabels = Artifacts.loadLabels(spark, s"$root/labels")
     val batchDf = spark.read.parquet(s"$root/batch")
-    val cycle = Dedup.mergeClusters(loadedLabels,
-      Similarity.srpBatchEdges(batchDf, loadedSrp, threshold = 0.35,
-        planes = 16, bands = 4, roundSim = Some(6)))
-    val files = cycle.inputFiles
-    assert(files.nonEmpty && files.forall(_.contains("/batch")),
-      s"cycle plan reads outside the batch: " +
-        files.filterNot(_.contains("/batch")).mkString(", "))
-    assert(!files.exists(_.contains("/corpus")),
-      "cycle plan scans the corpus vectors")
-    assert(clustersOf(cycle) ==
-      srpFull(spark.read.parquet(s"$root/corpus")))
+    val edges = Similarity.srpBatchEdges(batchDf, loadedSrp,
+      threshold = 0.35, planes = 16, bands = 4, roundSim = Some(6))
+    val eFiles = edges.inputFiles
+    assert(eFiles.nonEmpty && eFiles.forall(_.contains("/batch")),
+      s"edge discovery reads outside the batch: " +
+        eFiles.filterNot(_.contains("/batch")).mkString(", "))
+    // expectation first, then the HARD guarantee: destroy the corpus
+    // parquet so any cycle-side scan of history vectors fails loudly
+    // (mergeClusters materializes eagerly; lineage inspection of the
+    // returned frame can no longer witness the scans)
+    val full = srpFull(spark.read.parquet(s"$root/corpus"))
+    val corpusDir = new java.io.File(s"$root/corpus")
+    def rmr(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmr)); f.delete()
+    }
+    rmr(corpusDir)
+    assert(!corpusDir.exists())
+    val cycle = Dedup.mergeClusters(loadedLabels, edges)
+    assert(clustersOf(cycle) == full)
   }
 
   test("simhash signature table round-trips and serves with zero " +
