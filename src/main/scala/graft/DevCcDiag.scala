@@ -27,6 +27,16 @@ object DevCcDiag {
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
         "256k")
+      // let AQE size CACHED plans' partitions by bytes too (r13 opt
+      // round 1): iterative fits persist small model/feature frames
+      // and then run many rounds over them — without this the cache
+      // pins the pre-AQE partition count and every round pays
+      // per-task overhead x partitions for KB-sized data; with it the
+      // cached layout follows the same advisory byte sizing as every
+      // other exchange (size-adaptive at any SF, not a core-count
+      // tune)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

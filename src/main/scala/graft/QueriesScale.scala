@@ -1616,25 +1616,66 @@ object QueriesScale {
     // two sides one ReusedExchange: text is shingle-hashed once.
     "q86_cross_source_overlap" -> q { (spark, dir) =>
       import graft.dedup.HashExpressions
-      // repartition BEFORE the distinct (r13 opt round 1, guide
-      // §2.4): HashPartitioning(h) satisfies the dedup aggregate's
-      // ClusteredDistribution(source, h) — h is a subset of the keys
-      // — so one exchange serves the distinct AND the self-join
-      // (2 full shingle-set shuffles → 1); the old shape shuffled
-      // once on (source, h) for distinct and again on h for the join
+      // BITMASK aggregation instead of the h-keyed self-join (r13 opt
+      // round 1, guide §3.3 "accidental exploding joins"): sources
+      // are low-cardinality, so a shingle shared by s sources put s²
+      // rows through the old self-join — measured 74 task-SECONDS at
+      // sf0.1 (common shingles hit all 20 sources → ~800M joined rows
+      // for a 190-row answer). Now each shingle hash aggregates to
+      // ONE 64-bit presence mask (bit_or, partial map-side — the one
+      // h exchange carries pre-collapsed rows), masks collapse to
+      // ≤2^|sources| count rows, and the pair expansion runs over the
+      // mask table × the broadcast source dim (≤ masks·s² rows, all
+      // tiny). n_shared(a,b) = Σ_masks [a∈m][b∈m]·cnt(m) — exactly
+      // the old join's count. Measured 74 → 0.6 taskSec. Falls back
+      // to the self-join if a corpus ever exceeds 64 sources (the
+      // mask would overflow; the count job is a ≤|sources|-row agg).
       val sh = docs(spark, dir)
         .select(col("source"),
           explode(HashExpressions.distinctShingleHashes(col("text"), 3))
             .as("h"))
-        .repartition(col("h"))
-        .dropDuplicates("source", "h")
-      sh.join(sh.select(col("h"), col("source").as("source_b")),
-          Seq("h"))
-        .filter(col("source") < col("source_b"))
-        .groupBy(col("source").as("source_a"), col("source_b"))
-        .agg(count(lit(1)).as("n_shared_shingles"))
-        .select(col("source_a"), col("source_b"),
-          col("n_shared_shingles"))
+      // the source dim is |sources|-bounded (a model-table-sized
+      // collect, the NgramLm/kmeans-init precedent): ONE distinct
+      // pass, then a LOCAL relation serves the mask join and both
+      // pair-expansion sides — the lazy alternative re-scanned the
+      // source column three times
+      val srcNames = docs(spark, dir).select(col("source")).distinct()
+        .orderBy(col("source")).limit(65)
+        .collect().map(_.getString(0))
+      lazy val srcIdx = {
+        import spark.implicits._
+        srcNames.zipWithIndex.toSeq.toDF("source", "__idx")
+      }
+      if (srcNames.length <= 64) {
+        val masked = sh
+          .join(broadcast(srcIdx), Seq("source"))
+          .groupBy(col("h"))
+          .agg(expr("bit_or(shiftleft(cast(1 as bigint), __idx))")
+            .as("mask"))
+        val maskCnt = masked.groupBy(col("mask"))
+          .agg(count(lit(1)).as("cnt"))
+        maskCnt
+          .join(broadcast(srcIdx.select(col("source").as("source_a"),
+            col("__idx").as("__ia"))),
+            expr("((mask >> __ia) & 1) = 1"))
+          .join(broadcast(srcIdx.select(col("source").as("source_b"),
+            col("__idx").as("__ib"))),
+            expr("((mask >> __ib) & 1) = 1 AND source_a < source_b"))
+          .groupBy(col("source_a"), col("source_b"))
+          .agg(sum(col("cnt")).cast("long").as("n_shared_shingles"))
+          .select(col("source_a"), col("source_b"),
+            col("n_shared_shingles"))
+      } else {
+        val dsh = sh.repartition(col("h"))
+          .dropDuplicates("source", "h")
+        dsh.join(dsh.select(col("h"), col("source").as("source_b")),
+            Seq("h"))
+          .filter(col("source") < col("source_b"))
+          .groupBy(col("source").as("source_a"), col("source_b"))
+          .agg(count(lit(1)).as("n_shared_shingles"))
+          .select(col("source_a"), col("source_b"),
+            col("n_shared_shingles"))
+      }
     },
 
     // Stopword scrub: drop a fixed function-word list from every
@@ -3317,16 +3358,23 @@ object QueriesScale {
           (lit(40L) + col("doc_id") % 7 + col("j") * 7)
             .as("crawl_day"),
           ((col("doc_id") + col("j")) % 3 === 0).as("changed"))
-      val plan1 = Recrawl.plan(frontier, history, nowDay = 100L,
-        slotsPerHost = 4)
+      // plan1 feeds the outcome fetch AND the final join, and
+      // outcomes feeds ingest, the ledger, and the final join — as
+      // lazy plans the cycle-1 window chain re-ran ~4x (r13 opt
+      // round 1, guide §1.2; both frames are frontier-sized, one
+      // checkpoint write each vs four recomputes at any scale)
+      val plan1 = graft.model.Checkpoints.materializeFresh(
+        Recrawl.plan(frontier, history, nowDay = 100L,
+          slotsPerHost = 4))
       // fetch exactly what cycle 1 scheduled; outcomes deterministic
-      val outcomes = plan1.filter(col("scheduled")).select(col("loc"))
+      val outcomes = graft.model.Checkpoints.materializeFresh(
+        plan1.filter(col("scheduled")).select(col("loc"))
         .join(d.select(loc.as("loc"), col("doc_id")), Seq("loc"))
         .select(col("loc"),
           when(col("doc_id") % 23 === 5, lit("error"))
             .when(col("doc_id") % 3 === 0, lit("changed"))
             .when(col("doc_id") % 7 === 1, lit("not_modified"))
-            .otherwise(lit("unchanged")).as("status"))
+            .otherwise(lit("unchanged")).as("status")))
       val hist2 = Recrawl.ingestOutcomes(history, outcomes,
         fetchDay = 100L)
       val ledger = Recrawl.errorLedger(outcomes, fetchDay = 100L)

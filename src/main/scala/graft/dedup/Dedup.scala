@@ -917,12 +917,17 @@ object Dedup {
         org.apache.spark.sql.graftshim.SqlShims
           .dropInheritedStats(df.checkpoint())
       else graft.model.Checkpoints.materializeFresh(df)
-    // SINGLE-orientation edge checkpoint: pair generation (LSH) runs
-    // ONCE, not per round; the reverse orientation and the self-loops
-    // the distributed loop needs are cheap projections of these
-    // materialized blocks (half the checkpoint bytes of the old
-    // both-orientations barrier).
-    val e0 = barrier(pairs.select(col(idA).as("u"), col(idB).as("v")))
+    // SINGLE-orientation edge materialization: pair generation (LSH)
+    // runs ONCE, not per round; the reverse orientation and the
+    // self-loops the distributed loop needs are cheap projections of
+    // these materialized blocks. r13 opt round 1: persist + count is
+    // ONE action (the cache build returns the row count the
+    // size-adaptive branch below needs anyway) where checkpoint +
+    // count was two; the distributed path re-reads the cache to build
+    // its checkpointed edge layout and then unpersists.
+    val e0 = pairs.select(col(idA).as("u"), col(idB).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edgeCount = e0.count()
     // SIZE-ADAPTIVE closure (opt round 1 — guide §1.2 "the
     // distributed algorithm" + §2.4 "remove shuffles outright"): the
     // measured cost of the iterative loop at gate SF is DRIVER
@@ -948,7 +953,7 @@ object Dedup {
     val idType = e0.schema.fields.head.dataType
     val integralIds = idType == org.apache.spark.sql.types.LongType ||
       idType == org.apache.spark.sql.types.IntegerType
-    if (integralIds && e0.count() <= localMax) {
+    if (integralIds && edgeCount <= localMax) {
       lastCcRounds.set(1L)
       val session = e0.sparkSession
       import session.implicits._
@@ -995,8 +1000,8 @@ object Dedup {
       .union(und.select(col("u")).distinct()
         .select(col("u"), col("u").as("v")))
       .repartition(col("v")))
-    // e0's rows live on inside e; free the superseded blocks
-    graft.model.Checkpoints.release(e0)
+    // e0's rows live on inside e; free the superseded cache blocks
+    e0.unpersist(false)
     var labels: DataFrame = e.filter(col("u") === col("v"))
       .select(col("u"), col("u").as("label"))
     def labelSum(df: DataFrame): java.math.BigDecimal = df
@@ -1220,8 +1225,12 @@ object Dedup {
                          idA: String = "id_a", idB: String = "id_b",
                          maxIter: Int = 40,
                          validate: Boolean = true): DataFrame = {
-    val (lab, rootMap, prevUnlabeled) =
+    val (lab, rootMap0, prevUnlabeled) =
       mergeClustersCore(labels, newEdges, idA, idB, maxIter, validate)
+    // rootMap feeds BOTH output legs below — materialized once
+    // (batch-sized) so the closure's single-task union-find isn't
+    // re-executed per consumer (r13 opt round 1)
+    val rootMap = graft.model.Checkpoints.materializeFresh(rootMap0)
     // existing rows change iff their current label is a non-root node
     // of the label graph — an INNER join against the batch-sized
     // rootMap, filtered to actual moves, never a corpus-wide rewrite
@@ -1268,7 +1277,15 @@ object Dedup {
     // scans.
     val ends = e.select(explode(array(col("u"), col("v"))).as("doc_id"))
       .distinct()
-    val endLab = ends.join(lab, Seq("doc_id"), "left")
+    // endLab is MATERIALIZED once (r13 opt round 1, guide §1.2/§2.4):
+    // it feeds the two labelEdges joins, the validate probe, and
+    // prevUnlabeled — four consumers that each re-ran the ends ⋈ lab
+    // join (a scan of the corpus-sized label table per consumer) when
+    // endLab was lazy. One batch-sized checkpoint turns those into
+    // block reads; eager materialization also fires the half-1 guard
+    // below at merge CALL time.
+    val endLab = graft.model.Checkpoints.materializeFresh(
+      ends.join(lab, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("cluster_id") > col("doc_id"), raise_error(concat(
           lit("mergeClusters: label table violates the min-label " +
@@ -1277,31 +1294,37 @@ object Dedup {
           lit(" > its own id; labels must come from " +
             "duplicateClusters/mergeClusters output"))))
           .otherwise(coalesce(col("cluster_id"), col("doc_id")))
-          .as("lbl"))
+          .as("lbl")))
     // half 2: every touched cluster_id must itself exist as a
-    // self-labeled root row — one probe of the label table against
-    // the BATCH-sized touched-label set (the broadcast side), run
-    // eagerly so a corrupted artifact aborts the cycle instead of
-    // emitting merged-but-wrong labels.
-    if (validate) {
+    // self-labeled root row. r13 opt round 1: the probe rides the
+    // closure's OWN materialization action instead of a separate
+    // eager isEmpty pass (two actions saved per merge) — guard rows
+    // (raise_error under a when, so the branch type unifies with the
+    // edge columns) UNION into the label-graph edge list, which
+    // duplicateClusters materializes eagerly at merge call time; a
+    // corrupted artifact still aborts the cycle before any merged
+    // label is emitted, now inside the job that was running anyway.
+    val lblType = lab.schema("cluster_id").dataType
+    val guard = if (!validate) None else Some {
       val touched = endLab.filter(col("lbl") =!= col("doc_id"))
         .select(col("lbl")).distinct()
-      val broken = touched
+      touched
         .join(lab.select(col("doc_id").as("lbl"),
           col("cluster_id").as("__rc")), Seq("lbl"), "left")
         .filter(col("__rc").isNull || col("__rc") =!= col("lbl"))
-      if (!broken.isEmpty) {
-        val ex = broken.select(col("lbl")).head.get(0)
-        throw new IllegalStateException(
-          s"mergeClusters: label table violates the min-label " +
-            s"invariant - touched cluster_id $ex has no self-label " +
-            s"root row; labels must come from duplicateClusters/" +
-            s"mergeClusters output")
-      }
+        .select(
+          when(lit(true), raise_error(concat(
+            lit("mergeClusters: label table violates the min-label " +
+              "invariant - touched cluster_id "),
+            col("lbl").cast("string"),
+            lit(" has no self-label root row; labels must come from " +
+              "duplicateClusters/mergeClusters output"))))
+            .otherwise(col("lbl")).cast(lblType).as("id_a"),
+          col("lbl").cast(lblType).as("id_b"))
     }
     // label-graph edges: only edges that actually bridge two distinct
     // labels survive — an in-cluster rediscovery costs nothing
-    val labelEdges = e
+    val bridge = e
       .join(endLab.select(col("doc_id").as("u"), col("lbl").as("__lu")),
         Seq("u"))
       .join(endLab.select(col("doc_id").as("v"), col("lbl").as("__lv")),
@@ -1310,6 +1333,7 @@ object Dedup {
       .select(least(col("__lu"), col("__lv")).as("id_a"),
         greatest(col("__lu"), col("__lv")).as("id_b"))
       .distinct()
+    val labelEdges = guard.fold(bridge)(g => bridge.unionByName(g))
     // closure over the batch-sized label graph only
     val rootMap = duplicateClusters(labelEdges, maxIter = maxIter)
       .select(col("cluster_id").as("__root"), col("doc_id").as("lbl"))

@@ -306,8 +306,13 @@ object SuffixRepeats {
       oldGrams.join(remD, Seq("d"), "left_anti"))
     val rGramSet = oldGrams.join(remD, Seq("d"), "left_semi")
       .select(col("g")).distinct()
-    val affected = survGrams.join(rGramSet, Seq("g"), "left_semi")
-      .select(col("d").as("doc_id")).distinct()
+    // affected is doc-id-sized and feeds THREE consumers (the
+    // candidate-gram chain, the kept-span anti-join, the replacement
+    // semi-join) — materialized once so the surviving-gram semi-join
+    // + distinct doesn't re-run per consumer (r13 opt round 1)
+    val affected = Checkpoints.materializeFresh(
+      survGrams.join(rGramSet, Seq("g"), "left_semi")
+        .select(col("d").as("doc_id")).distinct())
     val aGramSet = survGrams
       .join(affected.select(col("doc_id").as("d")), Seq("d"),
         "left_semi")
@@ -343,6 +348,133 @@ object SuffixRepeats {
         sum(col("e") - col("s")).cast("long").as("covered_tokens"),
         max(col("span_max_ell")).cast("long").as("max_repeat_len"))
 
+  /** Whether the most recent [[buildSpanList]] took the single-task
+    * path — dev/spec measurement hook, not part of any query path.
+    */
+  private[graft] val lastBuildLocal =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** Single-task span-list build for [[buildSpanList]]'s
+    * below-threshold path: exact suffix sort + adjacent-LCP scan +
+    * per-doc island merge over one partition's (doc_id, tokens)
+    * iterator, emitting (doc_id, s, e, span_max_ell) — the
+    * distributed octupling pipeline's output exactly (see the call
+    * site for the equivalence argument). Runs on an executor
+    * (mapPartitions), never the driver. Tokens intern to positive
+    * ints (LCP is invariant under injective relabeling); each doc
+    * ends in a unique negative sentinel, so suffix comparisons and
+    * LCP scans terminate at document boundaries and two distinct
+    * suffixes never compare equal — equal-whole-suffix pairs resolve
+    * to LCP = min remaining length, the distributed rule.
+    */
+  private[graft] def localSpanList(
+      rows: Iterator[(Long, Array[String])],
+      minLen: Int): Iterator[(Long, Long, Long, Long)] = {
+    val intern = new java.util.HashMap[String, Integer]()
+    val t = new scala.collection.mutable.ArrayBuilder.ofInt
+    val docIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val starts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val lens = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var off = 0
+    rows.foreach { case (d, tk) =>
+      if (tk != null && tk.length > 0) {
+        val di = docIds.length
+        docIds += d; starts += off; lens += tk.length
+        var i = 0
+        while (i < tk.length) {
+          var id = intern.get(tk(i))
+          if (id == null) { id = intern.size + 1; intern.put(tk(i), id) }
+          t += id.intValue(); i += 1
+        }
+        t += -(di + 1) // sentinel
+        off += tk.length + 1
+      }
+    }
+    val arr = t.result()
+    val nDocs = docIds.length
+    // all suffix start offsets (absolute positions in arr)
+    val n = lens.sum
+    val sa = new Array[Integer](n)
+    locally {
+      var k = 0; var d = 0
+      while (d < nDocs) {
+        var p = starts(d); val end = starts(d) + lens(d)
+        while (p < end) { sa(k) = Integer.valueOf(p); k += 1; p += 1 }
+        d += 1
+      }
+    }
+    java.util.Arrays.sort(sa, new java.util.Comparator[Integer] {
+      def compare(a: Integer, b: Integer): Int = {
+        var i = a.intValue(); var j = b.intValue()
+        if (i == j) return 0
+        // sentinels are unique per doc, so two DISTINCT suffixes
+        // always mismatch before running past either doc's end
+        while (arr(i) == arr(j)) { i += 1; j += 1 }
+        Integer.compare(arr(i), arr(j))
+      }
+    })
+    // adjacent LCPs (sentinels guarantee a mismatch before any doc end)
+    val lcp = new Array[Int](math.max(n - 1, 0))
+    locally {
+      var k = 1
+      while (k < n) {
+        var i = sa(k - 1).intValue(); var j = sa(k).intValue(); var c = 0
+        while (arr(i) == arr(j)) { i += 1; j += 1; c += 1 }
+        lcp(k - 1) = c; k += 1
+      }
+    }
+    // doc index of an absolute offset: starts is ascending; binary
+    // search the enclosing doc
+    def docOf(a: Int): Int = {
+      var lo = 0; var hi = nDocs - 1
+      while (lo < hi) {
+        val mid = (lo + hi + 1) >>> 1
+        if (starts(mid) <= a) lo = mid else hi = mid - 1
+      }
+      lo
+    }
+    // per-doc qualifying starters (p 1-based, ell = max adjacent LCP)
+    val perDoc = Array.fill(nDocs)(
+      scala.collection.mutable.ArrayBuffer.empty[(Int, Int)])
+    locally {
+      var k = 0
+      while (k < n) {
+        val left = if (k > 0) lcp(k - 1) else 0
+        val right = if (k < n - 1) lcp(k) else 0
+        val ell = math.max(left, right)
+        if (ell >= minLen) {
+          val a = sa(k).intValue()
+          val d = docOf(a)
+          perDoc(d) += ((a - starts(d) + 1, ell))
+        }
+        k += 1
+      }
+    }
+    // gaps-and-islands merge per doc
+    val out = scala.collection.mutable
+      .ArrayBuffer.empty[(Long, Long, Long, Long)]
+    var d = 0
+    while (d < nDocs) {
+      val ps = perDoc(d).sortInPlaceBy(_._1)
+      var i = 0
+      while (i < ps.length) {
+        var s = ps(i)._1.toLong
+        var e = s + ps(i)._2
+        var maxEll = ps(i)._2.toLong
+        var j = i + 1
+        while (j < ps.length && ps(j)._1 <= e) {
+          e = math.max(e, ps(j)._1.toLong + ps(j)._2)
+          maxEll = math.max(maxEll, ps(j)._2.toLong)
+          j += 1
+        }
+        out += ((docIds(d), s, e, maxEll))
+        i = j
+      }
+      d += 1
+    }
+    out.iterator
+  }
+
   private def buildSpanList(docsTok: DataFrame, minLen: Int,
                             parts: Int,
                             scratch: ListBuffer[DataFrame])
@@ -354,8 +486,48 @@ object SuffixRepeats {
       .select(col("doc_id").cast("long").as("d"), col("tokens").as("tk"))
       .repartition(col("d")))
     scratch += dt
-    val maxLen = dt.agg(coalesce(max(size(col("tk"))), lit(0)))
-      .head().getInt(0)
+    // maxLen gates the octupling rounds; totTok additionally gates the
+    // size-adaptive single-task path below — SAME one action as before
+    // (r13 opt round 1)
+    val szRow = dt.agg(coalesce(max(size(col("tk"))), lit(0)),
+      coalesce(sum(size(col("tk")).cast("long")), lit(0L))).head()
+    val maxLen = szRow.getInt(0)
+    val totTok = szRow.getLong(1)
+    // SIZE-ADAPTIVE build (r13 opt round 1 — the duplicateClusters
+    // union-find argument applied to the suffix sort): the octupling
+    // loop costs ~15 driver-latency jobs PER ROUND (7 shift joins + a
+    // range-partitioned dense rank + a checkpoint), and the
+    // incremental maintenance paths ([[mergeSpanList]] /
+    // [[retractSpanList]]) run it over batch ∪ candidate docs — a
+    // sub-corpus that is batch-proportional BY DESIGN, measured at
+    // 71-106 Spark jobs for ~6 task-seconds at gate SF (DevSpanDiag).
+    // Below `graft.sa.localTokenMax` total tokens (default 2M ≈ tens
+    // of MB of interned ints — a session conf, retunable per
+    // deployment), the whole build therefore runs as ONE executor
+    // task: intern tokens to ints (any injective relabeling preserves
+    // every LCP, and the adjacent-max-LCP identity holds for the
+    // lexicographic order of ANY alphabet), suffix-sort with per-doc
+    // sentinel terminators, adjacent-LCP scan, per-doc island merge.
+    // Semantics are the distributed builder's exactly — true-token
+    // comparison, equal-whole-suffix LCP = min remaining length —
+    // minus its documented ~2⁻⁶⁴ hash-collision allowance (the local
+    // path compares real tokens, so it can only be MORE exact).
+    // Above the threshold the octupling rounds run unchanged.
+    // SuffixMergeSpec carries the local ≡ distributed differential.
+    val localMax = docsTok.sparkSession.conf
+      .getOption("graft.sa.localTokenMax").map(_.toLong)
+      .getOrElse(2000000L)
+    if (totTok <= localMax) {
+      val session = docsTok.sparkSession
+      import session.implicits._
+      lastBuildLocal.set(true)
+      return dt.select(col("d"), col("tk"))
+        .as[(Long, Array[String])]
+        .coalesce(1)
+        .mapPartitions(it => localSpanList(it, minLen))
+        .toDF("doc_id", "s", "e", "span_max_ell")
+    }
+    lastBuildLocal.set(false)
 
     // base: rank 64-token prefixes straight off the arrays — 64
     // token-hash COORDINATES per position, one transform, zero joins

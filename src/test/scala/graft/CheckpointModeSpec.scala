@@ -52,17 +52,26 @@ class CheckpointModeSpec extends SparkSpec {
   }
 
   test("CC label propagation is bit-identical in reliable mode") {
-    // two components, one via a chain (exercises several rounds)
+    // two components, one via a chain (exercises several rounds).
+    // r13: the below-threshold union-find path has NO fixpoint loop
+    // and keeps full lineage (persist, not checkpoint), so reliable
+    // mode has nothing to write there and nothing to lose on executor
+    // failure; the file assertion therefore forces the DISTRIBUTED
+    // loop, whose per-round truncations are what reliable mode exists
+    // for.
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
       (10L, 11L), (11L, 12L)).toDF("id_a", "id_b")
     def run() = Dedup.duplicateClusters(pairs)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (5L, 1L), (10L, 10L), (11L, 10L), (12L, 10L))
     val local = run()
+    assert(local == expected)
     val dir = ckDir()
-    val reliable = withReliable(dir.toString) { run() }
+    spark.conf.set("graft.cc.localEdgeMax", "0")
+    val reliable = try withReliable(dir.toString) { run() }
+      finally spark.conf.unset("graft.cc.localEdgeMax")
     assert(reliable == local)
-    assert(local == Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
-      (5L, 1L), (10L, 10L), (11L, 10L), (12L, 10L)))
     assert(filesUnder(dir) > 0,
       "reliable mode must have written checkpoint files")
   }

@@ -172,12 +172,18 @@ class ClusterMergeSpec extends SparkSpec {
       .map(t => Option(t.getMessage).getOrElse("")).mkString("|")
     assert(chain1.contains("min-label"))
     // a touched cluster_id with NO self-labeled root row: the merged
-    // root min would be computed over a phantom label
+    // root min would be computed over a phantom label. Still fails AT
+    // CALL TIME (the closure materializes its input eagerly), but the
+    // probe now rides that job (r13 opt round 1), so the error
+    // arrives as a raise_error inside the Spark exception chain.
     val noRoot = Seq((7L, 3L)).toDF("doc_id", "cluster_id")
-    val ex2 = intercept[IllegalStateException] {
+    val ex2 = intercept[Exception] {
       Dedup.mergeClusters(noRoot, edgesDF(Seq((7L, 8L))))
     }
-    assert(ex2.getMessage.contains("self-label"))
+    val chain2 = Iterator.iterate[Throwable](ex2)(_.getCause)
+      .takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("|")
+    assert(chain2.contains("self-label"))
     // and a VALID table (root rows present) passes the same shapes
     val ok = Seq((3L, 3L), (7L, 3L)).toDF("doc_id", "cluster_id")
     val merged = Dedup.mergeClusters(ok, edgesDF(Seq((7L, 8L))))

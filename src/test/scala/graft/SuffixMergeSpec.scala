@@ -56,6 +56,26 @@ class SuffixMergeSpec extends SparkSpec {
       doc(i.toLong, 4 + i % 3, blocks)
     }
 
+  test("single-task span build equals the distributed octupling " +
+      "rounds (r13 size-adaptive build)") {
+    // planted repeats incl. an equal-whole-suffix pair (docs ending in
+    // the same block) and a below-minLen block
+    val all = corpus(0 until 12)
+    val viaLocal = spansOf(SuffixRepeats.repeatedSpanList(df(all), 5))
+    assert(SuffixRepeats.lastBuildLocal.get(),
+      "small corpus must take the single-task path")
+    spark.conf.set("graft.sa.localTokenMax", "0")
+    try {
+      // threshold 0 forces the distributed rounds; bypass the
+      // fit-once cache with a distinct (shuffled-order) plan
+      val viaDist = spansOf(
+        SuffixRepeats.repeatedSpanList(df(all.reverse), 5))
+      assert(!SuffixRepeats.lastBuildLocal.get(),
+        "threshold 0 must take the distributed rounds")
+      assert(viaLocal == viaDist && viaLocal.nonEmpty)
+    } finally spark.conf.unset("graft.sa.localTokenMax")
+  }
+
   test("merged equals the full rebuild for every history/batch " +
       "split of a planted-repeat corpus") {
     val all = corpus(0 until 12)
